@@ -1,0 +1,100 @@
+"""Text analysis functions (SURVEY.md §2.8 + north-star text ops).
+
+The reference's only text ops are concat (Program.cs:79) and cl100k_base
+token counting via SharpToken (Program.cs:40,80,88). tiktoken is not in this
+container, so token counting comes in three tiers:
+
+1. ``approx_token_count`` — ceil(chars/4), pure Catalyst, oracle-exact.
+2. ``word_count`` — whitespace tokens, pure Catalyst, oracle-exact.
+3. ``bpe_ish_token_count_udf`` — a pandas UDF running the cl100k-style
+   pre-tokenizer regex (the public pattern family from the tiktoken repo,
+   simplified to stdlib ``re``); deterministic but not SQL-expressible →
+   rows-only oracle check, mirroring SharpToken's rows-only status
+   (SURVEY.md §5).
+
+Everything else (n-grams, jaccard, fingerprint) is pure Catalyst with
+deterministic integer/double arithmetic so a DuckDB oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from parquetaivectorsearch_spark.functions.vector import _col, ColumnOrName
+
+# Public cl100k_base pre-tokenizer shape (tiktoken), reduced to stdlib `re`:
+# contractions | optionally-space-prefixed letter runs | 1-3 digit runs |
+# punctuation runs | whitespace.
+_BPE_ISH = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def words(text: ColumnOrName) -> Column:
+    """Whitespace tokenization → array<string>, empties removed."""
+    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda w: w != "")
+
+
+def word_count(text: ColumnOrName) -> Column:
+    return F.size(words(text))
+
+
+def approx_token_count(text: ColumnOrName) -> Column:
+    """ceil(len/4): the classic chars-per-token heuristic; the oracle-exact
+    stand-in for the reference's TokenCount (DbPedia.cs:10)."""
+    return F.ceil(F.length(_col(text)) / F.lit(4)).cast("bigint")
+
+
+@pandas_udf(T.IntegerType())
+def bpe_ish_token_count_udf(texts: pd.Series) -> pd.Series:
+    """cl100k-style token count. The regex is module-level — compiled once
+    per worker, the same hoisting the reference applies to its "expensive"
+    encoder constructor (Program.cs:39-40)."""
+    return texts.map(lambda t: len(_BPE_ISH.findall(t)) if t is not None else 0).astype("int32")
+
+
+def char_ngrams(text: ColumnOrName, n: int = 3) -> Column:
+    """Distinct character n-grams as array<string> (shingles for jaccard /
+    minhash). Pure Catalyst: sequence + transform + array_distinct."""
+    t = _col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.substring(t, i, n),
+        )
+    )
+
+
+def ngram_jaccard(a: ColumnOrName, b: ColumnOrName, n: int = 3) -> Column:
+    """Jaccard similarity of distinct character n-gram sets, as double.
+
+    One division of two exact ints → bit-deterministic, oracle-exact.
+    """
+    ga, gb = char_ngrams(a, n), char_ngrams(b, n)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# Polynomial rolling-hash fingerprint: h = (h*B + codepoint) mod P.
+# P < 2^31 keeps h*B + c < 2^38 — no int64 overflow under ANSI mode, and the
+# identical exact integer arithmetic runs in DuckDB (list_reduce).
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def polynomial_fingerprint(text: ColumnOrName) -> Column:
+    """Deterministic document fingerprint (rolling hash) as bigint."""
+    chars = F.split(_col(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c).cast("bigint")) % F.lit(FP_MOD),
+    )

@@ -1,0 +1,91 @@
+"""Vector math over ``array<float>`` columns (SURVEY.md §2.7-2.8).
+
+The reference delegates its distance kernel to a SIMD dot product
+(``DotProductDistance.DotProductOptimized``, handed to HNSW at
+Program.cs:256; System.Numerics.Tensors dep, csproj:15). Here the canonical
+path is pure Catalyst higher-order functions — ``zip_with`` + ``aggregate``
+stay inside whole-stage codegen on the JVM, so the "SIMD" is Tungsten — and
+the bulk path (KNN join over many queries) is a numpy pandas UDF where BLAS
+does a matrix-matrix multiply per Arrow batch.
+
+All folds accumulate **sequentially in double** (left fold over array
+elements) so results are bit-reproducible and match a DuckDB oracle doing
+the same fold — see tests/test_oracle_parity.py.
+
+Public type is ``array<float>`` end-to-end (parquet- and oracle-friendly);
+no VectorUDT in the public surface (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product of two float arrays as a double, sequential left fold.
+
+    Mirrors the reference's distance kernel semantics (Program.cs:256) with
+    deterministic double accumulation.
+    """
+    prods = F.zip_with(_col(a), _col(b),
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    """Euclidean norm as a double."""
+    return F.sqrt(F.aggregate(
+        _col(a), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def normalize(a: ColumnOrName) -> Column:
+    """Unit-normalize a float array (returns array<double>); zero vector → nulls."""
+    arr = _col(a)
+    nrm = l2_norm(arr)
+    return F.transform(arr, lambda x: F.when(nrm > 0, x.cast("double") / nrm))
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """cos(a, b) as a double. The fixture vectors are not unit-norm, so this
+    differs from raw dot (unlike the reference's unit-norm OpenAI embeddings
+    where dot ≡ cosine, Program.cs:29-30)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_product_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """The reference's search metric: smaller = closer (it re-sorts ascending
+    by distance, Program.cs:219). Defined as ``1 - dot`` per the HNSW.Net
+    dot-product distance convention for normalized vectors."""
+    return F.lit(1.0) - dot(a, b)
+
+
+@pandas_udf(T.DoubleType())
+def vec_dot_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched numpy dot product — the bulk fast path.
+
+    Each batch arrives as object Series of np.ndarray; stacking gives one
+    (batch, dim) matrix so BLAS does the whole batch in one einsum — the
+    Spark analog of the reference's SIMD kernel, amortized per Arrow batch
+    instead of per call (cf. hoisting comment Program.cs:39-40).
+
+    Note: numpy einsum reduction order differs from the sequential Catalyst
+    fold in ``dot`` by O(1e-13) relative — use ``dot`` when oracle hash
+    equality matters, this when throughput matters.
+    """
+    import numpy as np
+
+    ma = np.stack(a.to_numpy())
+    mb = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", ma, mb, dtype=np.float64))

@@ -1,0 +1,3 @@
+from parquetaivectorsearch_spark.operators.knn import knn_join, knn_topk, query_vector_df
+
+__all__ = ["knn_topk", "knn_join", "query_vector_df"]

@@ -1,0 +1,117 @@
+"""Exact K-nearest-neighbor search — the canonical result definition.
+
+The reference answers one question: top-20 neighbors of a query vector by
+dot-product distance over 1M×1536 embeddings (Program.cs:207-227), via an
+in-memory HNSW graph. The Spark-first canonical form is the *exact* scan:
+
+    broadcast(query) ⋈ corpus → distance column → orderBy(distance).limit(k)
+
+which Catalyst plans as BroadcastNestedLoopJoin (1-row build side) +
+TakeOrderedAndProject — per-partition top-k heaps merged at the driver, k
+rows shuffled per partition, no global sort. That is the distributed
+generalization of ``results.OrderBy(a => a.Distance).Take(20)``
+(Program.cs:219) and it scales linearly in corpus size with zero index
+state. The ANN path (operators/ann.py) must match this oracle at
+recall@k ≥ 0.9 (SURVEY.md §5).
+
+No ``collect()`` anywhere: the query vector is a 1-row DataFrame (from a
+``vec_id`` lookup or a literal array), broadcast by hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquetaivectorsearch_spark.functions.vector import dot, dot_product_distance
+
+
+def query_vector_df(corpus: DataFrame, vec_id: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """The reference's query source: a row of the corpus itself
+    (``sampleVectors[0]``, Program.cs:209) — as a 1-row DataFrame, not a
+    driver-side array. Parquet min/max stats prune this lookup to one
+    row group."""
+    return corpus.filter(F.col(id_col) == vec_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+
+
+def knn_topk(corpus: DataFrame, query: DataFrame, k: int = 20,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int | None = None) -> DataFrame:
+    """Exact top-k by ascending dot-product distance (ties → smaller id).
+
+    ``query`` is a 1-row DataFrame (query_id, query_vec). Output:
+    (query_id, vec_id, distance).
+    """
+    dist = dot_product_distance(vec_col, "query_vec")
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        corpus.join(F.broadcast(query))
+        .select("query_id", F.col(id_col), dist.alias("distance"))
+        .orderBy("distance", id_col)
+        .limit(k)
+    )
+
+
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             metric: str = "dot", round_to: int | None = None) -> DataFrame:
+    """Brute-force KNN join: top-k corpus rows per query row (SURVEY §2.7 X).
+
+    Plan shape: broadcast(queries) nested-loop join against the corpus →
+    per-(query, row) score → ``row_number() over (partition by query order
+    by distance)`` ≤ k. The window partitions by query_id, so the shuffle
+    moves |corpus|×|queries| scored pairs — fine when queries is small
+    (broadcast side should be ≤ thousands). For huge query sets, use the
+    IVF path in operators/ann.py instead.
+
+    Output: (query_id, vec_id, distance, rank).
+    """
+    if metric == "dot":
+        dist = F.lit(1.0) - dot(vec_col, "query_vec")
+    elif metric == "cosine":
+        from parquetaivectorsearch_spark.functions.vector import cosine_similarity
+
+        dist = F.lit(1.0) - cosine_similarity(vec_col, "query_vec")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .select("query_id", F.col(id_col), dist.alias("distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_checksum(topk: DataFrame) -> DataFrame:
+    """The reference's correctness proxy: sum of top-k distances
+    (Program.cs:224-227), per query."""
+    return topk.groupBy("query_id").agg(
+        F.round(F.sum("distance"), 6).alias("distance_sum"),
+        F.count("*").alias("k"),
+    )
+
+
+def knn_topk_sql(spark: SparkSession, corpus: DataFrame, query: DataFrame,
+                 k: int = 20) -> DataFrame:
+    """SQL-surface twin of knn_topk — same logical plan via spark.sql."""
+    corpus.createOrReplaceTempView("knn_corpus")
+    query.createOrReplaceTempView("knn_query")
+    return spark.sql(f"""
+        SELECT q.query_id, c.vec_id,
+               1.0D - aggregate(zip_with(c.embedding, q.query_vec,
+                                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                0.0D, (acc, v) -> acc + v) AS distance
+        FROM knn_corpus c, knn_query q
+        ORDER BY distance, c.vec_id
+        LIMIT {int(k)}
+    """)

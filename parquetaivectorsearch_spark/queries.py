@@ -1,0 +1,332 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each entry is ``name -> (spark, sf_dir) -> DataFrame`` plus, where the
+semantics are SQL-expressible, a DuckDB oracle in ``ORACLE_SQL`` that the
+driver hash-compares at sf0.01 (row count + schema + order-insensitive
+value hash). Conventions that make the hashes deterministic:
+
+- Every computed column is aliased identically in Spark and SQL.
+- Vector math folds sequentially in double (bit-exact across engines —
+  verified in tests/test_oracle_parity.py).
+- Sums over doubles go through DECIMAL casts or coarse rounding; sums over
+  ints stay integral (DuckDB's HUGEINT sums are cast back to BIGINT).
+- Ties in any ORDER BY ... LIMIT are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquetaivectorsearch_spark.functions import text as TX
+from parquetaivectorsearch_spark.functions import vector as V
+from parquetaivectorsearch_spark.operators import knn
+from parquetaivectorsearch_spark.sources import load_table, schema_table, write_json_sample
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+@register("scan_parquet", """
+    SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, label
+    FROM embeddings
+""")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory scan + projection (Program.cs:31,72-75). Catalyst prunes the
+    read to (vec_id, embedding, label); `dim` proves the array column decoded."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("dim"), "label"
+    )
+
+
+@register("schema_introspect")  # rows-only: type-name strings are engine-specific
+def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer schema walk as a DataFrame (Program.cs:51-63)."""
+    return schema_table(spark, _t(spark, sf_dir, "embeddings"))
+
+
+@register("json_sample_sink")  # rows-only: round-trips through a JSON sink
+def q_json_sample_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-row JSON sample dump + read-back (Program.cs:102-103)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="json_sample_") + "/docs"
+    write_json_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"), out, n=100
+    )
+    return spark.read.json(out)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+@register("project_columns", """
+    SELECT doc_id, lang, source FROM documents
+""")
+def q_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal projection (Program.cs:72-75) — pruned at the scan."""
+    return _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+
+
+@register("concat_title_text", """
+    SELECT doc_id, source || ' ' || text AS full_text FROM documents
+""")
+def q_concat_title_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column concat (titles[i] + ' ' + texts[i], Program.cs:79)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", "source", "text").alias("full_text")
+    )
+
+
+@register("cast_embedding", """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e0
+    FROM embeddings
+""")
+def q_cast_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise cast (double?[] → float[], Program.cs:87): float→double
+    widening is exact, so e0 hash-matches without rounding."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+    )
+
+
+@register("filter_pushdown", """
+    SELECT doc_id, n_chars, source FROM documents
+    WHERE lang = 'en' AND n_chars > 200
+""")
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filter — absent in the reference (SURVEY §2.2 X); predicate reaches
+    the parquet scan (PushedFilters, asserted in tests/test_plans.py)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select("doc_id", "n_chars", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (reference-grounded scalars)
+# ---------------------------------------------------------------------------
+
+@register("count_rows", """
+    SELECT COUNT(*) AS n_rows FROM lineitem
+""")
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count (recordCount invariant, Program.cs:70,119-120)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register("sum_tokens", """
+    SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+""")
+def q_sum_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token(char)-count sum (Sum(x => x.TokenCount), Program.cs:111).
+    Integer sum → exact in both engines."""
+    return _t(spark, sf_dir, "documents").agg(
+        F.sum("n_chars").alias("total_chars"), F.count("*").alias("n_docs")
+    )
+
+
+@register("token_cost", """
+    WITH t AS (
+      SELECT CAST(SUM(CAST(CEIL(n_chars / 4) AS BIGINT)) AS BIGINT) AS total_tokens
+      FROM documents
+    )
+    SELECT total_tokens,
+           ROUND(total_tokens * 1e-7, 6) AS cost_ada002,
+           ROUND(total_tokens * 2e-8, 6) AS cost_v3small
+    FROM t
+""")
+def q_token_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cost model ($0.10 and $0.02 per 1M tokens, Program.cs:113-116)
+    over the ceil(chars/4) token approximation."""
+    t = _t(spark, sf_dir, "documents").agg(
+        F.sum(F.ceil(F.col("n_chars") / F.lit(4)).cast("bigint")).alias("total_tokens")
+    )
+    return t.select(
+        "total_tokens",
+        F.round(F.col("total_tokens") * F.lit(1e-7), 6).alias("cost_ada002"),
+        F.round(F.col("total_tokens") * F.lit(2e-8), 6).alias("cost_v3small"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits
+# ---------------------------------------------------------------------------
+
+@register("sort_by_id", """
+    SELECT doc_id, lang, n_chars FROM documents
+    ORDER BY doc_id LIMIT 50
+""")
+def q_sort_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort by key (OrderBy(a => a.Id), Program.cs:106) + limit →
+    Spark plans TakeOrderedAndProject, no full sort materialization."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 vector search (the reference's core)
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = "list_inner_product(e.embedding::DOUBLE[], q.query_vec::DOUBLE[])"
+
+
+@register("dot_product", f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_DUCK_DOT} AS dot
+    FROM embeddings e, q
+""")
+def q_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance kernel over the whole corpus (DotProductOptimized,
+    Program.cs:256). Sequential double fold → bit-exact vs oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = knn.query_vector_df(emb, 0).select("query_vec")
+    return emb.join(F.broadcast(q)).select(
+        "vec_id", V.dot("embedding", "query_vec").alias("dot")
+    )
+
+
+@register("vector_norm", """
+    SELECT vec_id,
+           ROUND(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 9) AS norm
+    FROM embeddings
+""")
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per vector (SURVEY §2.8 X). sqrt of a bit-exact dot is
+    bit-exact; rounded to 9 dp for belt-and-braces."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.round(V.l2_norm("embedding"), 9).alias("norm")
+    )
+
+
+@register("knn_topk", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id = 0)
+    SELECT q.query_id, e.vec_id, 1.0 - {_DUCK_DOT} AS distance
+    FROM embeddings e, q
+    ORDER BY distance, e.vec_id
+    LIMIT 20
+""")
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: exact top-20 by dot-product distance, query = corpus row 0
+    (Program.cs:207-227). BroadcastNestedLoopJoin + TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.knn_topk(emb, knn.query_vector_df(emb, 0), k=20)
+
+
+@register("knn_join", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id, 1.0 - {_DUCK_DOT} AS distance
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY distance, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 5
+""")
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries brute-force KNN join (SURVEY §2.7 X): broadcast 8
+    queries × corpus → window top-5 per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn.knn_join(emb, queries, k=5)
+
+
+@register("knn_checksum", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id = 0),
+    topk AS (
+      SELECT q.query_id, e.vec_id, 1.0 - {_DUCK_DOT} AS distance
+      FROM embeddings e, q
+      ORDER BY distance, e.vec_id
+      LIMIT 20
+    )
+    SELECT query_id, ROUND(SUM(distance), 6) AS distance_sum, COUNT(*) AS k
+    FROM topk GROUP BY query_id
+""")
+def q_knn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's correctness proxy: top-k distance-sum checksum
+    (Program.cs:224-227). 20 values summed → rounded to 6 dp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = knn.knn_topk(emb, knn.query_vector_df(emb, 0), k=20)
+    return knn.knn_checksum(topk)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 text functions
+# ---------------------------------------------------------------------------
+
+@register("text_stats", """
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                w -> w <> '')) AS INTEGER) AS n_words,
+           CAST(CEIL(length(text) / 4) AS BIGINT) AS approx_tokens
+    FROM documents
+""")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length/word/token stats (SURVEY §2.8 X)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        TX.word_count("text").alias("n_words"),
+        TX.approx_token_count("text").alias("approx_tokens"),
+    )
+
+
+@register("token_count")  # rows-only: pandas-UDF BPE-ish tokenizer (tiktoken analog)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cl100k-style token counting via Arrow-batched pandas UDF
+    (SharpToken call, Program.cs:80,88). Not SQL-expressible → rows-only."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.bpe_ish_token_count_udf("text").alias("bpe_tokens")
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE_SQL)

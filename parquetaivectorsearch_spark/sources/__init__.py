@@ -1,0 +1,15 @@
+from parquetaivectorsearch_spark.sources.catalog import TABLES, load_table, load_tables
+from parquetaivectorsearch_spark.sources.parquet import (
+    scan_parquet_dir,
+    schema_table,
+    write_json_sample,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "scan_parquet_dir",
+    "schema_table",
+    "write_json_sample",
+]
