@@ -64,11 +64,16 @@ def char_ngrams(text: ColumnOrName, n: int = 3) -> Column:
     """Distinct character n-grams as array<string> (shingles for jaccard /
     minhash). Pure Catalyst: sequence + transform + array_distinct."""
     t = _col(text)
-    return F.array_distinct(
+    # NB: Spark's sequence(1, 0) is *descending* [1, 0], not empty — guard
+    # short strings explicitly (DuckDB's generate_series(1, 0) is empty).
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
             lambda i: F.substring(t, i, n),
         )
+    )
+    return F.when(F.length(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

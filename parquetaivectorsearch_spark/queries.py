@@ -325,8 +325,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    _load_extended()
     return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
+    _load_extended()
     return dict(ORACLE_SQL)
+
+
+def _load_extended() -> None:
+    """Import the extended registries (they self-register via @register).
+    Deferred to dodge the circular import at module-definition time."""
+    import parquetaivectorsearch_spark.queries_relational  # noqa: F401

@@ -21,15 +21,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-ORACLE_CASES = sorted(Q.ORACLE_SQL)
-ROWS_ONLY_CASES = sorted(set(Q.QUERIES) - set(Q.ORACLE_SQL))
+QUERIES, ORACLES = Q.all_queries(), Q.all_oracles()
+ORACLE_CASES = sorted(ORACLES)
+ROWS_ONLY_CASES = sorted(set(QUERIES) - set(ORACLES))
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_match(spark, duck, name):
     register_views(duck, SF_CORRECT)
-    got = Q.QUERIES[name](spark, SF_CORRECT).toPandas()
-    want = duck.execute(Q.ORACLE_SQL[name]).df()
+    got = QUERIES[name](spark, SF_CORRECT).toPandas()
+    want = duck.execute(ORACLES[name]).df()
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
@@ -45,6 +46,6 @@ def test_oracle_match(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_runs(spark, name):
-    df = Q.QUERIES[name](spark, SF_CORRECT)
+    df = QUERIES[name](spark, SF_CORRECT)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
