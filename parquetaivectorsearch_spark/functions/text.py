@@ -77,15 +77,25 @@ def char_ngrams(text: ColumnOrName, n: int = 3) -> Column:
     )
 
 
-def ngram_jaccard(a: ColumnOrName, b: ColumnOrName, n: int = 3) -> Column:
-    """Jaccard similarity of distinct character n-gram sets, as double.
+def jaccard_of_sets(ga: ColumnOrName, gb: ColumnOrName) -> Column:
+    """Jaccard over two precomputed distinct-element arrays, as double.
 
     One division of two exact ints → bit-deterministic, oracle-exact.
+    Precompute the arrays *before* a pairwise join — shingling is O(rows),
+    set intersection is O(pairs); fusing them makes shingling O(pairs) too,
+    which is the difference between minutes and hours at scale.
     """
-    ga, gb = char_ngrams(a, n), char_ngrams(b, n)
+    ga, gb = _col(ga), _col(gb)
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = F.size(F.array_union(ga, gb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard(a: ColumnOrName, b: ColumnOrName, n: int = 3) -> Column:
+    """Jaccard similarity of distinct character n-gram sets, as double.
+    Convenience form over raw text; for joins, shingle first and use
+    ``jaccard_of_sets`` on the precomputed arrays."""
+    return jaccard_of_sets(char_ngrams(a, n), char_ngrams(b, n))
 
 
 # Polynomial rolling-hash fingerprint: h = (h*B + codepoint) mod P.

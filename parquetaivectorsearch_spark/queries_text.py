@@ -1,0 +1,238 @@
+"""Text-analysis + dedup + similarity queries (north-star operator set).
+
+Oracle-checkable where the computation is exact integer/IEEE arithmetic in
+a fixed order (jaccard, fingerprints, quality ratios, exact cosine);
+rows-only where the operator hinges on engine-specific hashing
+(xxhash64-based MinHash/SimHash) per SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.functions import text as TX
+from parquetaivectorsearch_spark.functions import vector as V
+from parquetaivectorsearch_spark.operators import dedup as DD
+from parquetaivectorsearch_spark.queries import register, _t
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash groupBy on full text (SURVEY §2.7 X)."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash")  # rows-only: xxhash64 minhash is Spark-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified by exact 5-gram jaccard.
+    Recall vs exact jaccard is asserted in tests/test_dedup.py."""
+    return DD.minhash_dedup(
+        _t(spark, sf_dir, "documents"), k=32, bands=8, shingle_n=5, threshold=0.6
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 bit sums are Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 64-bit fingerprints)."""
+    return DD.simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_NGRAMS = """
+    list_distinct(list_transform(
+        generate_series(1, greatest(length({t}) - {n_minus_1}, 0)),
+        i -> substring({t}, CAST(i AS INTEGER), {n})))
+"""
+
+
+@register("ngram_jaccard_pairs", f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_DUCK_NGRAMS.format(t="text", n=3, n_minus_1=2)} AS g
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(a.g || b.g)) AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / len(list_distinct(a.g || b.g)) >= 0.5
+""")
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram jaccard θ-join on a bounded id range — the hash-checkable
+    twin of the MinHash path (one int division → bit-deterministic)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register("fingerprint", f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {TX.FP_BASE} + c) % {TX.FP_MOD}) AS fp
+    FROM documents
+""")
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint — exact modular int arithmetic,
+    identical left fold in both engines."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.polynomial_fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (exact θ-join; ANN lives in ann.py)
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+)
+
+
+@register("similarity_join", f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id AND {_DUCK_COS} >= 0.35
+""")
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine θ-join on a bounded id range (SURVEY §2.3 X). The
+    sequential-fold cosine is bit-deterministic, so this hash-matches; the
+    LSH/IVF approximate variant is the separate rows-only `ann_topk`."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = V.cosine_similarity("emb_a", "emb_b")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text quality / language id
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "por", "una"],
+    "fr": ["le", "les", "des", "et", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+
+def _count_in(words_col, markers: list[str]):
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return F.aggregate(
+        words_col,
+        F.lit(0),
+        lambda acc, w: acc + F.when(w.isin(markers), 1).otherwise(0),
+    )
+
+
+def _duck_count_in(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" w -> w <> ''), w -> w IN ({lst})))"
+    )
+
+
+@register("quality_score", f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           ROUND(CAST(len(list_filter(ws, x -> x IN ({", ".join(f"'{s}'" for s in _STOPWORDS)}))) AS DOUBLE)
+                 / len(ws), 9) AS stopword_ratio,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws), 9) AS mean_word_len
+    FROM w
+    WHERE len(ws) > 0
+""")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: stopword ratio + mean word length
+    (SURVEY north-star text analysis). Ratios are single divisions of
+    exact ints → deterministic; rounded to 9 dp for belt-and-braces."""
+    d = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    stop_hits = _count_in(ws, _STOPWORDS)
+    return (
+        d.select(
+            "doc_id",
+            F.size(ws).alias("n_words"),
+            F.length("text").cast("bigint").alias("n_chars_q"),
+            F.round(stop_hits.cast("double") / F.size(ws), 9).alias("stopword_ratio"),
+            F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / F.size(ws), 9
+            ).alias("mean_word_len"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+
+
+@register("lang_id", f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             {_duck_count_in(_LANG_MARKERS["en"])} AS s_en,
+             {_duck_count_in(_LANG_MARKERS["de"])} AS s_de,
+             {_duck_count_in(_LANG_MARKERS["es"])} AS s_es,
+             {_duck_count_in(_LANG_MARKERS["fr"])} AS s_fr,
+             {_duck_count_in(_LANG_MARKERS["zh"])} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM w
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax with fixed
+    priority). The fixture text is synthetic word salad, so the *accuracy*
+    is meaningless here — the operator and its determinism are what's under
+    test; real corpora swap in real marker lists."""
+    d = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    scores = {k: _count_in(ws, v) for k, v in _LANG_MARKERS.items()}
+    s = {k: F.col(f"s_{k}") for k in scores}
+    guess = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id", "lang", *[scores[k].alias(f"s_{k}") for k in _LANG_MARKERS]
+    ).withColumn("lang_guess", guess)
