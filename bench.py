@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full execution, no
+driver-side collect — the 100 TB posture), timed with time.monotonic().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per engine area (scan, relational, window, vector
+# search, dedup, text analysis) — the queries a reference user actually runs.
+HEADLINE = [
+    "scan_parquet",        # parquet scan + projection (ingest phase)
+    "sum_tokens",          # global agg (token accounting, Program.cs:111)
+    "groupby_agg",         # hash agg w/ partial combine
+    "join_orders_customer",# shuffle join
+    "join_broadcast_nation",# broadcast join
+    "window_rank",         # window top-N per group
+    "dot_product",         # distance kernel over the whole corpus
+    "knn_topk",            # FLAGSHIP: exact top-20 by dot-product distance
+    "knn_join",            # batch-of-queries KNN
+    "dedup_exact",         # exact dedup groupBy
+    "dedup_minhash",       # MinHash+LSH near-dup pipeline
+    "text_stats",          # per-doc text analysis
+    "tumbling_window_agg", # event-time window agg
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("parquetaivectorsearch-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,16 +9,28 @@ The reference has no dedup — its nearest analog is the KNN match (SURVEY
 - SimHash: 64-bit sign-of-sums fingerprint → chunk-match candidates →
   hamming verification
 
-Everything runs in Catalyst built-ins (higher-order functions + xxhash64),
-no Python in the hot path. Scale posture (100 TB):
+Everything runs in Catalyst built-ins, no Python in the hot path.
 
-- The only shuffles are the band-key / chunk-key self-joins, keyed on
-  short deterministic strings. Bucket sizes are bounded by construction
-  (a band collision requires r equal minhashes), so the join is skew-safe;
-  degenerate hot buckets (e.g. empty documents) are the one real skew risk
-  — filter empties first.
+Shape note (learned the hard way): signature computation is *explode +
+groupBy with k aggregate expressions*, not k higher-order-function lambdas
+over a shared array. HOF lambdas get no common-subexpression elimination,
+so `transform(seeds, ab -> array_min(transform(shingle_hashes, ...)))`
+re-derives the shingle-hash array k times (~60s for 5k docs at k=32); the
+explode/groupBy shape hashes each shingle once, keeps the k min()/sum()
+expressions in whole-stage codegen with map-side partial aggregation, and
+— because the signature plan now *ends in an exchange* — the LSH banding
+self-join reuses that exchange instead of recomputing both sides.
+
+Scale posture (100 TB):
+- The explode is pipeline-parallel and the partial agg reduces each
+  partition to n_local_docs × k values before the shuffle.
+- Band-key / chunk-key self-joins are keyed on short deterministic
+  strings; bucket sizes are bounded by construction (a band collision
+  requires r equal minhashes). Degenerate hot buckets (e.g. empty
+  documents) are the one real skew risk — empties drop out at explode.
 - Signatures are O(k) ints per doc, tiny next to the text; candidate
-  verification re-joins text for only the candidate pairs.
+  verification joins shingle-hash arrays (bigint, not strings) for only
+  the candidate pairs.
 - MinHash permutations use h_i(x) = (a_i·x + b_i) mod p over pre-reduced
   x < p = 2^31 - 1, so a_i·x < 2^62 never overflows int64 (ANSI-safe).
 """
@@ -30,7 +42,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from parquetaivectorsearch_spark.functions.text import char_ngrams, jaccard_of_sets, words
+from parquetaivectorsearch_spark.functions.text import char_ngrams, words
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
@@ -49,34 +61,39 @@ def _perm_seeds(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(k)]
 
 
+def shingle_hashes_exploded(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """(doc_id, h): one row per (doc, distinct shingle), h = xxhash64 of the
+    shingle pre-reduced mod p. Docs shorter than shingle_n vanish (no rows).
+    Each shingle is hashed exactly once here; everything downstream works on
+    the bigint."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngrams(text_col, shingle_n)).alias("shingle"),
+    ).select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 32, shingle_n: int = 5, seed: int = 42) -> DataFrame:
-    """(id, signature: array<bigint> of length k).
+    """(doc_id, signature: array<bigint> of length k).
 
-    Shingle hashes are computed once per doc (xxhash64 pre-reduced mod p),
-    then each of the k affine permutations takes an array_min — all inside
-    one whole-stage-codegen projection, no shuffle."""
-    seeds = F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _perm_seeds(k, seed)
-    ])
-    shingle_hashes = F.transform(
-        char_ngrams(text_col, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
-    )
-    sig = F.transform(
-        seeds,
-        lambda ab: F.array_min(
-            F.transform(shingle_hashes, lambda x: F.pmod(ab.a * x + ab.b, F.lit(MERSENNE_P)))
-        ),
-    )
-    return docs.filter(F.length(text_col) >= shingle_n).select(
-        F.col(id_col).alias("doc_id"), sig.alias("signature")
+    groupBy(doc_id) with k `min((a_i·h + b_i) mod p)` aggregate expressions —
+    all whole-stage codegen with map-side combine; min over duplicates equals
+    min over the distinct set, so no distinct pass is needed."""
+    sh = shingle_hashes_exploded(docs, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(_perm_seeds(k, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"_mh{i}" for i in range(k)]).alias("signature")
     )
 
 
 def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
     """LSH banding: split each signature into `bands` rows, bucket by
-    (band_id, band values), self-join buckets → candidate pairs (a < b)."""
+    (band_id, band values), self-join buckets → candidate pairs (a < b).
+    Both join sides share the signature agg's exchange (ReusedExchange)."""
     exploded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -110,6 +127,28 @@ def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
+def shingle_hash_sets(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """(doc_id, g: array<bigint>): the distinct shingle-hash set per doc, for
+    candidate verification. bigint set ops are ~5× cheaper than re-intersecting
+    the shingle strings; xxhash64 collisions among ~1k shingles in a 2^64
+    space are negligible for jaccard."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(char_ngrams(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("g"),
+    )
+
+
+def jaccard_of_hash_sets(ga: Column, gb: Column) -> Column:
+    """|a∩b| / (|a|+|b|-|a∩b|) over distinct arrays — one intersect, no
+    union-array materialization."""
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = (F.size(ga) + F.size(gb)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 32, bands: int = 8, shingle_n: int = 5,
                   threshold: float = 0.6, seed: int = 42) -> DataFrame:
@@ -120,41 +159,36 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n, seed)
     cands = minhash_candidates(sigs, bands)
-    # shingle once per doc, join the gram arrays to the candidate pairs —
+    # hash-shingle once per doc, join the hash sets to the candidate pairs —
     # verification cost is O(candidates), shingling stays O(docs)
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), char_ngrams(text_col, shingle_n).alias("g")
-    )
-    verified = (
+    grams = shingle_hash_sets(docs, text_col, id_col, shingle_n)
+    return (
         cands.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")), "doc_a")
         .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")), "doc_b")
-        .select("doc_a", "doc_b", jaccard_of_sets("ga", "gb").alias("jaccard"))
+        .select("doc_a", "doc_b",
+                jaccard_of_hash_sets(F.col("ga"), F.col("gb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
 
 
-def simhash(text_col: str | Column, bits: int = 64) -> Column:
-    """SimHash fingerprint as array<int> of `bits` 0/1 entries.
-
-    For each bit position: sign of Σ over word-hashes of (2·bit − 1).
-    Word hashes are computed once; the per-bit fold reuses them."""
-    hs = F.transform(words(text_col), lambda w: F.xxhash64(w))
-    # F.shiftright only takes a literal shift count; inside the HOF lambda the
-    # bit index is a Column, so call the SQL function directly.
-    shr = lambda h, i: F.call_function("shiftright", h, i.cast("int"))  # noqa: E731
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.when(
-            F.aggregate(
-                hs,
-                F.lit(0).cast("bigint"),
-                lambda acc, h: acc + (shr(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(doc_id, bits: array<int> of 0/1). For each bit position i: sign of
+    Σ over word occurrences of (2·bit_i(xxhash64(word)) − 1) — frequency-
+    weighted, the standard SimHash. Same explode/groupBy shape as minhash:
+    words hashed once, `bits` sum() aggregates in codegen. Docs with no
+    words vanish (no rows)."""
+    ws = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_s{i}")
+        for i in range(bits)
+    ]
+    bit_arr = F.array(*[
+        F.when(F.col(f"_s{i}") >= 0, F.lit(1)).otherwise(F.lit(0)) for i in range(bits)
+    ])
+    return ws.groupBy("doc_id").agg(*sums).select("doc_id", bit_arr.alias("bits"))
 
 
 def simhash_chunks(bits_col: Column, n_chunks: int = 4) -> Column:
@@ -179,11 +213,9 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     chunk (pigeonhole), so recall is exact for max_hamming ≤ 3.
     Output: (doc_a, doc_b, hamming).
     """
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash(text_col).alias("bits"),
-    ).select("doc_id", "bits", simhash_chunks(F.col("bits"), n_chunks).alias("chunks"))
-
+    fp = simhash_fingerprints(docs, text_col, id_col).select(
+        "doc_id", "bits", simhash_chunks(F.col("bits"), n_chunks).alias("chunks")
+    )
     exploded = fp.select(
         "doc_id", "bits", F.posexplode("chunks").alias("chunk_id", "chunk_val")
     )
