@@ -1,0 +1,290 @@
+"""Approximate nearest-neighbor search: IVF (inverted-file) index, Spark-first.
+
+The reference's ANN is an in-memory HNSW graph (build Program.cs:125-204,
+persist/load Program.cs:231-263, search Program.cs:207-227) — a pointer-
+chasing structure that does not distribute. The Spark-native equivalent of
+"build an index so search doesn't scan everything" is IVF:
+
+- **train**: k-means centroids over a bounded sample (numpy, deterministic
+  seed). Sampling for quantizer training is the standard practice (FAISS
+  trains on ≤ 256·nlist points); the sample cap keeps the driver step O(1)
+  in corpus size — the only non-distributed step, and it is bounded.
+- **assign**: every vector gets a `list_id` = nearest centroid, via an
+  Arrow-batched pandas UDF doing one matmul per batch (the Spark analog of
+  the reference's SIMD kernel, cf. Program.cs:256 / csproj:15).
+- **persist** (the analog of SerializeGraph, Program.cs:231-244): the
+  assigned table written `partitionBy("list_id")` — the inverted lists ARE
+  parquet partition directories, so probing nprobe lists is a partition-
+  pruned scan. At 100 TB with nlist=4096 / nprobe=64, a search reads ~1.6%
+  of the files; no driver state, no single-machine index.
+- **search**: nearest-nprobe centroids per query (tiny, driver/broadcast) →
+  scan pruned lists → exact dot-product distance → per-query top-k via the
+  same TakeOrderedAndProject / window machinery as the exact path.
+
+**Metric handling.** The reference's metric is dot-product distance over
+vectors that are unit-norm in its dataset (Program.cs:29-30) but not in
+ours. K-means cells are L2-geometric, so maximum-inner-product search over
+raw vectors probes the wrong cells (a large-norm vector wins the dot
+product from an L2-far cell — recall@20 was 0.72 on the fixtures). The
+standard fix is the MIPS→L2 reduction (Bachrach et al., "Speeding up the
+Xbox recommender system using a euclidean transformation for inner-product
+spaces", RecSys 2014): augment x → [x, √(M²−‖x‖²)] with M = max corpus
+norm, q → [q, 0]; all augmented vectors have norm M, so max-dot ≡ min-L2
+and the k-means geometry is consistent. metric="ip" (default) applies it;
+"cosine" row-normalizes instead; "l2" uses raw vectors.
+
+Positional identity (SURVEY §7 hard parts): vec_id is an explicit column
+end-to-end; nothing depends on row order — unlike the reference, which
+re-binds vectors to the graph by list position at load (Program.cs:256).
+
+Recall is asserted against the exact-KNN oracle in tests/test_ann.py
+(recall@k ≥ 0.9, the published HNSW evaluation methodology,
+arXiv:1603.09320 §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+METRICS = ("ip", "cosine", "l2")
+
+
+def _pre_corpus(x: np.ndarray, metric: str, max_norm: float) -> np.ndarray:
+    """Map corpus vectors into the space whose L2-nearest-centroid geometry
+    matches the search metric."""
+    if metric == "l2":
+        return x
+    if metric == "cosine":
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.maximum(n, 1e-30)
+    aug = np.sqrt(np.maximum(max_norm ** 2 - (x ** 2).sum(axis=1), 0.0))
+    return np.hstack([x, aug[:, None]]).astype(np.float32)
+
+
+def _pre_query(q: np.ndarray, metric: str) -> np.ndarray:
+    if metric == "l2":
+        return q
+    if metric == "cosine":
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        return q / np.maximum(n, 1e-30)
+    return np.hstack([q, np.zeros((len(q), 1), dtype=np.float32)]).astype(np.float32)
+
+
+def _nearest(x: np.ndarray, centroids: np.ndarray, n: int = 1) -> np.ndarray:
+    """n smallest-L2 centroids per row: argmin ‖x−c‖² = argmax (c·x − ‖c‖²/2),
+    one matmul per batch."""
+    scores = x @ centroids.T - 0.5 * (centroids ** 2).sum(axis=1)
+    if n == 1:
+        return np.argmax(scores, axis=1)
+    return np.argsort(-scores, axis=1)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def max_corpus_norm(corpus: DataFrame, vec_col: str = "embedding") -> float:
+    """max ‖x‖ over the corpus — one distributed agg, one scalar to driver."""
+    from parquetaivectorsearch_spark.functions.vector import l2_norm
+
+    return float(corpus.agg(F.max(l2_norm(vec_col))).first()[0])
+
+
+def train_centroids(corpus: DataFrame, nlist: int, vec_col: str = "embedding",
+                    metric: str = "ip", max_norm: float | None = None,
+                    sample_cap: int = 65536, seed: int = 42,
+                    n_iters: int = 20) -> tuple[np.ndarray, float]:
+    """K-means centroids (nlist, dim') float32 from a bounded corpus sample,
+    in the metric-preprocessed space. Returns (centroids, max_norm).
+
+    The collect is capped at `sample_cap` rows — a quantizer-training sample,
+    not a data path (FAISS practice: ~256 vectors per centroid suffices).
+    Deterministic: seeded sampling, k-means++ init, fixed iteration count.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    if max_norm is None:
+        max_norm = max_corpus_norm(corpus, vec_col) if metric == "ip" else 0.0
+    n = corpus.count()
+    frac = min(1.0, (sample_cap * 1.05) / max(n, 1))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed).limit(sample_cap)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    x = _pre_corpus(np.stack(sample.to_numpy()).astype(np.float32), metric, max_norm)
+    if len(x) < nlist:
+        raise ValueError(f"sample of {len(x)} rows cannot train {nlist} centroids")
+    rng = np.random.RandomState(seed)
+
+    # k-means++ init
+    centroids = np.empty((nlist, x.shape[1]), dtype=np.float32)
+    centroids[0] = x[rng.randint(len(x))]
+    d2 = ((x - centroids[0]) ** 2).sum(axis=1)
+    for i in range(1, nlist):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        centroids[i] = x[rng.choice(len(x), p=probs)]
+        d2 = np.minimum(d2, ((x - centroids[i]) ** 2).sum(axis=1))
+
+    # Lloyd iterations
+    for _ in range(n_iters):
+        assign = _nearest(x, centroids)
+        for i in range(nlist):
+            members = x[assign == i]
+            if len(members):
+                centroids[i] = members.mean(axis=0)
+            else:  # empty list: re-seed from the farthest point
+                far = ((x - centroids[_nearest(x, centroids)]) ** 2).sum(axis=1)
+                centroids[i] = x[int(np.argmax(far))]
+    return centroids, max_norm
+
+
+# ---------------------------------------------------------------------------
+# assign + persist
+# ---------------------------------------------------------------------------
+
+def assign_lists(corpus: DataFrame, centroids: np.ndarray, metric: str = "ip",
+                 max_norm: float = 0.0, vec_col: str = "embedding") -> DataFrame:
+    """Add `list_id` = nearest-centroid id in the preprocessed space. The
+    centroid matrix rides the UDF closure (small: nlist×dim floats) — one
+    matmul per Arrow batch."""
+    c = centroids.astype(np.float32)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = _pre_corpus(np.stack(vecs.to_numpy()).astype(np.float32), metric, max_norm)
+        return pd.Series(_nearest(x, c).astype(np.int32))
+
+    return corpus.withColumn("list_id", nearest(F.col(vec_col)))
+
+
+def write_ivf(assigned: DataFrame, path: str) -> None:
+    """Persist the inverted lists: parquet partitioned by list_id (the
+    SerializeGraph analog, Program.cs:231-244). Searching nprobe lists is a
+    partition-pruned scan of only those directories."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+@dataclass
+class IVFIndex:
+    """Handle for a built IVF index: inverted lists (DataFrame, possibly
+    backed by a partitioned parquet artifact) + the centroid matrix and
+    metric metadata."""
+    lists: DataFrame
+    centroids: np.ndarray
+    metric: str = "ip"
+    max_norm: float = 0.0
+
+    @classmethod
+    def build(cls, corpus: DataFrame, nlist: int, vec_col: str = "embedding",
+              metric: str = "ip", seed: int = 42) -> "IVFIndex":
+        cents, mn = train_centroids(corpus, nlist, vec_col, metric=metric, seed=seed)
+        return cls(lists=assign_lists(corpus, cents, metric, mn, vec_col),
+                   centroids=cents, metric=metric, max_norm=mn)
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        write_ivf(self.lists, f"{path}/lists")
+        rows = [
+            (i, [float(v) for v in self.centroids[i]], self.metric, float(self.max_norm))
+            for i in range(len(self.centroids))
+        ]
+        spark.createDataFrame(
+            rows, "list_id INT, centroid ARRAY<FLOAT>, metric STRING, max_norm DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        """DeserializeGraph analog (Program.cs:246-263) — but the lists stay
+        on DFS; only the centroid matrix (nlist×dim) is materialized."""
+        pdf = spark.read.parquet(f"{path}/centroids").orderBy("list_id").toPandas()
+        return cls(
+            lists=spark.read.parquet(f"{path}/lists"),
+            centroids=np.stack(pdf["centroid"].to_numpy()).astype(np.float32),
+            metric=str(pdf["metric"].iloc[0]),
+            max_norm=float(pdf["max_norm"].iloc[0]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def probe_lists(queries: DataFrame, index: IVFIndex, nprobe: int,
+                vec_col: str = "query_vec") -> DataFrame:
+    """(query row) → nprobe rows (…, list_id): the lists to scan per query."""
+    c = index.centroids.astype(np.float32)
+    metric = index.metric
+    npb = min(nprobe, len(c))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        q = _pre_query(np.stack(vecs.to_numpy()).astype(np.float32), metric)
+        top = _nearest(q, c, n=npb).reshape(len(q), npb)
+        return pd.Series(list(top.astype(np.int32)))
+
+    return queries.withColumn("list_id", F.explode(probes(F.col(vec_col))))
+
+
+def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
+               nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k per query by dot-product distance (the reference's metric).
+    `queries` is (query_id, query_vec), small enough to broadcast (the
+    serving fan-out shape).
+
+    Plan: broadcast(queries × their probe lists) ⋈ lists on list_id —
+    Catalyst pushes the list_id filter into the partitioned scan when
+    `index.lists` comes from a partitioned artifact — → numpy batch scoring
+    → per-query top-k. Output: (query_id, vec_id, distance, rank).
+    """
+    from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
+
+    probed = probe_lists(queries, index, nprobe)
+    scored = (
+        index.lists.join(F.broadcast(probed), "list_id")
+        .select(
+            "query_id", F.col(id_col),
+            (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))
+             ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (north-star dedup variant)
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(corpus: DataFrame, threshold: float = 0.95, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: IVF-cluster blocking (cosine
+    metric → row-normalized k-means) → within-list self-join → exact cosine
+    verify ≥ threshold.
+
+    Blocking bounds the candidate quadratic to within-cluster pairs —
+    O(Σ n_i²) instead of O(N²); near-dups (cosine ≈ 1) land in the same
+    list by construction. Output: (vec_a, vec_b, cosine), a < b.
+    """
+    from parquetaivectorsearch_spark.functions.vector import cosine_similarity
+
+    assigned = IVFIndex.build(corpus, nlist, vec_col, metric="cosine", seed=seed).lists
+    a = assigned.select(F.col("list_id"), F.col(id_col).alias("vec_a"),
+                        F.col(vec_col).alias("emb_a"))
+    b = assigned.select(F.col("list_id"), F.col(id_col).alias("vec_b"),
+                        F.col(vec_col).alias("emb_b"))
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                cosine_similarity("emb_a", "emb_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,54 @@
+"""ANN (IVF) driver queries — the scale path for the reference's core search.
+
+All rows-only: ANN results are approximate by construction, so there is no
+hash-matching oracle; recall vs the exact-KNN oracle is asserted in
+tests/test_ann.py (≥ 0.9 @ k=20), per SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators import ann as ANN
+from parquetaivectorsearch_spark.queries import register, _t
+
+
+@register("ann_topk")  # rows-only: approximate results
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full Main flow, IVF-shaped: build the index over the
+    corpus (Program.cs:125-204), persist it (Program.cs:231-244), load it
+    back (Program.cs:246-263), search top-20 for corpus row 0
+    (Program.cs:207-227)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    path = tempfile.mkdtemp(prefix="ivf_") + "/index"
+    index.save(spark, path)
+    loaded = ANN.IVFIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ANN.ivf_search(loaded, queries, k=20, nprobe=3)
+
+
+@register("ann_knn_join")  # rows-only: approximate results
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries ANN join: 8 query vectors fan out to their probed
+    lists only — the IVF counterpart of the exact `knn_join`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ANN.ivf_search(index, queries, k=5, nprobe=3)
+
+
+@register("dedup_embedding")  # rows-only: IVF blocking is approximate
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: IVF-cluster blocking bounds the
+    pairwise join to within-cluster candidates; exact cosine verifies.
+    Threshold 0.35: the fixture vectors are ~random (pairwise cosine ≲ 0.5),
+    so a production-style 0.9+ threshold would return zero rows here."""
+    return ANN.embedding_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, nlist=8)

@@ -15,10 +15,41 @@ but every knob is the one you would also set on a real cluster:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas UDFs defined in the package pickle by reference to their module,
+    and workers spawned by the JVM do not inherit the driver's sys.path —
+    a harness that did ``sys.path.insert(0, repo)`` from another cwd gets
+    ModuleNotFoundError at the first UDF. ``sc.addPyFile`` of a zip of the
+    package (the cluster deployment story, too) fixes both. Idempotent per
+    SparkContext."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import parquetaivectorsearch_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="pavs_pkg_"),
+                         "parquetaivectorsearch_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 
 def get_spark(app_name: str = "parquetaivectorsearch_spark", *, cpus: int | None = None,

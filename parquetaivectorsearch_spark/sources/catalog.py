@@ -30,6 +30,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hand-rolled Parallel.ForEach + LogicalReader loop, Program.cs:33-75)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    from parquetaivectorsearch_spark.session import ship_package
+
+    ship_package(spark)  # UDF queries must import this package on workers
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
