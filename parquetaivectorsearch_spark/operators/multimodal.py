@@ -1,0 +1,226 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference is text+vector only; this is the north-star extension for
+training-data pipelines (BASELINE.json `north_star`): media payloads ride
+as `binary` columns with a metadata struct, and every transform is an
+Arrow-batched pandas UDF / `mapInPandas` over the raw buffers — numpy does
+the pixel/sample math, Spark does the distribution.
+
+Two payload tiers:
+
+- **raw buffers** (format "raw"): uint8 pixels (image: H×W×C row-major;
+  video: F frames of H×W×C) and int16 PCM (audio). Decode, resize,
+  frame-sample, and feature extraction are REAL numpy implementations —
+  no image/audio libraries needed.
+- **compressed codecs** ("jpeg", "png", "mp3", …): decoding needs codec
+  libraries this container does not ship, so `decode_media` raises
+  NotImplementedError for them (clearly-marked stub per the build plan);
+  the Spark-side plumbing (schema, batching, partitioning) is identical
+  and fully exercised by the raw tier.
+
+Scale posture (100 TB of media): payloads never leave executors; all
+per-row outputs are bounded (features, thumbnails, sampled frames);
+`mapInPandas` streams Arrow batches so executor memory is
+O(batch × payload), tuned via spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("format", T.StringType()),        # "raw" | "jpeg" | "png" | "pcm16" | ...
+    T.StructField("width", T.IntegerType()),        # image/video
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),  # audio
+    T.StructField("n_frames", T.IntegerType()),     # video
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),          # "image" | "audio" | "video"
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+RAW_FORMATS = {"raw", "pcm16"}
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (fixture stand-in for a real media lake)
+# ---------------------------------------------------------------------------
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media derived from `documents`: kind cycles by
+    doc_id mod 3; payload bytes are the doc's utf-8 text cycled to the
+    target length (np.resize), so every byte is a pure function of the row.
+    Metadata dimensions are small arithmetic on doc_id (oracle-expressible —
+    see the `multimodal_meta` query)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = np.frombuffer((text or "x").encode("utf-8"), dtype=np.uint8)
+                kind = ("image", "audio", "video")[did % 3]
+                if kind == "image":
+                    w, h, c = 16 + did % 16, 16 + did % 8, 1 + (did % 2) * 2
+                    meta = ("raw", w, h, c, None, None)
+                    n = w * h * c
+                elif kind == "audio":
+                    sr, n_samp = 8000, 1000 + (did % 7) * 100
+                    meta = ("pcm16", None, None, 1, sr, None)
+                    n = n_samp * 2  # int16
+                else:
+                    w, h, c, f = 8 + did % 8, 8 + did % 4, 1, 4 + did % 5
+                    meta = ("raw", w, h, c, None, f)
+                    n = w * h * c * f
+                out.append((did, kind, np.resize(raw, n).tobytes(), meta))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
+
+    return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _require_raw(fmt: str) -> None:
+    if fmt not in RAW_FORMATS:
+        # STUB: compressed-codec decode needs PIL/ffmpeg-class libraries not
+        # shipped in this container. The raw-tier path below is the real,
+        # tested implementation of everything downstream of decode.
+        raise NotImplementedError(
+            f"decode for compressed format {fmt!r} requires codec libraries "
+            "(PIL/libav) not available in this environment"
+        )
+
+
+def decode_image_batch(payload: bytes, meta) -> np.ndarray:
+    """binary → (H, W, C) uint8 array. Real for format='raw'."""
+    _require_raw(meta["format"])
+    h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * c).reshape(h, w, c)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Per-image features: mean/std per channel + 8-bin global histogram.
+    mapInPandas streams batches; numpy does the math per image."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mean_px", T.ArrayType(T.DoubleType())),
+        T.StructField("std_px", T.ArrayType(T.DoubleType())),
+        T.StructField("histogram", T.ArrayType(T.LongType())),
+    ])
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                img = decode_image_batch(payload, meta)
+                hist = np.bincount(img.reshape(-1) >> 5, minlength=8)
+                out.append((
+                    int(mid),
+                    [float(v) for v in img.mean(axis=(0, 1))],
+                    [float(v) for v in img.std(axis=(0, 1))],
+                    [int(v) for v in hist],
+                ))
+            yield pd.DataFrame(out, columns=["media_id", "mean_px", "std_px", "histogram"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(feats, schema=schema)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize on raw buffers → new payload + updated meta.
+    Real numpy strided sampling — the thumbnailing stage of a media pipeline."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                img = decode_image_batch(payload, meta)
+                h, w, c = img.shape
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = img[yi][:, xi]
+                out.append((int(mid), "image", small.tobytes(),
+                            ("raw", out_w, out_h, c, None, None)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(rs, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling: split the payload into n_frames raw frames,
+    keep every k-th → one output row per kept frame (media_id, frame_no,
+    frame payload as an image row)."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ])
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                _require_raw(meta["format"])
+                h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+                nf = int(meta["n_frames"])
+                frames = np.frombuffer(payload, dtype=np.uint8,
+                                       count=nf * h * w * c).reshape(nf, h, w, c)
+                for i in range(0, nf, every_k):
+                    out.append((int(mid), i, "image", frames[i].tobytes(),
+                                ("raw", w, h, c, None, None)))
+            yield pd.DataFrame(out, columns=["media_id", "frame_no", "kind",
+                                             "payload", "meta"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(fs, schema=schema)
+
+
+def audio_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
+    """Per-clip audio features over int16 PCM: RMS, zero-crossing rate, and
+    per-frame RMS envelope (frame_len samples per frame)."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("rms_envelope", T.ArrayType(T.DoubleType())),
+    ])
+
+    def af(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                _require_raw(meta["format"])
+                x = np.frombuffer(payload, dtype=np.int16).astype(np.float64)
+                n = len(x)
+                rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
+                zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+                nfr = n // frame_len
+                env = [
+                    float(np.sqrt((x[i * frame_len:(i + 1) * frame_len] ** 2).mean()))
+                    for i in range(nfr)
+                ]
+                out.append((int(mid), n, rms, zcr, env))
+            yield pd.DataFrame(out, columns=["media_id", "n_samples", "rms",
+                                             "zero_crossing_rate", "rms_envelope"])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(af, schema=schema)

@@ -1,0 +1,77 @@
+"""Multimodal driver queries (north-star extension — no reference analog).
+
+`multimodal_meta` is oracle-checked: the synthetic media's kind/dimensions
+are pure integer arithmetic on doc_id and the payload length is forced to
+the computed size, so DuckDB can reproduce every column including
+octet_length(payload) without seeing the bytes. The pixel/sample-level
+operators are numpy-in-mapInPandas → rows-only (SURVEY.md §5), with
+value-level assertions in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators import multimodal as MM
+from parquetaivectorsearch_spark.queries import register, _t
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.synth_media(_t(spark, sf_dir, "documents"))
+
+
+@register("multimodal_meta", """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN (16 + doc_id % 16) * (16 + doc_id % 8) * (1 + (doc_id % 2) * 2)
+                WHEN 1 THEN (1000 + (doc_id % 7) * 100) * 2
+                ELSE (8 + doc_id % 8) * (8 + doc_id % 4) * (4 + doc_id % 5)
+           END AS INTEGER) AS n_bytes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 16
+                                WHEN 2 THEN 8 + doc_id % 8 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 8
+                                WHEN 2 THEN 8 + doc_id % 4 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 8000 END AS INTEGER) AS sample_rate,
+           CAST(CASE doc_id % 3 WHEN 2 THEN 4 + doc_id % 5 END AS INTEGER) AS n_frames
+    FROM documents
+""")
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over the media table; n_bytes reads the
+    actual binary payload (octet_length), which the oracle reproduces
+    arithmetically — a real end-to-end check that the payload plumbing
+    produces exactly the bytes the schema promises."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id", "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@register("image_features")  # rows-only: numpy pixel math
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.image_features(_media(spark, sf_dir))
+
+
+@register("image_resize")  # rows-only: binary payload output
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = MM.resize_images(_media(spark, sf_dir), out_w=8, out_h=8)
+    return out.select("media_id", "kind", F.octet_length("payload").alias("n_bytes"),
+                      F.col("meta.width").alias("width"), F.col("meta.height").alias("height"))
+
+
+@register("video_frame_sample")  # rows-only: binary payload output
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = MM.sample_frames(_media(spark, sf_dir), every_k=2)
+    return out.select("media_id", "frame_no",
+                      F.octet_length("payload").alias("n_bytes"))
+
+
+@register("audio_features")  # rows-only: numpy sample math
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.audio_features(_media(spark, sf_dir))

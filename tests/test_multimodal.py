@@ -1,0 +1,98 @@
+"""Value-level checks for the multimodal operators: known-buffer decode /
+resize / frame-sample / audio math, synthesis determinism, codec stub."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators import multimodal as MM
+from parquetaivectorsearch_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _manual_media(spark, rows):
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_synth_media_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    a = {(r.media_id, r.kind, bytes(r.payload)) for r in MM.synth_media(docs).collect()}
+    b = {(r.media_id, r.kind, bytes(r.payload)) for r in MM.synth_media(docs).collect()}
+    assert a == b and len(a) == 60
+
+
+def test_payload_length_matches_meta(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    m = MM.synth_media(docs)
+    bad = m.filter(
+        ((F.col("kind") == "image")
+         & (F.octet_length("payload")
+            != F.col("meta.width") * F.col("meta.height") * F.col("meta.channels")))
+        | ((F.col("kind") == "video")
+           & (F.octet_length("payload")
+              != F.col("meta.width") * F.col("meta.height") * F.col("meta.channels")
+              * F.col("meta.n_frames")))
+    )
+    assert bad.count() == 0
+
+
+def test_resize_known_image(spark):
+    # 4×4 single-channel gradient; nearest-neighbor 2×2 picks rows/cols 0,2
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    media = _manual_media(spark, [
+        (1, "image", img.tobytes(), ("raw", 4, 4, 1, None, None)),
+    ])
+    out = MM.resize_images(media, out_w=2, out_h=2).collect()[0]
+    got = np.frombuffer(bytes(out.payload), dtype=np.uint8).reshape(2, 2)
+    assert got.tolist() == [[0, 2], [8, 10]]
+    assert out.meta.width == 2 and out.meta.height == 2
+
+
+def test_frame_sample_known_video(spark):
+    # 5 frames of 2×2, frame i filled with value i; every_k=2 → frames 0,2,4
+    frames = np.stack([np.full((2, 2, 1), i, dtype=np.uint8) for i in range(5)])
+    media = _manual_media(spark, [
+        (7, "video", frames.tobytes(), ("raw", 2, 2, 1, None, 5)),
+    ])
+    rows = sorted(MM.sample_frames(media, every_k=2).collect(),
+                  key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    assert all(
+        np.frombuffer(bytes(r.payload), dtype=np.uint8).tolist() == [r.frame_no] * 4
+        for r in rows
+    )
+
+
+def test_audio_features_known_pcm(spark):
+    # alternating ±1000: rms = 1000, zcr = 1.0
+    x = np.tile([1000, -1000], 500).astype(np.int16)
+    media = _manual_media(spark, [
+        (3, "audio", x.tobytes(), ("pcm16", None, None, 1, 8000, None)),
+    ])
+    r = MM.audio_features(media, frame_len=250).collect()[0]
+    assert r.n_samples == 1000
+    assert r.rms == pytest.approx(1000.0)
+    assert r.zero_crossing_rate == pytest.approx(1.0)
+    assert len(r.rms_envelope) == 4
+    assert all(v == pytest.approx(1000.0) for v in r.rms_envelope)
+
+
+def test_image_features_known_image(spark):
+    img = np.zeros((4, 4, 1), dtype=np.uint8)
+    img[0, 0, 0] = 255
+    media = _manual_media(spark, [
+        (9, "image", img.tobytes(), ("raw", 4, 4, 1, None, None)),
+    ])
+    r = MM.image_features(media).collect()[0]
+    assert r.mean_px[0] == pytest.approx(255 / 16)
+    assert r.histogram[0] == 15 and r.histogram[7] == 1
+
+
+def test_compressed_decode_is_stubbed(spark):
+    media = _manual_media(spark, [
+        (2, "image", b"\xff\xd8\xff", ("jpeg", 4, 4, 1, None, None)),
+    ])
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.image_features(media).collect()
