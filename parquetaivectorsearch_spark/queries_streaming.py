@@ -1,0 +1,122 @@
+"""Streaming driver queries: the Structured Streaming operator graph driven
+with trigger(availableNow) into a memory sink, returned as a DataFrame.
+
+Oracle-checkable because the fixture is one parquet file → exactly one
+micro-batch → `update` mode emits each aggregate exactly once, equal to the
+batch computation (multi-batch incrementality is covered in
+tests/test_streaming.py). The events source stages the fixture file into a
+temp dir — readStream owns its directory, and fixture dirs are read-only.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquetaivectorsearch_spark import streaming as S
+from parquetaivectorsearch_spark.queries import register
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return S.read_event_stream(spark, d)
+
+
+# 2030-01-01 in epoch nanos: far past every fixture event (2024-01) + gap +
+# watermark, so the flush event pushes the final watermark beyond all real
+# sessions.
+_FLUSH_TS_NS = 1_893_456_000 * 10**9
+
+
+def _staged_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the events file plus one far-future flush event (user_id = -1).
+
+    Append-mode aggregations only emit a window once the watermark passes
+    its end; without the flush, every session in the last <watermark> of
+    data would be withheld forever in an availableNow run. The flush event
+    advances the watermark past all real sessions (the engine's final
+    no-data micro-batch then emits them); the flush's own session stays
+    withheld and its user_id is filtered out by the caller."""
+    d = tempfile.mkdtemp(prefix="events_flush_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    flush = spark.createDataFrame(
+        [(10**9, _FLUSH_TS_NS, -1, "flush", 0.0, "{}")], S.EVENTS_RAW_SCHEMA
+    )
+    flush.coalesce(1).write.mode("append").parquet(d)
+    return S.read_event_stream(spark, d)
+
+
+@register("streaming_tumbling_agg", """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+""")
+def q_streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → tumbling window agg → memory sink; the
+    single-batch availableNow run must equal the batch oracle exactly."""
+    return S.run_available_now(
+        S.tumbling_counts(_staged_stream(spark, sf_dir)), "update")
+
+
+@register("streaming_session_agg", """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_no
+""")
+def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap), append mode (the only mode
+    session aggregations support): sessions emit when the watermark passes
+    their end, driven by the flush event — real watermark semantics, and
+    the emitted set equals the batch gaps-and-islands oracle."""
+    out = S.session_counts(_staged_stream_with_flush(spark, sf_dir))
+    return S.run_available_now(out, "append").filter("user_id >= 0")
+
+
+@register("streaming_dedup", """
+    SELECT event_id, user_id, event_type FROM events
+""")
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup: the stream is unioned with itself (every event
+    delivered twice), dropDuplicates(event_id) keeps exactly one copy —
+    output must equal the original table."""
+    s = _staged_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    out = S.streaming_dedup(doubled).select("event_id", "user_id", "event_type")
+    return S.run_available_now(out, "append")
+
+
+@register("stateful_user_totals", """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+    FROM events
+    GROUP BY user_id
+""")
+def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals in integer cents. One micro-batch → one emission per user ==
+    the batch GROUP BY."""
+    return S.run_available_now(
+        S.user_running_totals(_staged_stream(spark, sf_dir)), "update")

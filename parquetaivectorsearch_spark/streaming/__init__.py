@@ -1,0 +1,21 @@
+from parquetaivectorsearch_spark.streaming.events import (
+    EVENTS_RAW_SCHEMA,
+    read_event_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+    user_running_totals,
+)
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "read_event_stream",
+    "run_available_now",
+    "session_counts",
+    "sliding_counts",
+    "streaming_dedup",
+    "tumbling_counts",
+    "user_running_totals",
+]

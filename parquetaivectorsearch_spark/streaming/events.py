@@ -1,0 +1,165 @@
+"""Structured Streaming over the events table (SURVEY.md §2.10, north-star).
+
+The reference is strictly batch (SURVEY §1.4); this module provides the
+streaming operator set a training-data pipeline needs: watermarked
+tumbling/sliding/session window aggregations, cross-batch stateful dedup,
+and a custom stateful operator via applyInPandasWithState.
+
+Execution model: file-source readStream (the 100 TB pattern — new parquet
+files land in a directory, each micro-batch processes a bounded file set)
+driven with trigger(availableNow=True) into a memory sink for the driver's
+correctness harness. With the fixture's single events file that is exactly
+one micro-batch, so `update` mode emits each aggregate once and the result
+equals the batch computation — which is what the DuckDB oracles check.
+Multi-batch incremental behavior (state carried across micro-batches) is
+exercised in tests/test_streaming.py with maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong it reads as
+# bigint and is rebuilt with integer µs arithmetic (see sources/catalog.py).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+# Watermarks require TIMESTAMP (instant), not TIMESTAMP_NTZ — rebuild the
+# nanos as an epoch instant (timestamp_micros takes no timezone), and keep
+# every *output* session-TZ-independent: date_from_unix_date for window
+# days, unix_micros for session starts. The fixture's wall-clock times are
+# UTC instants under this reading, matching DuckDB's view of the file.
+_TS_REBUILD = "timestamp_micros(ts DIV 1000)"
+_DAY_OF = "date_from_unix_date(CAST(unix_micros({c}) DIV 86400000000 AS INT))"
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events. `path` is a directory (or an sf dir —
+    pathGlobFilter picks the events file); each new file is a micro-batch
+    input, the streaming analog of the reference's directory scan
+    (Program.cs:31)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(path)
+    return stream.withColumn("ts", F.expr(_TS_REBUILD))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive the stream through all available data into a memory sink and
+    return the sink table. availableNow terminates after the backlog —
+    batch-job semantics over the streaming operator graph."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregations (streaming twins of the batch §2.10 queries)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame, width: str = "1 day",
+                    watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").alias("total_value"))
+        .select(F.expr(_DAY_OF.format(c="w.start")).alias("window_day"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 days", slide: str = "1 day",
+                   watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").alias("total_value"))
+        .select(F.expr(_DAY_OF.format(c="w.start")).alias("window_start"),
+                "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").alias("total_value"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(w.start)").alias("session_start_us"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """Stateful exact dedup on event_id: state (seen ids) is retained until
+    the watermark passes, so re-deliveries across micro-batches are dropped
+    — the streaming twin of dedup_exact."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_TOTALS_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value_cents", T.LongType()),
+])
+_TOTALS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("cents", T.LongType()),
+])
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) across micro-batches — a custom
+    stateful operator the DataFrame API has no primitive for, via
+    applyInPandasWithState (SURVEY §2.11). Money is accumulated in integer
+    cents so the result is order-independent and oracle-exact."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value_cents": [cents]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, _TOTALS_OUT, _TOTALS_STATE, "update",
+            "NoTimeout",
+        )
+    )

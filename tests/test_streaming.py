@@ -1,0 +1,85 @@
+"""Streaming semantics: single-batch parity with batch computation, and —
+the part batch can't show — state carried across micro-batches
+(maxFilesPerTrigger=1 over a multi-file directory)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark import streaming as S
+from parquetaivectorsearch_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _stage_single(spark):
+    d = tempfile.mkdtemp(prefix="ev_one_")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    return S.read_event_stream(spark, d)
+
+
+def _stage_split(spark, n_files=3):
+    """Split the fixture into n parquet files so maxFilesPerTrigger=1 forces
+    n micro-batches."""
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tempfile.mkdtemp(prefix="ev_split_")
+    # stage with raw nanos-long ts so the stream reader's rebuild applies
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw.repartition(n_files).write.mode("overwrite").parquet(d)
+    return S.read_event_stream(spark, d, max_files_per_trigger=1)
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    got = S.run_available_now(S.tumbling_counts(_stage_single(spark)), "update")
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("date").alias("window_day"),
+                "event_type", "n_events")
+    )
+    g = {(str(r.window_day), r.event_type, r.n_events)
+         for r in got.select("window_day", "event_type", "n_events").collect()}
+    b = {(str(r.window_day), r.event_type, r.n_events) for r in batch.collect()}
+    assert g == b
+
+
+def test_stateful_totals_accumulate_across_batches(spark):
+    """With 3 micro-batches, the *final* emission per user (max n_events)
+    must equal the batch GROUP BY — proving state survived batch
+    boundaries."""
+    stream = _stage_split(spark, n_files=3)
+    sink = S.run_available_now(S.user_running_totals(stream), "update")
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value_cents").alias("cents"))
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    g = {(r.user_id, r.n_events, r.cents) for r in final.collect()}
+    b = {(r.user_id, r.n_events, r.cents) for r in batch.collect()}
+    assert g == b
+    # and state really was incremental: >1 emission for users spanning batches
+    n_emissions = sink.count()
+    assert n_emissions > final.count()
+
+
+def test_streaming_dedup_across_batches(spark):
+    """The same file delivered in two micro-batches must dedup to one copy
+    via watermark-retained state."""
+    d = tempfile.mkdtemp(prefix="ev_dup_")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{d}/a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{d}/b.parquet")
+    stream = S.read_event_stream(spark, d, max_files_per_trigger=1)
+    out = S.run_available_now(
+        S.streaming_dedup(stream).select("event_id"), "append")
+    n_distinct = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_distinct
