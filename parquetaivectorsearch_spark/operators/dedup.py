@@ -113,6 +113,11 @@ def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
+    # Repartition on the join key so both self-join sides reference the SAME
+    # shuffle stage (ReusedExchange / AQE stage reuse). Without it, AQE
+    # broadcasts one side and the whole signature pipeline — the dominant
+    # cost — is computed twice.
+    exploded = exploded.repartition(F.col("band_id"), F.col("band_key"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the scale-posture properties every operator
+relies on must be visible in the executed plan (SURVEY.md §4), so a
+refactor that silently kills pushdown/pruning/broadcast fails here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark import plans as P
+from parquetaivectorsearch_spark import queries as Q
+from tests.conftest import SF_SMOKE
+
+QUERIES = Q.all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_pushdown"](spark, SF_SMOKE)
+    pushed = P.pushed_filters(df)
+    assert any("lang" in p for p in pushed), pushed
+    assert any("n_chars" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """project_columns must read only (doc_id, lang, source) — never text,
+    the wide column."""
+    df = QUERIES["project_columns"](spark, SF_SMOKE)
+    scans = P.read_schema_columns(df)
+    assert scans and all("text" not in cols for cols in scans), scans
+
+
+def test_dim_joins_broadcast(spark):
+    df = QUERIES["join_broadcast_nation"](spark, SF_SMOKE)
+    assert P.has_broadcast_join(df)
+
+
+def test_knn_topk_is_take_ordered(spark):
+    """Exact KNN must plan per-partition top-k heaps (TakeOrderedAndProject),
+    not a global sort (Program.cs:219's OrderBy().Take() generalized)."""
+    df = QUERIES["knn_topk"](spark, SF_SMOKE)
+    assert P.has_take_ordered(df)
+    assert P.has_broadcast_join(df)  # 1-row query side broadcast
+
+
+def test_groupby_has_partial_aggregate(spark):
+    df = QUERIES["groupby_agg"](spark, SF_SMOKE)
+    assert P.has_partial_aggregate(df)
+
+
+def test_minhash_reuses_signature_exchange(spark):
+    """The LSH banding self-join must reuse the signature pipeline's shuffle
+    (ReusedExchange), not recompute both sides. AQE decides reuse at
+    runtime, so execute first and assert on the final adaptive plan."""
+    from parquetaivectorsearch_spark.operators import dedup as DD
+    from parquetaivectorsearch_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cands = DD.minhash_candidates(DD.minhash_signatures(docs), 8)
+    cands.collect()
+    plan = P.executed_plan(cands)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_scan_prunes_embedding_when_unused(spark):
+    """count over embeddings must not read the 64-float embedding column."""
+    from parquetaivectorsearch_spark.sources import load_table
+
+    df = load_table(spark, SF_SMOKE, "embeddings").groupBy("label").count()
+    scans = P.read_schema_columns(df)
+    assert scans and all("embedding" not in cols for cols in scans), scans
