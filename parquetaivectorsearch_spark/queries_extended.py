@@ -1,0 +1,165 @@
+"""Extended relational coverage: temporal joins (as-of, range), pivot,
+explode, statistical and percentile aggregates (SURVEY.md §2.3-2.5, 2.8).
+
+All oracle-checked. Determinism notes:
+- as-of: the right side is pre-deduped to one row per (user, ts) via
+  max_by(event_id), making "most recent click" unique; both engines then
+  agree exactly (values pass through untouched — no float arithmetic).
+- stats: stddev/var/corr/covar reduce doubles in engine-specific orders;
+  results are rounded (4-6 dp) far above the ~1e-10 order drift.
+- percentiles: identical linear-interpolation definition in both engines
+  (Spark percentile ≡ DuckDB quantile_cont), exact inputs → rounded 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators import joins as J
+from parquetaivectorsearch_spark.queries import register, _t
+
+_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+
+
+@register("asof_join", """
+    WITH clicks AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           c.click_value AS asof_click_value
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+""")
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the most recent prior click's
+    value per user (union + carry-forward window — one shuffle, see
+    operators/joins.py). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = J.asof_join(purchases, clicks, on="user_id", ts="ts",
+                      payload=["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.expr(_TS_US.format(c="ts")).alias("ts_us"),
+        "value", "asof_click_value",
+    )
+
+
+@register("range_join", """
+    SELECT a.user_id,
+           a.event_id AS a_event_id, b.event_id AS b_event_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.ts < b.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000::BIGINT
+""")
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range-join: same-user event pairs within 1 day, via time-cell
+    bucketing (candidates O(true pairs), not |A|×|B| — operators/joins.py).
+    The oracle states the same predicate naively."""
+    e = _t(spark, sf_dir, "events")
+    return J.range_join_bucketed(e, key="user_id", ts="ts",
+                                 max_gap_seconds=86400, payload=["event_id"])
+
+
+@register("pivot_event_types", """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+""")
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per user). The value list is explicit — at scale
+    an unpinned pivot would first run a distinct scan to discover it."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    )
+    return out.select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+
+
+@register("explode_words", """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, ws[t.i] AS word
+    FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+""")
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the tokenized text (bounded id range keeps the driver
+    compare small)."""
+    from parquetaivectorsearch_spark.functions.text import words
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.posexplode(words("text")).alias("pos", "word"))
+    )
+
+
+@register("stats_agg", """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+""")
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group; rounded above engine reduction-order
+    drift (~1e-10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@register("percentile_agg", """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+""")
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark percentile ≡ DuckDB
+    quantile_cont). The approximate twin for 100 TB is approx_percentile
+    (rows-only `approx_percentile_agg`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    )
+
+
+@register("approx_percentile_agg")  # rows-only: t-digest sketch, engine-specific
+def q_approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based percentile for 100 TB (single pass, bounded memory,
+    mergeable partials) — approximate, so no value oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+        .alias("approx_pcts")
+    )
