@@ -35,10 +35,16 @@ HEADLINE = [
     "dot_product",         # distance kernel over the whole corpus
     "knn_topk",            # FLAGSHIP: exact top-20 by dot-product distance
     "knn_join",            # batch-of-queries KNN
+    "ann_topk",            # IVF build + persist + load + search
     "dedup_exact",         # exact dedup groupBy
     "dedup_minhash",       # MinHash+LSH near-dup pipeline
+    "dedup_simhash",       # SimHash near-dup pipeline
     "text_stats",          # per-doc text analysis
-    "tumbling_window_agg", # event-time window agg
+    "asof_join",           # temporal as-of join (union + carry window)
+    "range_join",          # bounded range self-join (time-cell bucketed)
+    "tumbling_window_agg", # event-time window agg (batch mode)
+    "streaming_tumbling_agg",  # same agg through Structured Streaming
+    "image_features",      # multimodal: mapInPandas numpy decode
 ]
 
 
@@ -60,6 +66,10 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # Warm up the JVM / file listing / codegen paths once so the first timed
+    # query measures the operator, not session startup.
+    qs["count_rows"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -168,8 +168,13 @@ def assign_lists(corpus: DataFrame, centroids: np.ndarray, metric: str = "ip",
 def write_ivf(assigned: DataFrame, path: str) -> None:
     """Persist the inverted lists: parquet partitioned by list_id (the
     SerializeGraph analog, Program.cs:231-244). Searching nprobe lists is a
-    partition-pruned scan of only those directories."""
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    partition-pruned scan of only those directories.
+
+    The repartition co-locates each list before the write — without it,
+    every shuffle task writes a sliver into every list directory
+    (tasks × nlist small files, a metadata bomb at nlist=4096)."""
+    assigned.repartition("list_id").write.mode("overwrite") \
+        .partitionBy("list_id").parquet(path)
 
 
 @dataclass
@@ -186,8 +191,11 @@ class IVFIndex:
     def build(cls, corpus: DataFrame, nlist: int, vec_col: str = "embedding",
               metric: str = "ip", seed: int = 42) -> "IVFIndex":
         cents, mn = train_centroids(corpus, nlist, vec_col, metric=metric, seed=seed)
-        return cls(lists=assign_lists(corpus, cents, metric, mn, vec_col),
-                   centroids=cents, metric=metric, max_norm=mn)
+        # An index build is a materialization point: cache the assignment so
+        # save + immediate searches don't re-run the scoring UDF per action.
+        # (Persisted indexes read from parquet instead — see load().)
+        lists = assign_lists(corpus, cents, metric, mn, vec_col).cache()
+        return cls(lists=lists, centroids=cents, metric=metric, max_norm=mn)
 
     def save(self, spark: SparkSession, path: str) -> None:
         write_ivf(self.lists, f"{path}/lists")

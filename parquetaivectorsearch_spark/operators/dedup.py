@@ -74,7 +74,7 @@ def shingle_hashes_exploded(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       k: int = 32, shingle_n: int = 5, seed: int = 42) -> DataFrame:
+                       k: int = 40, shingle_n: int = 5, seed: int = 42) -> DataFrame:
     """(doc_id, signature: array<bigint> of length k).
 
     groupBy(doc_id) with k `min((a_i·h + b_i) mod p)` aggregate expressions —
@@ -155,7 +155,7 @@ def jaccard_of_hash_sets(ga: Column, gb: Column) -> Column:
 
 
 def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 32, bands: int = 8, shingle_n: int = 5,
+                  k: int = 40, bands: int = 8, shingle_n: int = 5,
                   threshold: float = 0.6, seed: int = 42) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banding, then
     exact jaccard verification on candidate pairs only.

@@ -34,7 +34,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact 5-gram jaccard.
     Recall vs exact jaccard is asserted in tests/test_dedup.py."""
     return DD.minhash_dedup(
-        _t(spark, sf_dir, "documents"), k=32, bands=8, shingle_n=5, threshold=0.6
+        _t(spark, sf_dir, "documents"), k=40, bands=8, shingle_n=5, threshold=0.6
     )
 
 

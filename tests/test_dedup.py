@@ -14,11 +14,11 @@ from tests.conftest import SF_SMOKE
 def test_minhash_recall_vs_exact(spark):
     """Every pair the LSH pipeline reports must be a true near-dup (it
     verifies), and it must recover most true pairs at jaccard ≥ 0.8
-    (32 hashes / 8 bands / r=4 → ~97% at s=0.8)."""
+    (40 hashes / 8 bands / r=5 → ~96% at s=0.8)."""
     docs = load_table(spark, SF_SMOKE, "documents")
     got = {
         (r.doc_a, r.doc_b)
-        for r in DD.minhash_dedup(docs, threshold=0.8, k=32, bands=8).collect()
+        for r in DD.minhash_dedup(docs, threshold=0.8, k=40, bands=8).collect()
     }
     d = docs.select("doc_id", char_ngrams("text", 5).alias("g"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
