@@ -1,0 +1,76 @@
+"""Connected components over near-duplicate pairs — the transitive-closure
+step that turns pairwise dedup output into dedup *clusters* (pick one
+canonical doc per cluster, drop the rest).
+
+Algorithm: iterative min-label propagation. Each node starts labeled with
+itself; every round each node takes the min of its own and its neighbors'
+labels; converges to the component-minimum id in O(component diameter)
+rounds — duplicate clusters are near-cliques (diameter ≤ 2-3), so a handful
+of rounds suffices. The O(log n)-round alternating large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) is the upgrade path for adversarial long-chain graphs.
+
+Scale posture: each round is one join + one groupBy(min) — shuffle keyed on
+node ids; `localCheckpoint` truncates the lineage each round so plan size
+stays O(1) in rounds (the classic iterative-DataFrame trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """(node, cluster_id) for every node appearing in `pairs`; cluster_id =
+    min node id of its component. Deterministic."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def canonical_docs(pairs: DataFrame, all_docs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Dedup resolution: every doc mapped to its cluster's canonical
+    (minimum) id; docs in no pair are their own canonical. The keep-set is
+    `filter(doc_id == canonical_id)`."""
+    comp = connected_components(pairs)
+    return (
+        all_docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("canonical_id"),
+        )
+    )

@@ -154,6 +154,33 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("join_salted", """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+""")
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (operators/skew.py): build side replicated
+    over 8 salts, probe side scattered by a deterministic row salt — the
+    explicit hot-key defense when AQE's runtime skew split isn't enough.
+    Result is identical to the plain join, so the oracle is the plain
+    join."""
+    from parquetaivectorsearch_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("decimal(38,2)").alias("total_qty"),
+    )
+
+
 @register("approx_percentile_agg")  # rows-only: t-digest sketch, engine-specific
 def q_approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based percentile for 100 TB (single pass, bounded memory,

@@ -99,6 +99,53 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters", f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             {_DUCK_NGRAMS.format(t="text", n=3, n_minus_1=2)} AS g
+      FROM documents WHERE doc_id < 150
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(a.g || b.g)) >= 0.5
+    ),
+    edges AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL
+      SELECT db, da FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+""")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: exact-jaccard near-dup pairs (bounded id range) →
+    connected components by min-label propagation (operators/components.py).
+    Oracle: DuckDB recursive CTE computing min reachable id — transitive
+    closure is the one dedup step plain SQL can't do without recursion."""
+    from parquetaivectorsearch_spark.operators.components import connected_components
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings (exact θ-join; ANN lives in ann.py)
 # ---------------------------------------------------------------------------

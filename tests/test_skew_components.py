@@ -1,0 +1,84 @@
+"""Skew/bucketing/connected-components semantics beyond oracle parity:
+salted join ≡ plain join, bucketed join plans no Exchange, min-label
+propagation finds the right clusters."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators.components import (
+    canonical_docs,
+    connected_components,
+)
+from parquetaivectorsearch_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from parquetaivectorsearch_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = salted_join(li, o, "l_orderkey", n_salts=8)
+    plain = li.join(o, "l_orderkey")
+    assert salted.count() == plain.count()
+    s = {tuple(r) for r in salted.groupBy("o_orderpriority").count().collect()}
+    p = {tuple(r) for r in plain.groupBy("o_orderpriority").count().collect()}
+    assert s == p
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Identically-bucketed tables must join with zero shuffle."""
+    loc = tempfile.mkdtemp(prefix="bucketdb_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "bucketdb.li_b", "l_orderkey", 8)
+    write_bucketed(o, "bucketdb.o_b", "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "bucketdb.li_b", "bucketdb.o_b", "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == load_table(spark, SF_SMOKE, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_connected_components_chain_and_island(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node chain needs ~11 propagation rounds — exercises the
+    iteration/checkpoint loop, not just one-hop merges."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = connected_components(pairs)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == 13
+
+
+def test_canonical_docs_covers_singletons(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    pairs = spark.createDataFrame([(0, 1)], "doc_a BIGINT, doc_b BIGINT")
+    canon = canonical_docs(pairs, docs)
+    assert canon.count() == 50
+    m = {r.doc_id: r.canonical_id for r in canon.collect()}
+    assert m[1] == 0 and m[0] == 0
+    assert all(m[d] == d for d in m if d > 1)
