@@ -67,6 +67,23 @@ def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_table(spark, _t(spark, sf_dir, "embeddings"))
 
 
+@register("csv_roundtrip", """
+    SELECT doc_id, lang, n_chars FROM documents
+""")
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip (SURVEY §2.1 X) with an explicit schema
+    on read (no inference scan). Ints + short strings survive CSV exactly,
+    so this is oracle-checkable end-to-end."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.sources import scan_csv
+
+    out = tempfile.mkdtemp(prefix="csv_rt_") + "/docs"
+    (_t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+     .write.mode("overwrite").option("header", "true").csv(out))
+    return scan_csv(spark, out, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+
+
 @register("json_sample_sink")  # rows-only: round-trips through a JSON sink
 def q_json_sample_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100-row JSON sample dump + read-back (Program.cs:102-103)."""

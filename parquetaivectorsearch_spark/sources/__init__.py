@@ -1,5 +1,7 @@
 from parquetaivectorsearch_spark.sources.catalog import TABLES, load_table, load_tables
 from parquetaivectorsearch_spark.sources.parquet import (
+    scan_csv,
+    scan_json,
     scan_parquet_dir,
     schema_table,
     write_json_sample,
@@ -9,6 +11,8 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "scan_csv",
+    "scan_json",
     "scan_parquet_dir",
     "schema_table",
     "write_json_sample",

@@ -55,3 +55,24 @@ def write_json_sample(df: DataFrame, path: str, n: int = 100) -> None:
 
     ``limit(n)`` short-circuits the scan (CollectLimit) — no full pass."""
     df.limit(n).coalesce(1).write.mode("overwrite").json(path)
+
+
+def scan_csv(spark: SparkSession, path: str,
+             schema: T.StructType | str | None = None) -> DataFrame:
+    """CSV source for text corpora (SURVEY §2.1 X). An explicit schema skips
+    the inference pass — at 100 TB, inference is a full extra scan."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def scan_json(spark: SparkSession, path: str,
+              schema: T.StructType | str | None = None) -> DataFrame:
+    """JSON-lines source; same explicit-schema guidance as scan_csv."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
