@@ -17,6 +17,52 @@ from parquetaivectorsearch_spark.operators import dedup as DD
 from parquetaivectorsearch_spark.queries import register, _t
 
 # ---------------------------------------------------------------------------
+# chunking + tf-idf (embedding-prep pipeline stages)
+# ---------------------------------------------------------------------------
+
+@register("text_chunks", """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(t.k AS INTEGER) AS chunk_id,
+           substring(text, t.k * 150 + 1, 200) AS chunk_text,
+           CAST(length(substring(text, t.k * 150 + 1, 200)) AS INTEGER) AS chunk_chars
+    FROM d, unnest(generate_series(0,
+           greatest(0, CAST(ceil((n - 200) / 150.0) AS INTEGER)))) AS t(k)
+""")
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (200 chars, 50 overlap) — the
+    embed-prep stage upstream of the vector pipeline. Pure substring
+    arithmetic → oracle-exact."""
+    from parquetaivectorsearch_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), size=200, overlap=50)
+
+
+@register("text_tfidf", """
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                w -> w <> '')) AS term
+      FROM documents WHERE doc_id < 300
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 300)
+    SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+           ROUND(tf.tf * (ln((nd.n_docs + 1) / (dfx.df + 1)) + 1), 6) AS tfidf
+    FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN nd
+""")
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf, scikit-learn convention) per (doc, term) over a
+    bounded id range: explode + two hash aggs + broadcast df join. Rounded
+    6 dp — far above libm ln() ulp differences."""
+    from parquetaivectorsearch_spark.operators.chunking import tf_idf
+
+    return tf_idf(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+
+# ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
 
