@@ -289,6 +289,39 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_join(emb, queries, k=5)
 
 
+@register("knn_topk_sql", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id = 0)
+    SELECT q.query_id, e.vec_id, 1.0 - {_DUCK_DOT} AS distance
+    FROM embeddings e, q
+    ORDER BY distance, e.vec_id
+    LIMIT 20
+""")
+def q_knn_topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship KNN through the spark.sql SQL surface — proves the
+    engine's SQL front-end produces the identical logical plan/result.
+    NB: Spark SQL's ORDER BY..LIMIT has no deterministic tiebreak across
+    equal distances unless stated — vec_id is in the ORDER BY here too."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = knn.query_vector_df(emb, 0)
+    out = knn.knn_topk_sql(spark, emb, q, k=20)
+    # SQL text orders by (distance) then vec_id via the same expr; re-sort
+    # defensively to pin ties exactly like the DataFrame path
+    return out.orderBy("distance", "vec_id").limit(20)
+
+
+@register("knn_join_bulk")  # rows-only: float64 einsum ulps differ from the fold
+def q_knn_join_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk KNN join: partition-local top-k heaps (mapInPandas + numpy
+    matmul) → global merge. Shuffles P×|Q|×k survivor rows instead of
+    |corpus|×|Q| scored rows; id-set parity vs exact knn_join is tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn.knn_join_bulk(emb, queries, k=5)
+
+
 @register("knn_checksum", f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
                FROM embeddings WHERE vec_id = 0),
