@@ -20,3 +20,18 @@ Design principles (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Public operator surface (lazy imports would save nothing here — every
+# submodule is pure-Python and Spark-session-free at import time).
+from parquetaivectorsearch_spark.operators import (  # noqa: E402,F401
+    ann,
+    chunking,
+    components,
+    dedup,
+    joins,
+    knn,
+    multimodal,
+    skew,
+)
+from parquetaivectorsearch_spark.functions import text, vector  # noqa: E402,F401
+from parquetaivectorsearch_spark.session import get_spark, ship_package  # noqa: E402,F401

@@ -107,6 +107,27 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(out, "append")
 
 
+@register("streaming_join", """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+""")
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases ⋈ clicks within 1 hour, per
+    user): watermarks on both sides + a bounded time-range condition let
+    the state store evict — the unbounded-join requirement. Single-batch
+    availableNow run equals the batch join oracle."""
+    s = _staged_stream(spark, sf_dir)
+    out = S.stream_stream_join(
+        s.filter("event_type = 'purchase'"),
+        s.filter("event_type = 'click'"),
+    )
+    return S.run_available_now(out, "append")
+
+
 @register("stateful_user_totals", """
     SELECT user_id,
            COUNT(*) AS n_events,

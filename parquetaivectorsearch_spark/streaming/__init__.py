@@ -4,6 +4,7 @@ from parquetaivectorsearch_spark.streaming.events import (
     run_available_now,
     session_counts,
     sliding_counts,
+    stream_stream_join,
     streaming_dedup,
     tumbling_counts,
     user_running_totals,
@@ -15,6 +16,7 @@ __all__ = [
     "run_available_now",
     "session_counts",
     "sliding_counts",
+    "stream_stream_join",
     "streaming_dedup",
     "tumbling_counts",
     "user_running_totals",

@@ -123,6 +123,33 @@ def streaming_dedup(events: DataFrame, watermark: str = "30 days") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_stream_join(purchases: DataFrame, clicks: DataFrame,
+                       within: str = "INTERVAL 1 HOUR",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ clicks on user_id with the
+    click in [purchase - within, purchase]. Both sides carry watermarks and
+    the join condition bounds event time on both, so the state store can
+    evict rows once the watermark passes — the requirement for unbounded
+    stream-stream joins. Output: one row per qualifying (purchase, click).
+    """
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts"), F.col("value").alias("p_value")))
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("c_ts")))
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.expr(f"p_ts - {within}")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id",
+             F.expr("unix_micros(p_ts)").alias("p_ts_us"),
+             F.expr("unix_micros(c_ts)").alias("c_ts_us"))
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,95 @@
+"""Property-based checks (hypothesis): the Catalyst implementations of
+fingerprint / jaccard / chunking must agree with plain-Python references on
+arbitrary inputs — not just the fixture corpus. Example counts are small
+(each example is a Spark job); the properties, not the volume, do the work."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from parquetaivectorsearch_spark.functions.text import (
+    FP_BASE,
+    FP_MOD,
+    char_ngrams,
+    jaccard_of_sets,
+    polynomial_fingerprint,
+)
+from parquetaivectorsearch_spark.operators.chunking import chunk_documents
+
+# printable-ascii texts keep the ascii() fingerprint reference simple
+_texts = st.lists(
+    st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=120),
+    min_size=1, max_size=8,
+)
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+def _py_fingerprint(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * FP_BASE + ord(ch)) % FP_MOD
+    return h
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_fingerprint_matches_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    ).select("doc_id", polynomial_fingerprint("text").alias("fp"))
+    got = {r.doc_id: r.fp for r in df.collect()}
+    assert got == {i: _py_fingerprint(t) for i, t in enumerate(texts)}
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_ngram_jaccard_matches_python(spark, texts):
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    ).select("doc_id", char_ngrams("text", n).alias("g"))
+    a = df.selectExpr("doc_id AS ia", "g AS ga")
+    b = df.selectExpr("doc_id AS ib", "g AS gb")
+    from pyspark.sql import functions as F
+
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        "ia", "ib", jaccard_of_sets("ga", "gb").alias("j")
+    )
+    got = {(r.ia, r.ib): r.j for r in pairs.collect()}
+
+    def py_grams(t):
+        return {t[i:i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
+
+    for (i, j), v in got.items():
+        ga, gb = py_grams(texts[i]), py_grams(texts[j])
+        expect = len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+        assert abs(v - expect) < 1e-12, (texts[i], texts[j])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.text(st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=40),
+)
+def test_chunking_reconstructs_text(spark, text, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    rows = sorted(
+        chunk_documents(
+            spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING"),
+            size=size, overlap=overlap,
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # every chunk starts where expected and is non-empty, ≤ size
+    for r in rows:
+        start = r.chunk_id * stride
+        assert r.chunk_text == text[start:start + size]
+        assert 1 <= len(r.chunk_text) <= size
+    # full coverage: last chunk reaches the end of the text
+    last = rows[-1]
+    assert last.chunk_id * stride + len(last.chunk_text) == len(text)
