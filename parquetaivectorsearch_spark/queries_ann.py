@@ -45,6 +45,37 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_search(index, queries, k=5, nprobe=3)
 
 
+@register("similarity_join_lsh")  # rows-only: LSH bucketing is approximate
+def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH similarity self-join via stock spark.ml
+    (BucketedRandomProjectionLSH.approxSimilarityJoin) — the built-in
+    alternative to the custom IVF/MinHash paths. VectorUDT stays inside
+    this operator; the public type is array<float> (SURVEY §7 hard parts).
+    Output: (vec_a, vec_b, eucl_dist) pairs with distance < 6.0, a < b."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
+                .alias("v"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=42,
+    ).fit(e)
+    pairs = lsh.approxSimilarityJoin(e, e, threshold=6.0, distCol="eucl_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("eucl_dist"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
+
+
 @register("dedup_embedding")  # rows-only: IVF blocking is approximate
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: IVF-cluster blocking bounds the
