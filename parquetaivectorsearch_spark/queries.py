@@ -390,6 +390,7 @@ def _load_extended() -> None:
     import parquetaivectorsearch_spark.queries_ann  # noqa: F401
     import parquetaivectorsearch_spark.queries_extended  # noqa: F401
     import parquetaivectorsearch_spark.queries_multimodal  # noqa: F401
+    import parquetaivectorsearch_spark.queries_pipeline  # noqa: F401
     import parquetaivectorsearch_spark.queries_relational  # noqa: F401
     import parquetaivectorsearch_spark.queries_streaming  # noqa: F401
     import parquetaivectorsearch_spark.queries_text  # noqa: F401

@@ -1,0 +1,236 @@
+"""Training-data-pipeline operators: vocabulary building, deterministic
+sampling, bucketing/histograms, canonicalization, and hypertable-style
+incremental rollups (SURVEY.md north-star extensions; all **X**).
+
+These are the ops a 100 TB pre-training corpus pipeline runs between ingest
+and training: build a vocab, carve deterministic samples, normalize text for
+dedup keys, and keep time-rollups incrementally maintained instead of
+rescanning history. All oracle-checked — determinism notes:
+
+- sampling uses *arithmetic* (Knuth multiplicative hash / row_number), never
+  engine RNG, so Spark and DuckDB agree bit-for-bit and a 100 TB re-run is
+  reproducible;
+- ntile/row_number windows carry unique ORDER BY tiebreakers;
+- double sums go through DECIMAL; bucket edges use FLOOR on the same IEEE
+  division in both engines;
+- md5 hex is lowercase in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquetaivectorsearch_spark.functions.text import words
+from parquetaivectorsearch_spark.queries import _t, register
+
+_DEC = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / token frequency (the "build the BPE corpus stats" step)
+# ---------------------------------------------------------------------------
+
+@register("vocab_top_words", """
+    SELECT word, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    )
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 100
+""")
+def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode whitespace tokens, count, top-100.
+    Scale shape: map-side partial counts → one shuffle on word →
+    TakeOrderedAndProject for the limit (no global sort materialized)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(words(F.lower("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (reproducible corpus carving)
+# ---------------------------------------------------------------------------
+
+@register("sample_hash", """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000 < 100
+""")
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample via Knuth multiplicative hashing on the key.
+    Unlike rand(seed), this is stable across engines, re-runs, and partition
+    layouts — and it is a pure *filter*: no shuffle, pushdown-friendly, the
+    only sampling shape that is reproducible over 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter((F.col("doc_id") * F.lit(2654435761)) % 1000 < 100).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register("stratified_sample", """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 50
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota-per-stratum sample (50 docs per language): row_number
+    window partitioned by the stratum key. One shuffle on lang; at 100 TB
+    the per-stratum scan is cut short by the rank filter after the
+    partial sort (WindowGroupLimit pushes `rn <= 50` into the sort)."""
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketing / histograms
+# ---------------------------------------------------------------------------
+
+@register("ntile_bucket", """
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)
+             AS quartile
+    FROM customer
+""")
+def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment over account balance (equi-depth binning —
+    the discretization step of feature pipelines). Unique tiebreaker
+    (c_custkey) makes the assignment deterministic in both engines."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal",
+                F.ntile(4).over(w).cast("int").alias("quartile"))
+    )
+
+
+@register("histogram_totalprice", """
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+""")
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (fixed $25k buckets). FLOOR over the same IEEE
+    double division is bit-identical in both engines; the agg is a plain
+    map-side-combinable groupBy — the cheapest possible distribution sketch
+    at 100 TB."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 25000.0).alias("bucket"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (multi-dimensional rollup in one pass)
+# ---------------------------------------------------------------------------
+
+@register("grouping_sets_agg", """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (rollup/cube's general form, SURVEY §2.4 X):
+    three aggregation grains in a single Expand+HashAggregate pass instead
+    of three scans."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text canonicalization (the dedup-key step)
+# ---------------------------------------------------------------------------
+
+@register("text_normalize", """
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+    FROM documents
+""")
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize text (lowercase, trim, collapse whitespace) and emit the
+    md5 content hash — the key column every exact-dedup and CDC pipeline
+    groups on. Pure codegen'd expressions, no UDF."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style incremental rollup
+# ---------------------------------------------------------------------------
+
+@register("incremental_rollup", f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {_DEC} AS total_value
+    FROM events
+    GROUP BY 1
+""")
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: historical days are served from a *materialized*
+    daily-aggregate parquet; only the tail (ts >= cutoff) is aggregated from
+    raw events; the two grains merge with a re-aggregation. At 100 TB this
+    turns a full-history scan into (tiny rollup read + recent-partition
+    scan) — the continuous-aggregate pattern. Oracle: the direct full agg,
+    which the merged result must equal exactly (decimal sums are exact)."""
+    import tempfile
+
+    cutoff = F.lit("2024-01-20").cast("date")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+         .cast("decimal(38,2)").alias("total_value"),
+    ]
+    e = _t(spark, sf_dir, "events").select(day, "value")
+
+    rollup_dir = tempfile.mkdtemp(prefix="rollup_daily_")
+    e.filter(F.col("day") < cutoff).groupBy("day").agg(*aggs) \
+        .write.mode("overwrite").parquet(rollup_dir)
+
+    materialized = spark.read.parquet(rollup_dir)
+    tail = e.filter(F.col("day") >= cutoff).groupBy("day").agg(*aggs)
+    return (
+        materialized.unionByName(tail)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("decimal(38,2)").alias("total_value"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Semantic + physical-plan checks for the training-data-pipeline operators
+(queries_pipeline.py). Oracle parity is covered by test_oracle_parity.py;
+here we assert the *meaning* (quotas, balance, merge-equals-direct) and the
+scale posture visible in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark import plans as P
+from parquetaivectorsearch_spark import queries as Q
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+QUERIES = Q.all_queries()
+
+
+def test_sample_hash_fraction_and_no_shuffle(spark):
+    """~10% deterministic sample; the plan must be a pure scan+filter —
+    no exchange anywhere (the whole point of arithmetic sampling)."""
+    df = QUERIES["sample_hash"](spark, SF_CORRECT)
+    total = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    n = df.count()
+    assert 0.05 * total < n < 0.15 * total, (n, total)
+    assert "Exchange" not in P.formatted_plan(df)
+
+
+def test_stratified_sample_quotas(spark):
+    """Exactly 50 docs per language (every fixture lang has >50 docs at
+    sf0.01: smallest stratum is fr=64)."""
+    per_lang = (
+        QUERIES["stratified_sample"](spark, SF_CORRECT)
+        .groupBy("lang").count().collect()
+    )
+    assert len(per_lang) == 5
+    assert all(r["count"] == 50 for r in per_lang), per_lang
+
+
+def test_stratified_sample_rank_limit_pushed(spark):
+    """Spark must push `rn <= 100` into the window sort (WindowGroupLimit)
+    so each stratum stops after 100 rows instead of ranking everything."""
+    plan = P.formatted_plan(QUERIES["stratified_sample"](spark, SF_CORRECT))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ntile_buckets_balanced(spark):
+    counts = (
+        QUERIES["ntile_bucket"](spark, SF_CORRECT)
+        .groupBy("quartile").count().orderBy("quartile").collect()
+    )
+    assert [r["quartile"] for r in counts] == [1, 2, 3, 4]
+    sizes = [r["count"] for r in counts]
+    assert max(sizes) - min(sizes) <= 1, sizes
+
+
+def test_grouping_sets_grains(spark):
+    """Three grains in one pass: per-returnflag rows, per-linestatus rows,
+    and exactly one grand-total row; grand total equals count_rows of
+    lineitem."""
+    rows = QUERIES["grouping_sets_agg"](spark, SF_CORRECT).collect()
+    grand = [r for r in rows if r["g_rf"] == 1 and r["g_ls"] == 1]
+    assert len(grand) == 1
+    li_total = (
+        Q.QUERIES["scan_parquet"]  # any loader works; count lineitem directly
+        and spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").count()
+    )
+    assert grand[0]["n_items"] == li_total
+    by_rf = sum(r["n_items"] for r in rows if r["g_rf"] == 0)
+    by_ls = sum(r["n_items"] for r in rows if r["g_ls"] == 0)
+    assert by_rf == by_ls == li_total
+
+
+def test_text_normalize_idempotent(spark):
+    """Normalizing twice changes nothing (canonical form is a fixpoint)."""
+    df = QUERIES["text_normalize"](spark, SF_SMOKE)
+    renorm = F.regexp_replace(F.lower(F.trim(F.col("norm_text"))), r"\s+", " ")
+    changed = df.filter(renorm != F.col("norm_text")).count()
+    assert changed == 0
+
+
+def test_incremental_rollup_equals_direct(spark):
+    """Merged (materialized history + raw tail) must equal the direct
+    full-table daily aggregate exactly — and both sides of the cutoff must
+    be non-empty, otherwise the merge path isn't actually exercised."""
+    merged = {
+        r["day"]: (r["n_events"], r["total_value"])
+        for r in QUERIES["incremental_rollup"](spark, SF_CORRECT).collect()
+    }
+    from parquetaivectorsearch_spark.sources import load_table
+
+    direct = {
+        r["day"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == direct
+    import datetime
+
+    cutoff = datetime.date(2024, 1, 20)
+    assert any(d < cutoff for d in merged)
+    assert any(d >= cutoff for d in merged)
+
+
+def test_vocab_top_words_is_take_ordered(spark):
+    """Top-100 must plan as TakeOrderedAndProject (partial top-k per
+    partition), not a global sort of the whole vocabulary."""
+    df = QUERIES["vocab_top_words"](spark, SF_CORRECT)
+    assert P.has_take_ordered(df)
