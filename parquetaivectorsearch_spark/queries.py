@@ -387,6 +387,7 @@ def all_oracles() -> dict[str, str]:
 def _load_extended() -> None:
     """Import the extended registries (they self-register via @register).
     Deferred to dodge the circular import at module-definition time."""
+    import parquetaivectorsearch_spark.queries_analytics  # noqa: F401
     import parquetaivectorsearch_spark.queries_ann  # noqa: F401
     import parquetaivectorsearch_spark.queries_extended  # noqa: F401
     import parquetaivectorsearch_spark.queries_multimodal  # noqa: F401
