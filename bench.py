@@ -31,7 +31,10 @@ HEADLINE = [
     "groupby_agg",         # hash agg w/ partial combine
     "join_orders_customer",# shuffle join
     "join_broadcast_nation",# broadcast join
+    "pricing_summary",     # TPC-H Q1 shape: fact-table scan-filter-agg
+    "regional_revenue",    # TPC-H Q5 shape: 5-way join tree, broadcast dims
     "window_rank",         # window top-N per group
+    "vocab_top_words",     # corpus vocabulary head (explode+count+top-k)
     "dot_product",         # distance kernel over the whole corpus
     "knn_topk",            # FLAGSHIP: exact top-20 by dot-product distance
     "knn_join",            # batch-of-queries KNN
@@ -49,17 +52,17 @@ HEADLINE = [
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    # The engine's session factory: same knobs as a real deployment (AQE,
+    # Arrow for pandas interchange, shuffle partitions sized to cores).
+    # Arrow in particular matters even for tiny createDataFrame calls —
+    # without it, a 10-row metadata frame takes the pickled-RDD path and
+    # costs ~5 s of Python-worker spin-up.
+    from parquetaivectorsearch_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("parquetaivectorsearch-bench")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    spark = get_spark(
+        "parquetaivectorsearch-bench",
+        cpus=int(CPUS),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -111,9 +111,16 @@ def train_centroids(corpus: DataFrame, nlist: int, vec_col: str = "embedding",
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
+    # One job for both scalars (count drives the sample fraction; max ‖x‖
+    # drives the MIPS→L2 augmentation) instead of two.
+    from parquetaivectorsearch_spark.functions.vector import l2_norm
+
+    stats = corpus.agg(
+        F.count("*").alias("n"), F.max(l2_norm(vec_col)).alias("mn")
+    ).first()
+    n = int(stats["n"])
     if max_norm is None:
-        max_norm = max_corpus_norm(corpus, vec_col) if metric == "ip" else 0.0
-    n = corpus.count()
+        max_norm = float(stats["mn"]) if metric == "ip" else 0.0
     frac = min(1.0, (sample_cap * 1.05) / max(n, 1))
     sample = (
         corpus.sample(fraction=frac, seed=seed).limit(sample_cap)
@@ -191,20 +198,26 @@ class IVFIndex:
     def build(cls, corpus: DataFrame, nlist: int, vec_col: str = "embedding",
               metric: str = "ip", seed: int = 42) -> "IVFIndex":
         cents, mn = train_centroids(corpus, nlist, vec_col, metric=metric, seed=seed)
-        # An index build is a materialization point: cache the assignment so
-        # save + immediate searches don't re-run the scoring UDF per action.
-        # (Persisted indexes read from parquet instead — see load().)
-        lists = assign_lists(corpus, cents, metric, mn, vec_col).cache()
+        # Deliberately NOT cached: materializing array<float> columns into
+        # the block store costs ~10× more than re-running the one-matmul
+        # assignment UDF, so multi-action consumers are better off
+        # recomputing (persisted indexes read from parquet — see load()).
+        lists = assign_lists(corpus, cents, metric, mn, vec_col)
         return cls(lists=lists, centroids=cents, metric=metric, max_norm=mn)
 
     def save(self, spark: SparkSession, path: str) -> None:
         write_ivf(self.lists, f"{path}/lists")
-        rows = [
-            (i, [float(v) for v in self.centroids[i]], self.metric, float(self.max_norm))
-            for i in range(len(self.centroids))
-        ]
+        # pandas → Arrow path: createDataFrame from a Python list would go
+        # through the pickled-RDD path (~10× slower end-to-end for this
+        # tiny metadata write).
+        pdf = pd.DataFrame({
+            "list_id": np.arange(len(self.centroids), dtype=np.int32),
+            "centroid": [[float(v) for v in c] for c in self.centroids],
+            "metric": self.metric,
+            "max_norm": float(self.max_norm),
+        })
         spark.createDataFrame(
-            rows, "list_id INT, centroid ARRAY<FLOAT>, metric STRING, max_norm DOUBLE"
+            pdf, "list_id INT, centroid ARRAY<FLOAT>, metric STRING, max_norm DOUBLE"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
     @classmethod

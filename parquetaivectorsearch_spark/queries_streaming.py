@@ -42,8 +42,18 @@ def _staged_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     withheld and its user_id is filtered out by the caller."""
     d = tempfile.mkdtemp(prefix="events_flush_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    import pandas as pd
+
+    # pandas → Arrow createDataFrame: the list-of-tuples form would take the
+    # pickled-RDD path (~5s of overhead for one row).
     flush = spark.createDataFrame(
-        [(10**9, _FLUSH_TS_NS, -1, "flush", 0.0, "{}")], S.EVENTS_RAW_SCHEMA
+        pd.DataFrame({
+            "event_id": pd.array([10**9], dtype="int64"),
+            "ts": pd.array([_FLUSH_TS_NS], dtype="int64"),
+            "user_id": pd.array([-1], dtype="int64"),
+            "event_type": ["flush"], "value": [0.0], "props": ["{}"],
+        }),
+        S.EVENTS_RAW_SCHEMA,
     )
     flush.coalesce(1).write.mode("append").parquet(d)
     return S.read_event_stream(spark, d)
