@@ -160,6 +160,14 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Full MinHash-LSH near-dup pipeline: candidates from banding, then
     exact jaccard verification on candidate pairs only.
 
+    The verification hash-sets are *recomputed* map-side (shingle_hash_sets,
+    a per-row HOF with no shuffle) rather than fused into the signature
+    groupBy via collect_set + checkpoint — measured at sf0.1, pushing every
+    distinct shingle hash through the aggregation shuffle plus a checkpoint
+    materialization costs more than two shuffle-free scans. At 100 TB the
+    same tradeoff holds as long as the corpus scan is cheaper than a
+    full-corpus set shuffle — which is exactly when LSH beats all-pairs.
+
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n, seed)
@@ -218,13 +226,19 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     chunk (pigeonhole), so recall is exact for max_hamming ≤ 3.
     Output: (doc_a, doc_b, hamming).
     """
+    # Checkpoint the fingerprints: the chunk-bucket self-join and the two
+    # verify joins all read one materialized copy instead of re-running the
+    # word-explode agg per branch (see minhash_dedup for the persist-vs-
+    # checkpoint tradeoff).
     fp = simhash_fingerprints(docs, text_col, id_col).select(
         "doc_id", "bits", simhash_chunks(F.col("bits"), n_chunks).alias("chunks")
-    )
+    ).localCheckpoint(eager=False)
     exploded = fp.select(
-        "doc_id", "bits", F.posexplode("chunks").alias("chunk_id", "chunk_val")
-    )
+        "doc_id", F.posexplode("chunks").alias("chunk_id", "chunk_val")
+    ).repartition(F.col("chunk_id"), F.col("chunk_val"))
     a, b = exploded.alias("a"), exploded.alias("b")
+    # Dedup candidate pairs BEFORE attaching the bit arrays: distinct over
+    # two longs, not over two 64-element arrays.
     cands = (
         a.join(
             b,
@@ -235,8 +249,6 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
         )
         .distinct()
     )
@@ -246,6 +258,10 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         lambda acc, d: acc + d,
     )
     return (
-        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        cands.join(fp.select(F.col("doc_id").alias("doc_a"),
+                             F.col("bits").alias("bits_a")), "doc_a")
+        .join(fp.select(F.col("doc_id").alias("doc_b"),
+                        F.col("bits").alias("bits_b")), "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
