@@ -224,3 +224,114 @@ def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id bigint, lang string, source string, n_chars bigint"
     ).json(json_dir)
+
+
+_DOT = "list_inner_product(e.embedding::DOUBLE[], q.qv)"
+_COS = (f"{_DOT} / (sqrt(list_inner_product(e.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[])) * sqrt(list_inner_product(q.qv, q.qv)))")
+
+
+@register("cosine_topk", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT q.query_id, e.vec_id, {_COS} AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 20
+""")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 by cosine similarity — the metric variant of the
+    flagship knn_topk (dot-product ≡ cosine only for unit-norm corpora like
+    the reference's OpenAI embeddings, Program.cs:29-30; ours are not unit
+    norm, so the engine exposes both). Same plan shape: broadcast 1-row
+    query → sequential-fold cosine → TakeOrderedAndProject."""
+    from parquetaivectorsearch_spark.functions.vector import cosine_similarity
+    from parquetaivectorsearch_spark.operators.knn import query_vector_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, 0)
+    return (
+        emb.join(F.broadcast(q))
+        .select("query_id", "vec_id",
+                cosine_similarity("embedding", "query_vec").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(20)
+    )
+
+
+@register("knn_topk_per_label", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.label, e.vec_id, 1.0 - {_DOT} AS distance
+      FROM embeddings e, q
+    )
+    SELECT label, vec_id, distance, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY label ORDER BY distance, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+""")
+def q_knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KNN: nearest 3 corpus vectors to the query *within each
+    label* (the 'diverse results' / per-class retrieval shape). One window
+    shuffle on label; the rank filter becomes a WindowGroupLimit so each
+    group's sort stops at 3."""
+    from pyspark.sql.window import Window
+
+    from parquetaivectorsearch_spark.functions.vector import dot
+    from parquetaivectorsearch_spark.operators.knn import query_vector_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, 0)
+    w = Window.partitionBy("label").orderBy("distance", "vec_id")
+    return (
+        emb.join(F.broadcast(q))
+        .select("label", "vec_id",
+                (F.lit(1.0) - dot("embedding", "query_vec")).alias("distance"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register("quantize_embedding", """
+    WITH d AS (
+      SELECT vec_id,
+             embedding[1]::DOUBLE AS e1, embedding[2]::DOUBLE AS e2,
+             embedding[3]::DOUBLE AS e3, embedding[4]::DOUBLE AS e4
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(FLOOR(e1 * 362.0) AS INTEGER) AS q0,
+           CAST(FLOOR(e2 * 362.0) AS INTEGER) AS q1,
+           CAST(FLOOR(e3 * 362.0) AS INTEGER) AS q2,
+           CAST(FLOOR(e4 * 362.0) AS INTEGER) AS q3,
+           ROUND(abs(e1 - (FLOOR(e1 * 362.0) + 0.5) / 362.0)
+               + abs(e2 - (FLOOR(e2 * 362.0) + 0.5) / 362.0)
+               + abs(e3 - (FLOOR(e3 * 362.0) + 0.5) / 362.0)
+               + abs(e4 - (FLOOR(e4 * 362.0) + 0.5) / 362.0), 6)
+             AS recon_err
+    FROM d
+""")
+def q_quantize_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (fixed scale 362 ≈
+    127/0.35 for the fixture's value range): the storage-compression step of
+    a large vector corpus (4 B float → 1 B int, dequant x̂ = (q+0.5)/scale).
+    FLOOR over the same IEEE double product is bit-identical in both
+    engines; recon_err is the L1 reconstruction error over the same 4 dims
+    (a fixed-order 4-term sum — a whole-vector fold differs from DuckDB's
+    list_sum by ~1 ulp and trips the rounding boundary). Emits the first 4
+    codes as columns (scalar outputs keep the oracle engine-agnostic; the
+    full code array is the same expression un-sliced)."""
+    e = F.col("embedding")
+    qs = [
+        F.floor(F.element_at(e, i + 1) * 362.0).cast("int").alias(f"q{i}")
+        for i in range(4)
+    ]
+
+    def err(i: int):
+        x = F.element_at(e, i)
+        return F.abs(x - (F.floor(x * 362.0) + 0.5) / 362.0)
+
+    recon = F.round(err(1) + err(2) + err(3) + err(4), 6).alias("recon_err")
+    return _t(spark, sf_dir, "embeddings").select("vec_id", *qs, recon)

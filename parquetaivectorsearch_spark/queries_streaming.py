@@ -31,17 +31,9 @@ def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FLUSH_TS_NS = 1_893_456_000 * 10**9
 
 
-def _staged_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage the events file plus one far-future flush event (user_id = -1).
-
-    Append-mode aggregations only emit a window once the watermark passes
-    its end; without the flush, every session in the last <watermark> of
-    data would be withheld forever in an availableNow run. The flush event
-    advances the watermark past all real sessions (the engine's final
-    no-data micro-batch then emits them); the flush's own session stays
-    withheld and its user_id is filtered out by the caller."""
-    d = tempfile.mkdtemp(prefix="events_flush_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+def _write_flush_file(spark: SparkSession, d: str) -> None:
+    """Append one far-future flush event (user_id = -1) as its own parquet
+    file in the staged stream directory."""
     import pandas as pd
 
     # pandas → Arrow createDataFrame: the list-of-tuples form would take the
@@ -56,6 +48,20 @@ def _staged_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.EVENTS_RAW_SCHEMA,
     )
     flush.coalesce(1).write.mode("append").parquet(d)
+
+
+def _staged_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the events file plus one far-future flush event (user_id = -1).
+
+    Append-mode aggregations only emit a window once the watermark passes
+    its end; without the flush, every session in the last <watermark> of
+    data would be withheld forever in an availableNow run. The flush event
+    advances the watermark past all real sessions (the engine's final
+    no-data micro-batch then emits them); the flush's own session stays
+    withheld and its user_id is filtered out by the caller."""
+    d = tempfile.mkdtemp(prefix="events_flush_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    _write_flush_file(spark, d)
     return S.read_event_stream(spark, d)
 
 
@@ -151,3 +157,33 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch GROUP BY."""
     return S.run_available_now(
         S.user_running_totals(_staged_stream(spark, sf_dir)), "update")
+
+
+@register("streaming_latest_state", """
+    SELECT user_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           epoch_us(ts) AS last_ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+""")
+def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: maxFilesPerTrigger=1 over a 2-file source (the
+    events fixture + the flush file) forces two micro-batches, so the
+    foreachBatch merge genuinely carries state across batches; the final
+    versioned-parquet state must equal the batch latest_by_key oracle.
+    The flush user (-1) is excluded from the result."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_upsert_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    _write_flush_file(spark, d)
+    stream = S.read_event_stream(spark, d, max_files_per_trigger=1)
+    state = S.run_latest_state_upsert(
+        stream, tempfile.mkdtemp(prefix="latest_state_"))
+    return state.filter("user_id >= 0").select(
+        "user_id", "last_event_type", "last_value", "last_ts_us"
+    )

@@ -2,6 +2,7 @@ from parquetaivectorsearch_spark.streaming.events import (
     EVENTS_RAW_SCHEMA,
     read_event_stream,
     run_available_now,
+    run_latest_state_upsert,
     session_counts,
     sliding_counts,
     stream_stream_join,
@@ -14,6 +15,7 @@ __all__ = [
     "EVENTS_RAW_SCHEMA",
     "read_event_stream",
     "run_available_now",
+    "run_latest_state_upsert",
     "session_counts",
     "sliding_counts",
     "stream_stream_join",
