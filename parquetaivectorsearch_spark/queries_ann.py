@@ -83,3 +83,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.35: the fixture vectors are ~random (pairwise cosine ≲ 0.5),
     so a production-style 0.9+ threshold would return zero rows here."""
     return ANN.embedding_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, nlist=8)
+
+
+@register("ann_hnsw_topk")  # rows-only: approximate results
+def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual index algorithm end-to-end: partitioned HNSW
+    build (Program.cs:140-174) → topology-only persist (Program.cs:231-244)
+    → load + vector re-attach (Program.cs:246-263) → fan-out beam search,
+    global top-20 (Program.cs:207-227). Recall vs the exact oracle is
+    asserted in tests/test_hnsw.py; IVF stays the scale-path default."""
+    from parquetaivectorsearch_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = H.build_hnsw(emb, n_partitions=4)
+    path = tempfile.mkdtemp(prefix="hnsw_") + "/graph"
+    H.write_hnsw(graph, path)
+    loaded = H.read_hnsw(spark, path)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return H.hnsw_search(loaded, emb, queries, k=20)
