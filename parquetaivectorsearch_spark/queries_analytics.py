@@ -335,3 +335,34 @@ def q_quantize_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     recon = F.round(err(1) + err(2) + err(3) + err(4), 6).alias("recon_err")
     return _t(spark, sf_dir, "embeddings").select("vec_id", *qs, recon)
+
+
+@register("knn_filtered", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT q.query_id, e.vec_id, 1.0 - {_DOT} AS distance
+    FROM embeddings e, q
+    WHERE e.label = 3
+    ORDER BY distance, e.vec_id
+    LIMIT 10
+""")
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the vector-DB staple the reference
+    lacks): exact top-10 under a label predicate. The filter is pushed to
+    the parquet scan *before* any distance math — pre-filtering, which at
+    100 TB beats post-filtering a k'-oversampled ANN result whenever the
+    predicate is selective; the IVF/HNSW paths compose with the same
+    pushed filter on their list scans."""
+    from parquetaivectorsearch_spark.functions.vector import dot
+    from parquetaivectorsearch_spark.operators.knn import query_vector_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, 0)
+    return (
+        emb.filter(F.col("label") == 3)
+        .join(F.broadcast(q))
+        .select("query_id", "vec_id",
+                (F.lit(1.0) - dot("embedding", "query_vec")).alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(10)
+    )

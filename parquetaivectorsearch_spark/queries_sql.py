@@ -1,0 +1,113 @@
+"""SQL-surface coverage: subquery forms, expressed through spark.sql().
+
+The engine's primary API is the DataFrame, but the same Catalyst frontend
+exposes full ANSI subquery support — aggregated derived tables with HAVING,
+EXISTS/IN (rewritten to semi-joins), and scalar subqueries (planned as a
+broadcast one-row aggregate). These queries run through `spark.sql` over
+temp views to pin the SQL path end-to-end, not just the DataFrame builders.
+
+Determinism: money through DECIMAL; the scalar-subquery threshold is
+rounded to whole dollars before comparing (an avg differing in the last ulp
+across engines must not flip row membership)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquetaivectorsearch_spark.queries import _t, register
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register("big_orders", """
+    SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(s.sum_qty AS DECIMAL(38,2)) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    ) s ON s.l_orderkey = o.o_orderkey
+""")
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join against an aggregated derived table with
+    HAVING. Catalyst plans the subquery once (agg then join) — the filter
+    on the aggregate happens before the join ships anything."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+               CAST(s.sum_qty AS DECIMAL(38,2)) AS sum_qty
+        FROM orders o
+        JOIN (
+          SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+        ) s ON s.l_orderkey = o.o_orderkey
+    """)
+
+
+@register("exists_subquery", """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000
+    )
+""")
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates it into a left-semi join on
+    the pushed-down price filter (the rewrite the reference's hand-coded
+    pipeline could never express)."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderstatus
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000
+        )
+    """)
+
+
+@register("above_avg_orders", """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice)) FROM orders)
+""")
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: planned as a one-row broadcast
+    aggregate feeding the scan filter — two passes over orders, no join.
+    The threshold is rounded to whole dollars so a last-ulp AVG difference
+    between engines cannot flip membership of any row."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        FROM orders
+        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice)) FROM orders)
+    """)
+
+
+@register("in_subquery", """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2)
+    )
+""")
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over a dim subquery → left-semi broadcast join after rewrite."""
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2)
+        )
+    """)

@@ -51,3 +51,24 @@ def test_centroid_shuffles_once(spark):
     # formatted plans list each node twice (tree + detail) — count the
     # numbered detail entries only.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_knn_filtered_pushes_label_predicate(spark):
+    """Pre-filtered vector search: the label predicate must reach the scan
+    (PushedFilters), so distance math runs on the filtered subset only."""
+    df = QUERIES["knn_filtered"](spark, SF_SMOKE)
+    assert any("label" in p for p in P.pushed_filters(df))
+    assert P.has_take_ordered(df)
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    """Catalyst must decorrelate EXISTS into a semi join — no subquery
+    re-execution per row."""
+    plan = P.formatted_plan(QUERIES["exists_subquery"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+
+
+def test_in_subquery_broadcasts_dim(spark):
+    df = QUERIES["in_subquery"](spark, SF_SMOKE)
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan
