@@ -390,10 +390,12 @@ def _load_extended() -> None:
     import parquetaivectorsearch_spark.queries_analytics  # noqa: F401
     import parquetaivectorsearch_spark.queries_ann  # noqa: F401
     import parquetaivectorsearch_spark.queries_extended  # noqa: F401
+    import parquetaivectorsearch_spark.queries_functions  # noqa: F401
     import parquetaivectorsearch_spark.queries_multimodal  # noqa: F401
     import parquetaivectorsearch_spark.queries_pipeline  # noqa: F401
     import parquetaivectorsearch_spark.queries_relational  # noqa: F401
     import parquetaivectorsearch_spark.queries_sql  # noqa: F401
     import parquetaivectorsearch_spark.queries_streaming  # noqa: F401
+    import parquetaivectorsearch_spark.queries_tpch  # noqa: F401
     import parquetaivectorsearch_spark.queries_text  # noqa: F401
     import parquetaivectorsearch_spark.queries_warehouse  # noqa: F401

@@ -1,0 +1,239 @@
+"""Scalar/array/table-function surface: string + regexp + array functions,
+per-row sequence generation (lateral explode), unpivot, and element-wise
+vector arithmetic (SURVEY §2.8 X).
+
+The reference's only scalar work is a concat, a cast, and a tokenize
+(Program.cs:79-88); a user migrating real pipelines needs the whole scalar
+toolbox, JVM-side so it stays inside whole-stage codegen — none of these
+queries runs a line of Python per row.
+
+Determinism notes: regex patterns restricted to constructs Java regex and
+RE2 evaluate identically (literal classes, bounded quantifiers, no
+backrefs); arrays normalized to sorted-distinct joined strings before
+hashing (engines order set-ops differently); timestamps exported as
+epoch-µs BIGINTs; the vector-sum norm compares an element-fold against the
+oracle's inner-product algebra ‖a+q‖² = ⟨a,a⟩+2⟨a,q⟩+⟨q,q⟩, rounded well
+above float ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.functions import vector as V
+from parquetaivectorsearch_spark.queries import _t, register
+
+_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+
+
+@register("string_functions", """
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 6, '0') AS padded_id,
+           reverse(source) AS rev_source,
+           translate(source, 'src', 'SRC') AS xlat_source,
+           levenshtein(lang, 'en') AS lev_en,
+           substr(text, 1, 20) AS head20,
+           repeat(lang, 2) AS lang_2x
+    FROM documents
+""")
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (upper/lpad/reverse/translate/levenshtein/
+    substr/repeat) — all JVM built-ins fused into one codegen'd project over
+    the scan; Levenshtein doubles as the edit-distance kernel for fuzzy
+    dedup blocking."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 6, "0").alias("padded_id"),
+        F.reverse("source").alias("rev_source"),
+        F.translate("source", "src", "SRC").alias("xlat_source"),
+        F.levenshtein(F.col("lang"), F.lit("en")).alias("lev_en"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.repeat("lang", 2).alias("lang_2x"),
+    )
+
+
+@register("regexp_functions", """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+ing')) AS INTEGER) AS n_ing_words,
+           regexp_extract(text, '([A-Za-z]{9,})', 1) AS first_long_word,
+           length(regexp_replace(text, '[aeiou]', '*', 'g')) AS len_masked
+    FROM documents
+""")
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract-all (match count), first capture-group
+    extract, and global replace. Patterns stick to constructs Java regex and
+    DuckDB's RE2 agree on; Spark's regexp_replace is global by default —
+    the oracle passes the 'g' flag explicitly."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+ing"), 0))
+        .alias("n_ing_words"),
+        F.regexp_extract(F.col("text"), "([A-Za-z]{9,})", 1).alias("first_long_word"),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", "*"))
+        .cast("bigint").alias("len_masked"),
+    )
+
+
+_STOP5 = ("the", "and", "of", "to", "a")
+
+
+@register("array_functions", f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           array_to_string(words[1:3], ' ') AS first3,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_intersect(words, {list(_STOP5)}))), '|'), '') AS stopwords_present,
+           CAST(len(list_distinct(words)) AS INTEGER) AS n_uniq
+    FROM w
+""")
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over tokenized words: slice, set-intersect
+    against a literal stopword array, distinct-count. Set results are
+    normalized (sorted-distinct, joined) because engines order intersections
+    differently. All higher-order/array built-ins — no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    stop = F.array(*[F.lit(s) for s in _STOP5])
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(words, stop))), "|"
+        ).alias("stopwords_present"),
+        F.size(F.array_distinct(words)).alias("n_uniq"),
+    )
+
+
+@register("sequence_explode", f"""
+    SELECT o_orderkey,
+           epoch_us(unnest(generate_series(o_orderdate,
+                                           o_orderdate + INTERVAL 2 DAY,
+                                           INTERVAL 1 DAY))) AS day_us
+    FROM orders WHERE o_orderkey < 200
+""")
+def q_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row sequence generation + lateral explode (the table-function
+    pattern: one order row → one row per covered day). Spark's
+    sequence()+explode() runs inside codegen; the generated timestamps are
+    exported as epoch-µs ints for the oracle hash."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    days = F.explode(
+        F.sequence(
+            F.col("o_orderdate"),
+            F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS"),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    return o.select("o_orderkey", days.alias("day")).select(
+        "o_orderkey", F.expr(_TS_US.format(c="day")).alias("day_us")
+    )
+
+
+@register("unpivot_stack", """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+""")
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of two part metrics via the DataFrame
+    unpivot API (plans as a zero-shuffle Expand node — each input row emits
+    its value rows in place; the UNION ALL oracle would scan twice).
+    Inverse of pivot_event_types."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register("vector_arithmetic", """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           CAST(e.embedding[1] AS DOUBLE) + CAST(q.qv[1] AS DOUBLE) AS e0_sum,
+           ROUND(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                      + 2 * list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                      + list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])), 6) AS norm_sum,
+           ROUND(0.5 * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                      + 2 * list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                      + list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])), 6) AS norm_avg
+    FROM embeddings e, q
+""")
+def q_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector arithmetic (SURVEY §2.8 X): a + q via zip_with,
+    then the L2 norm of the sum and of the midpoint 0.5·(a+q) — the
+    building blocks of centroid updates and embedding interpolation, all as
+    codegen'd higher-order functions. The oracle verifies through the
+    inner-product expansion ‖a+q‖² = ⟨a,a⟩+2⟨a,q⟩+⟨q,q⟩ (alternate float
+    summation order → ROUND 6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") == 1)
+         .select(F.col("embedding").alias("qv")))
+    vsum = F.zip_with("embedding", "qv",
+                      lambda x, y: x.cast("double") + y.cast("double"))
+    out = emb.join(F.broadcast(q)).select(
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double")
+         + F.element_at("qv", 1).cast("double")).alias("e0_sum"),
+        vsum.alias("vsum"),
+    )
+    norm = V.l2_norm("vsum")
+    return out.select(
+        "vec_id",
+        "e0_sum",
+        F.round(norm, 6).alias("norm_sum"),
+        F.round(0.5 * norm, 6).alias("norm_avg"),
+    )
+
+
+@register("project_features", """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+    dots AS (
+      SELECT e.vec_id, q.qid,
+             list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS dot
+      FROM embeddings e, q
+    )
+    SELECT vec_id,
+           MAX(CASE WHEN qid = 0 THEN dot END) AS f0,
+           MAX(CASE WHEN qid = 1 THEN dot END) AS f1,
+           MAX(CASE WHEN qid = 2 THEN dot END) AS f2,
+           MAX(CASE WHEN qid = 3 THEN dot END) AS f3
+    FROM dots GROUP BY vec_id
+""")
+def q_project_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature projection (random-projection shape): every embedding dotted
+    against a fixed 4-vector basis (corpus rows 0-3), pivoted wide — the
+    dimensionality-reduction step of an embedding-table pipeline. Broadcast
+    the basis, score in one pass, pivot by basis id; dot folds are
+    sequential-double so each feature is bit-exact vs the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    basis = F.broadcast(
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.join(basis)
+        .select("vec_id", "qid", V.dot("embedding", "qv").alias("dot"))
+        .groupBy("vec_id")
+        .pivot("qid", [0, 1, 2, 3])
+        .agg(F.first("dot"))
+        .select(
+            "vec_id",
+            F.col("0").alias("f0"), F.col("1").alias("f1"),
+            F.col("2").alias("f2"), F.col("3").alias("f3"),
+        )
+    )

@@ -94,6 +94,54 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("not_exists_subquery", """
+    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+""")
+def q_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti join after decorrelation: customers
+    with no order above $400k. The anti join ships each customer at most
+    once; the price filter prunes the orders side before the exchange."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """)
+
+
+@register("correlated_scalar_subquery", """
+    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT ROUND(AVG(c2.c_acctbal), 2) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+""")
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their own nation's mean
+    balance. Catalyst decorrelates to a per-nation aggregate joined back on
+    nationkey — one extra agg + broadcast join, not N subquery executions.
+    The comparison threshold is rounded to cents so a last-ulp AVG drift
+    between engines cannot flip row membership."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT ROUND(AVG(c2.c_acctbal), 2) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """)
+
+
 @register("in_subquery", """
     SELECT c_custkey, c_mktsegment
     FROM customer
