@@ -1,0 +1,223 @@
+"""LLM training-data pipeline operators (north-star extension): sequence
+packing, deterministic mixture sampling, train/val/test splitting, eval-set
+decontamination, PII masking, and class-balance accounting.
+
+The reference stops at "tokenize and cost the corpus" (Program.cs:80-116);
+a real pretraining pipeline continues from there: pack documents into
+fixed-length training sequences, carve reproducible mixtures and splits,
+strip eval-set contamination and PII. Every operator here is deterministic
+(multiplicative hashing, not rand()) and shuffle-light (packing windows are
+per-source, dedup joins are semi joins on exploded n-grams) — the shapes
+that survive 100 TB.
+
+Determinism notes: token counts are the ceil(chars/4) proxy (integral);
+packing uses integer division on integer cumulative sums; hash sampling is
+the Knuth multiplicative idiom from sample_hash; entropy terms are ROUND 6
+over libm ln.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquetaivectorsearch_spark.queries import _t, register
+
+_SEQ_LEN = 2048
+_HASH = 2654435761  # Knuth multiplicative constant (public domain idiom)
+
+
+@register("pack_sequences", f"""
+    WITH t AS (
+      SELECT source, doc_id, CAST(CEIL(n_chars / 4) AS BIGINT) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_toks
+      FROM t
+    )
+    SELECT source, doc_id, toks,
+           (cum_toks - toks) // {_SEQ_LEN} AS seq_id
+    FROM c
+""")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each doc to a fixed-{_SEQ_LEN}-token training
+    sequence by greedy cumulative fill in doc_id order, independently per
+    source shard. One shuffle (partitionBy source); each partition's packing
+    is a running integer sum — the streaming-friendly shape that packs 100 TB
+    without a global sort. seq_id = tokens-before-this-doc div {_SEQ_LEN}."""
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.ceil(F.col("n_chars") / 4).cast("bigint").alias("toks"),
+    )
+    cum = t.withColumn("cum_toks", F.sum("toks").over(w))
+    return cum.select(
+        "source", "doc_id", "toks",
+        F.expr(f"div(cum_toks - toks, {_SEQ_LEN})").alias("seq_id"),
+    )
+
+
+@register("mixture_sample", f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * {_HASH}) % 1000 <
+          CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 200 ELSE 50 END
+""")
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture: per-language sampling rates
+    (en 30%, de 20%, rest 5%) through one multiplicative-hash filter — the
+    reproducible way to carve a training mixture. Pure filter: no shuffle,
+    no rand(), same rows on every engine, run, and partition layout."""
+    d = _t(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", 300)
+            .when(F.col("lang") == "de", 200)
+            .otherwise(50))
+    return d.filter((F.col("doc_id") * F.lit(_HASH)) % 1000 < rate).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register("split_assign", f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (doc_id * {_HASH}) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * {_HASH}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split
+""")
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test split (80/10/10) + per-split accounting.
+    Assignment is a pure projection (stable under reshuffles and re-runs —
+    the property that keeps eval sets leak-free across pipeline versions);
+    the only exchange is the 3-group final agg."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_HASH)) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val")
+             .otherwise("test"))
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register("decontaminate", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i
+      FROM w
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(words[i:i+4], ' ') AS shingle FROM pos
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+    SELECT DISTINCT doc_id AS contaminated_doc_id
+    FROM sh
+    WHERE doc_id >= 10 AND shingle IN (SELECT shingle FROM bench)
+""")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any 5-word
+    shingle with the benchmark set (docs 0-9 stand in for an eval suite).
+    Explode shingles → distinct bench shingles (broadcast — eval suites are
+    small) → left-semi join → distinct doc ids. The semi join ships each
+    candidate doc at most once however many shingles collide; this is the
+    n-gram-overlap shape used for real pretraining decontamination."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    idx = F.when(
+        F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    # note: Spark's sequence(1, stop) counts DOWN when stop < 1, hence the
+    # explicit emptiness guard (DuckDB's generate_series is empty there).
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i, 5), " "))
+        ).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
+
+
+@register("pii_mask", """
+    WITH c AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-0142' AS contact
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(contact,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_emails,
+           right(regexp_replace(regexp_replace(contact,
+                   '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 40) AS masked_tail
+    FROM c
+""")
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-mask emails and phone numbers (synthetic PII is
+    appended per row so the masking is observable on the word-salad corpus).
+    Pure codegen'd projection — the shape of a 100 TB scrub pass is just a
+    scan-project-write with no exchange. Spark regexp_replace is global by
+    default; the oracle passes the 'g' flag."""
+    d = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-0142"),
+    )
+    email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone = "[0-9]{3}-[0-9]{4}"
+    masked = F.regexp_replace(
+        F.regexp_replace(contact, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(contact, F.lit(email), 0)).alias("n_emails"),
+        F.substring(masked, -40, 40).alias("masked_tail"),
+    )
+
+
+@register("class_balance", """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+    SELECT lang, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+           ROUND(-(CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot), 6)
+             AS entropy_term
+    FROM c, t
+""")
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance accounting: per-language share of the corpus and its
+    Shannon-entropy contribution (sum = mixture entropy — the metric a data
+    curator watches while reweighting). Two tiny aggs + a broadcast of the
+    one-row total."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    share = F.col("n").cast("double") / F.col("tot")
+    return c.join(F.broadcast(tot)).select(
+        "lang", "n",
+        F.round(share, 6).alias("share"),
+        F.round(-share * F.log(share), 6).alias("entropy_term"),
+    )
