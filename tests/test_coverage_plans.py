@@ -1,0 +1,86 @@
+"""Plan-shape assertions for the TPC-H fill-ins, scalar-function surface and
+training-data pipeline queries: the 100 TB posture (pushdown, broadcast semi
+joins, Expand-based unpivot, window-partitioned packing) must be visible in
+the physical plan."""
+
+from __future__ import annotations
+
+import re
+
+from parquetaivectorsearch_spark import plans as P
+from parquetaivectorsearch_spark import queries as Q
+from tests.conftest import SF_SMOKE
+
+QUERIES = Q.all_queries()
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 shape: every filter column reaches the parquet scan and the plan
+    is scan → partial agg → single-row final agg (no join, no wide node)."""
+    df = QUERIES["forecast_revenue"](spark, SF_SMOKE)
+    pushed = " ".join(P.pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, pushed
+    assert P.has_partial_aggregate(df)
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    plan = P.formatted_plan(QUERIES["promo_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_late_orders_is_semi_join(spark):
+    """Q4 shape: the EXISTS-with-inequality must plan as a single semi join
+    (each order ships at most once), not an inner join + distinct."""
+    plan = P.formatted_plan(QUERIES["late_orders_priority"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+
+
+def test_argmax_agg_is_single_aggregate_no_window(spark):
+    """max_by packs argmax into the hash agg — no Window/sort node."""
+    plan = P.formatted_plan(QUERIES["argmax_agg"](spark, SF_SMOKE))
+    assert "max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """unpivot plans as an Expand node with zero exchanges — each row emits
+    its long-form rows in place (the UNION ALL formulation would scan the
+    table once per metric)."""
+    plan = P.formatted_plan(QUERIES["unpivot_stack"](spark, SF_SMOKE))
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_decontaminate_broadcast_semi_join(spark):
+    """The bench-shingle set must broadcast into a semi join — the corpus
+    side never shuffles on shingle."""
+    plan = P.formatted_plan(QUERIES["decontaminate"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_mixture_sample_is_pure_filter(spark):
+    """Deterministic sampling must stay a scan+filter: no exchange at all."""
+    plan = P.formatted_plan(QUERIES["mixture_sample"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    """Packing must window per source shard (hash-partitioned on source),
+    never a single global ordering."""
+    plan = P.formatted_plan(QUERIES["pack_sequences"](spark, SF_SMOKE))
+    assert re.search(r"hashpartitioning\(source", plan), plan
+
+
+def test_not_exists_is_anti_join(spark):
+    plan = P.formatted_plan(QUERIES["not_exists_subquery"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+
+
+def test_correlated_scalar_decorrelates_to_aggregate_join(spark):
+    """The per-nation average must appear as one aggregate joined back —
+    not N subquery executions."""
+    plan = P.formatted_plan(QUERIES["correlated_scalar_subquery"](spark, SF_SMOKE))
+    assert P.has_partial_aggregate(QUERIES["correlated_scalar_subquery"](spark, SF_SMOKE)) or "HashAggregate" in plan, plan
+    assert "Join" in plan, plan
