@@ -84,6 +84,25 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_csv(spark, out, "doc_id BIGINT, lang STRING, n_chars BIGINT")
 
 
+@register("orc_roundtrip", """
+    SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings
+""")
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (SURVEY §2.1 X): the second columnar
+    format a warehouse migration needs. Ints and the float-array column
+    survive ORC exactly (same type system as parquet), so this is
+    oracle-checkable; the oracle reads the original parquet — equality
+    proves the round-trip was lossless."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/emb"
+    _t(spark, sf_dir, "embeddings").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+
+
 @register("json_sample_sink")  # rows-only: round-trips through a JSON sink
 def q_json_sample_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100-row JSON sample dump + read-back (Program.cs:102-103)."""

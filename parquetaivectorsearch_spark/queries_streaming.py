@@ -110,6 +110,27 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(out, "append").filter("user_id >= 0")
 
 
+@register("streaming_sliding_agg", """
+    WITH exploded AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) AS DATE) - 1 AS window_start, value FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM exploded
+    GROUP BY window_start
+""")
+def q_streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day-slide windows through Structured Streaming:
+    every event contributes to two overlapping windows' state. Single
+    availableNow batch in update mode ≡ the batch two-window explode
+    oracle (the streaming twin of sliding_window_agg)."""
+    return S.run_available_now(
+        S.sliding_counts(_staged_stream(spark, sf_dir)), "update")
+
+
 @register("streaming_dedup", """
     SELECT event_id, user_id, event_type FROM events
 """)

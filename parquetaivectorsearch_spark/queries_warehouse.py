@@ -149,3 +149,118 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("est_total", "exact_total")
     )
+
+
+@register("merge_upsert", """
+    WITH upd AS (
+      SELECT o_orderkey AS key,
+             CAST(o_totalprice + 1000 AS DECIMAL(12,2)) AS new_price
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS key,
+             CAST(500 AS DECIMAL(12,2)) AS new_price
+      FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    base AS (
+      SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    )
+    SELECT COALESCE(b.key, u.key) AS o_orderkey,
+           COALESCE(u.new_price, b.price) AS price,
+           CASE WHEN b.key IS NULL THEN 'insert'
+                WHEN u.key IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS action
+    FROM base b FULL OUTER JOIN upd u ON b.key = u.key
+""")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics (matched → update, not-matched → insert)
+    as a full-outer join + coalesce — the lakehouse upsert primitive,
+    expressed engine-natively (no table-format dependency). The updates
+    batch is derived deterministically from the base so the oracle can
+    reconstruct it. At scale both sides hash-partition on the merge key —
+    one exchange each, and AQE handles the skewed-key case; the streaming
+    twin is run_latest_state_upsert (foreachBatch CDC)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice") + 1000).cast("decimal(12,2)").alias("new_price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("key"),
+                F.lit(500).cast("decimal(12,2)").alias("new_price"),
+            )
+        )
+    )
+    j = base.alias("b").join(upd.alias("u"), "key", "full_outer")
+    return j.select(
+        F.col("key").alias("o_orderkey"),
+        F.coalesce("u.new_price", "b.price").alias("price"),
+        F.when(F.col("b.price").isNull(), "insert")
+        .when(F.col("u.new_price").isNotNull(), "update")
+        .otherwise("keep").alias("action"),
+    )
+
+
+@register("window_first_last", """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER w AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation windows over the full partition frame: each order sees its
+    customer's first / last / second order key (unique (date, key) ordering
+    → deterministic). One shuffle on o_custkey serves all three functions."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.last_value("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register("window_range_frame", """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_cents,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_cents
+                          RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW)
+             AS n_within_5k
+    FROM t
+""")
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, how many of their orders fall
+    within $5,000 below each order's price. Prices are keyed as integer
+    cents so the frame boundary arithmetic is exact in both engines (RANGE
+    over doubles would compare engine-rounded boundaries)."""
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("price_cents")
+        .rangeBetween(-500000, Window.currentRow)
+    )
+    return t.select(
+        "o_orderkey", "o_custkey", "price_cents",
+        F.count("*").over(w).alias("n_within_5k"),
+    )
