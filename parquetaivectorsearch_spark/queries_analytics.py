@@ -366,3 +366,59 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("distance", "vec_id")
         .limit(10)
     )
+
+
+@register("zorder_layout", """
+    WITH t AS (
+      SELECT o_orderkey,
+             o_custkey % 65536 AS xb,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS yb
+      FROM orders
+    ),
+    s1 AS (SELECT o_orderkey, xb, yb,
+                  ((xb | (xb << 8)) & 16711935) AS xs,
+                  ((yb | (yb << 8)) & 16711935) AS ys FROM t),
+    s2 AS (SELECT o_orderkey, xb, yb,
+                  ((xs | (xs << 4)) & 252645135) AS xs,
+                  ((ys | (ys << 4)) & 252645135) AS ys FROM s1),
+    s3 AS (SELECT o_orderkey, xb, yb,
+                  ((xs | (xs << 2)) & 858993459) AS xs,
+                  ((ys | (ys << 2)) & 858993459) AS ys FROM s2),
+    s4 AS (SELECT o_orderkey, xb, yb,
+                  ((xs | (xs << 1)) & 1431655765) AS xs,
+                  ((ys | (ys << 1)) & 1431655765) AS ys FROM s3),
+    z AS (SELECT o_orderkey, xb, yb, (xs | (ys << 1)) AS zval FROM s4),
+    b AS (SELECT *, ntile(16) OVER (ORDER BY zval, o_orderkey) AS bucket FROM z)
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(xb) AS min_cust, MAX(xb) AS max_cust,
+           MIN(yb) AS min_price_k, MAX(yb) AS max_price_k
+    FROM b GROUP BY bucket
+""")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering of orders on (custkey, price-band): Morton-
+    interleave the two 16-bit keys (operators/layout.py — pure codegen
+    shift/mask arithmetic), split into 16 file-buckets along the curve, and
+    report each bucket's (custkey, price) bounding box — the min/max stats
+    a parquet writer would persist, i.e. the pruning power of the layout:
+    both dimensions stay tight simultaneously, which no single-column sort
+    achieves. The oracle-checkable bucket definition is ntile over the
+    Z-value; the production write path (operators/layout.py
+    zorder_repartition) uses sampling-based repartitionByRange instead of a
+    global window — same curve, scalable split points."""
+    from parquetaivectorsearch_spark.operators.layout import zorder_value
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xb"),
+        F.expr("div(CAST(ROUND(o_totalprice * 100) AS BIGINT), 100000)").alias("yb"),
+    )
+    z = t.withColumn("zval", zorder_value(F.col("xb"), F.col("yb")))
+    b = z.withColumn(
+        "bucket", F.ntile(16).over(Window.orderBy("zval", "o_orderkey"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("xb").alias("min_cust"), F.max("xb").alias("max_cust"),
+        F.min("yb").alias("min_price_k"), F.max("yb").alias("max_price_k"),
+    )

@@ -1,0 +1,71 @@
+"""Z-order layout: bit-interleave correctness vs a python reference, and the
+clustering property of zorder_repartition (per-split Z-ranges are disjoint
+and both dimensions' bounding boxes shrink vs the unclustered layout)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators import layout as L
+from tests.conftest import SF_CORRECT
+from parquetaivectorsearch_spark.sources import load_table
+
+
+def _py_spread(v: int) -> int:
+    for sh, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        v = (v | (v << sh)) & mask
+    return v
+
+
+def _py_z(x: int, y: int) -> int:
+    return _py_spread(x & 0xFFFF) | (_py_spread(y & 0xFFFF) << 1)
+
+
+def test_zorder_value_matches_reference(spark):
+    import pandas as pd
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (65535, 65535), (12345, 54321)]
+    pdf = pd.DataFrame(pts, columns=["x", "y"])
+    out = (
+        spark.createDataFrame(pdf)
+        .select("x", "y", L.zorder_value(F.col("x"), F.col("y")).alias("z"))
+        .toPandas()
+    )
+    for _, r in out.iterrows():
+        assert r.z == _py_z(int(r.x), int(r.y)), (r.x, r.y, r.z)
+
+
+def test_zorder_repartition_clusters_both_dimensions(spark):
+    o = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xb"),
+        F.expr("div(CAST(ROUND(o_totalprice * 100) AS BIGINT), 100000)").alias("yb"),
+    )
+    parts = 8
+    clustered = L.zorder_repartition(o, "xb", "yb", parts)
+    stats = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("z").alias("zmin"), F.max("z").alias("zmax"),
+            (F.max("xb") - F.min("xb")).alias("xspan"),
+            (F.max("yb") - F.min("yb")).alias("yspan"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(stats) == parts
+    # Z-ranges of the splits must be disjoint (range partitioning worked).
+    spans = sorted((r.zmin, r.zmax) for r in stats)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0, spans
+    # Clustering: the mean per-split bounding-box area must be well under
+    # the full-domain box (both dimensions tighten at once — the z-curve
+    # property a single-column sort cannot give).
+    full = o.agg(
+        (F.max("xb") - F.min("xb")).alias("xs"),
+        (F.max("yb") - F.min("yb")).alias("ys"),
+    ).collect()[0]
+    full_area = full.xs * full.ys
+    mean_area = sum(r.xspan * r.yspan for r in stats) / len(stats)
+    assert mean_area < 0.5 * full_area, (mean_area, full_area)
