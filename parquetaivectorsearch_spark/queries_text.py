@@ -329,3 +329,166 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", *[scores[k].alias(f"s_{k}") for k in _LANG_MARKERS]
     ).withColumn("lang_guess", guess)
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical ranking + hybrid (lexical ⊕ vector) retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "join", "vector")
+_BM25_K1, _BM25_B, _RRF_K = 1.2, 0.75, 60
+
+# Per-doc term frequencies + doc length, then the fixed-order BM25 formula.
+# tf/df/dl are integers and the score expression tree is identical in both
+# engines, so the only cross-engine wobble is libm ln — rounded to 6 dp
+# before ranking (ties then break on doc_id identically everywhere).
+_BM25_DOC_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS dl,
+             CAST(len(list_filter(words, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+             CAST(len(list_filter(words, x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(words, x -> x = 'vector')) AS BIGINT) AS tf_vector
+      FROM w
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+             CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+             CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+      FROM tf
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+        ROUND(
+          LN((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+            * (tf_scan * (1.2 + 1.0))
+            / (tf_scan + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          + LN((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+            * (tf_join * (1.2 + 1.0))
+            / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          + LN((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+            * (tf_vector * (1.2 + 1.0))
+            / (tf_vector + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        , 6) AS bm25
+      FROM tf, stats
+    )
+"""
+
+
+def _eq_term(t: str):
+    return lambda x: x == F.lit(t)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    tf = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("dl"),
+        *[
+            # NB: a factory, not a default-arg lambda — a 2-arg lambda would
+            # make F.filter pass the element *index* as the second argument.
+            F.size(F.filter(words, _eq_term(t))).cast("bigint").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = tf.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).cast("bigint").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    j = tf.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log((F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+                    / (F.col(f"df_{t}") + 0.5) + 1.0)
+        contrib = idf * (F.col(f"tf_{t}") * (k1 + 1.0)) / (
+            F.col(f"tf_{t}") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+        score = contrib if score is None else score + contrib
+    return j.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+@register("bm25_rank", _BM25_DOC_SQL + """
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+""")
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking (k1=1.2, b=0.75) for the fixed query
+    ["scan","join","vector"] — Okapi BM25 per Robertson & Zaragoza (2009),
+    computed wholly in codegen'd expressions: per-doc integer tf/dl via
+    higher-order filters, corpus df/avgdl as one broadcast single-row agg,
+    then the closed-form score. One pass over the corpus, one tiny agg —
+    at 100 TB this is scan + broadcast + TakeOrdered, no inverted index
+    needed for a fixed query. Scores rounded 6 dp before ranking so libm
+    ln ulps can't flip ranks (ties break on doc_id)."""
+    scored = _bm25_scored(spark, sf_dir)
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+@register("hybrid_search", _BM25_DOC_SQL + """
+    , lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+      FROM scored
+    ),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                        e.vec_id) AS BIGINT) AS vec_rank
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    )
+    SELECT lex.doc_id, lex_rank, vec_rank,
+           1.0 / (60 + lex_rank) + 1.0 / (60 + vec_rank) AS rrf
+    FROM lex JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, lex.doc_id
+    LIMIT 20
+""")
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical rank ⊕ dot-product vector rank fused
+    by Reciprocal Rank Fusion (Cormack et al., SIGIR 2009: Σ 1/(k+rank),
+    k=60) — the query shape of a modern RAG stack, entirely engine-native.
+    The two rankings run as independent one-pass scans (shared corpus
+    scan), join on doc id, and fuse; RRF terms are exact rationals of
+    integer ranks so the fusion is bit-deterministic. At scale each ranking
+    is a TakeOrdered over its scan and the fusion joins two k-row lists."""
+    from pyspark.sql.window import Window as W
+
+    lex = _bm25_scored(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("bigint").alias("lex_rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec = (
+        emb.join(F.broadcast(qv))
+        .select("vec_id", V.dot("embedding", "qv").alias("dot"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(W.orderBy(F.desc("dot"), "vec_id"))
+            .cast("bigint").alias("vec_rank"),
+        )
+    )
+    rrf = (F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank"))
+           + F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")))
+    return (
+        lex.join(vec, "doc_id")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
