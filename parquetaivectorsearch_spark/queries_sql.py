@@ -159,3 +159,58 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2)
         )
     """)
+
+
+@register("lateral_topn", """
+    SELECT n.n_name, l.c_custkey, l.acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) l
+""")
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY .. LIMIT: the
+    top-2 customers by balance for each nation. Catalyst decorrelates the
+    lateral into a ranked join (same physical shape as the window top-N,
+    window_rank) — the SQL-surface twin of that DataFrame pattern."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql("""
+        SELECT n.n_name, l.c_custkey, l.acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+          FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) l
+    """)
+
+
+@register("recursive_calendar", """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01' AS m
+      UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'
+    )
+    SELECT year(m) AS y, month(m) AS mo, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
+    GROUP BY 1, 2
+""")
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 UnionLoop): generate the monthly calendar
+    spine spanning the order history, then left-join order counts onto it —
+    months with zero orders survive (the gap-revealing shape a pure GROUP BY
+    on the fact table cannot produce). The recursion is ~80 driver-cheap
+    iterations over one-row frames; the join + agg stay distributed."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01' AS m
+          UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < DATE '2001-08-01'
+        )
+        SELECT year(m) AS y, month(m) AS mo, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON year(o_orderdate) = year(m) AND month(o_orderdate) = month(m)
+        GROUP BY 1, 2
+    """)
