@@ -422,3 +422,97 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("xb").alias("min_cust"), F.max("xb").alias("max_cust"),
         F.min("yb").alias("min_price_k"), F.max("yb").alias("max_price_k"),
     )
+
+
+@register("funnel_steps", """
+    WITH s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+           ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                 / (SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL), 6) AS conversion
+""")
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → first later click → first later purchase,
+    strictly ordered per user. Each stage is a groupBy-min plus an equi-join
+    on user_id — three aggs sharing one partitioning key, no windows over
+    raw events. The product-analytics shape (step counts + conversion) at
+    100 TB stays three hash-partitioned passes."""
+    e = _t(spark, sf_dir, "events")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.filter(F.col("t1").isNotNull()).agg(F.count("*").alias("n_signup"))
+    n2 = s2.agg(F.count("*").alias("n_click_after"))
+    n3 = s3.agg(F.count("*").alias("n_purchase_after"))
+    return (
+        n1.join(n2).join(n3).select(
+            "n_signup", "n_click_after", "n_purchase_after",
+            F.round(F.col("n_purchase_after") * 1.0 / F.col("n_signup"), 6)
+            .alias("conversion"),
+        )
+    )
+
+
+@register("cohort_retention", """
+    WITH fp AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT fp.cohort_day,
+           date_diff('day', fp.cohort_day, act.day) // 7 AS week_offset,
+           COUNT(DISTINCT act.user_id) AS n_active
+    FROM act JOIN fp ON act.user_id = fp.user_id
+    GROUP BY 1, 2
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-purchase day, counted as
+    active in each whole-week offset they purchase again. First-touch agg +
+    self-join on user_id + distinct-count — all on one partitioning key.
+    Integer week arithmetic keeps it hash-exact."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    fp = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    act = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        act.join(fp, "user_id")
+        .select(
+            "cohort_day",
+            F.expr("div(datediff(day, cohort_day), 7)").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -190,3 +190,85 @@ def q_approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
         .alias("approx_pcts")
     )
+
+
+@register("gap_fill", """
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM u
+    ),
+    j AS (
+      SELECT s.user_id, s.day, p.day_value
+      FROM spine s LEFT JOIN p ON p.user_id = s.user_id AND p.day = s.day
+    )
+    SELECT user_id, day, day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           day_value IS NULL AS is_gap
+    FROM j
+""")
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: build each user's full daily calendar spine
+    (users × exploded day sequence — the dimension side broadcasts), left
+    join the observed daily purchase totals, and forward-fill gaps with
+    last-observation-carried-forward (`last(..., ignorenulls)` over a
+    running frame). Days before a user's first purchase stay NULL. One
+    shuffle on user_id serves both the join and the fill window — the
+    standard sensor/feature-store densification shape."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("day_value"))
+    )
+    users = e.select("user_id").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    spine = users.join(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    from pyspark.sql.window import Window as W
+
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        "user_id", "day", "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    )
+
+
+@register("regression_agg", """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+""")
+def q_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price vs quantity per return flag):
+    regr_slope/intercept/r2 as single-pass mergeable moments — the
+    descriptive-modeling agg family beyond plain corr (stats_agg). Rounded
+    past the ~1e-10 cross-engine moment-accumulation drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.count("*").alias("n"),
+    )
