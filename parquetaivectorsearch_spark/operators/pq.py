@@ -1,0 +1,170 @@
+"""Product Quantization (PQ): vector compression + asymmetric-distance
+search — the third leg of the ANN triad next to IVF (operators/ann.py) and
+the partitioned HNSW graph (operators/hnsw.py).
+
+Algorithm per Jégou, Douze & Schmid, "Product Quantization for Nearest
+Neighbor Search" (IEEE TPAMI 2011): split each d-dim vector into m
+subvectors, k-means each subspace to k centroids, store each vector as m
+small codes (m·log2(k) bits — 8 subspaces × 16 centroids = 4 bits/code =
+4 bytes/vector here vs 256 bytes raw float32×64). Search computes one
+(m × k) lookup table per query (inner products of query subvectors with
+every centroid) and scores a compressed vector with m table lookups — the
+asymmetric distance computation (ADC).
+
+Spark shape (100 TB posture):
+- codebook training is a capped driver-side sample (like the IVF coarse
+  quantizer — the only driver-side math in the engine);
+- encoding is one mapInPandas pass (numpy argmin per subspace per Arrow
+  batch); codes persist as a parquet table ~64× smaller than the vectors,
+  the working set that makes a billion-vector scan RAM-resident;
+- ADC search scans only the codes table with partition-local top-k heaps
+  (shuffles P×|queries|×shortlist survivor rows);
+- the shortlist is re-ranked exactly against the raw vectors (standard
+  PQ + re-rank), so final top-k quality is set by the shortlist depth,
+  not the quantization error.
+
+The reference's HNSW holds every raw vector in RAM (Program.cs:26,106-107,
+~6 GB at 1M×1536); PQ is how the same search fits when the corpus is
+1000× that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
+             vec_col: str = "embedding", sample_cap: int = 50_000,
+             iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Train per-subspace codebooks on a capped sample; returns
+    float64[m, k, d/m]. Deterministic: seeded init, fixed iteration count,
+    vectorized L2 k-means per subspace."""
+    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        xj = x[:, j * dsub:(j + 1) * dsub]
+        cent = xj[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xj[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to its m subspace codes (one mapInPandas pass).
+
+    Output: (vec_id, codes array<int>) — the compressed corpus table; write
+    it as parquet and search it instead of the raw vectors.
+    """
+    m, k, dsub = codebooks.shape
+    books = codebooks  # closure-captured; broadcast by task serialization
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xj = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} BIGINT, codes ARRAY<INT>")
+
+
+def pq_adc_search(codes_df: DataFrame, codebooks: np.ndarray,
+                  queries: DataFrame, shortlist: int = 200,
+                  id_col: str = "vec_id") -> DataFrame:
+    """ADC shortlist search over the compressed table.
+
+    Per query: lut[j, c] = <q_subj, codebook[j, c]> (computed once on the
+    driver for the bounded query batch); each compressed vector scores as
+    Σ_j lut[j, codes_j] — m lookups, no raw vectors touched. Partition-local
+    top-`shortlist` heaps, then a global per-query rank — the knn_join_bulk
+    merge shape over a 64×-smaller scan.
+
+    Output: (query_id, vec_id, approx_score, rank) — approximate by
+    construction (quantization error), feed to ``pq_rerank``.
+    """
+    m, k, dsub = codebooks.shape
+    q_pdf = queries.toPandas()  # bounded: the query batch, not the corpus
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.stack(q_pdf["query_vec"].to_numpy()).astype(np.float64)
+    # luts[q, j, c] = <query_q subspace j, centroid c>
+    luts = np.einsum("qjd,jcd->qjc",
+                     q_mat.reshape(len(q_ids), m, dsub), codebooks)
+
+    def partial(batches):
+        import heapq
+
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (batch, m)
+            # scores[q, i] = Σ_j luts[q, j, codes[i, j]]
+            scores = luts[:, np.arange(m)[None, :], codes].sum(-1)  # (q, batch)
+            take = min(shortlist, len(ids))
+            for qi, qid in enumerate(q_ids):
+                s = scores[qi]
+                cand = np.argpartition(-s, take - 1)[:take] if take < len(s) \
+                    else np.arange(len(s))
+                heap = best[int(qid)]
+                for i in cand:
+                    item = (s[i], int(ids[i]))
+                    if len(heap) < shortlist:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        rows = [(qid, vid, sc) for qid, heap in best.items()
+                for sc, vid in heap]
+        yield pd.DataFrame(rows, columns=["query_id", "vec_id", "approx_score"])
+
+    survivors = codes_df.mapInPandas(
+        partial, "query_id BIGINT, vec_id BIGINT, approx_score DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), "vec_id")
+    return (survivors.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= shortlist))
+
+
+def pq_rerank(shortlist_df: DataFrame, corpus: DataFrame, queries: DataFrame,
+              k: int = 20, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Exact re-rank of the ADC shortlist: join back the raw vectors for the
+    shortlisted ids only (a semi-join-sized read), score with the
+    bit-deterministic Catalyst dot fold, keep top-k per query.
+
+    Output: (query_id, vec_id, distance, rank) — same schema family as the
+    exact knn_join, distances comparable to the canonical oracle."""
+    from parquetaivectorsearch_spark.functions import vector as V
+
+    cand = shortlist_df.select("query_id", id_col).join(
+        corpus.select(id_col, vec_col), id_col)
+    scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id", id_col,
+        (F.lit(1.0) - V.dot(vec_col, "query_vec")).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

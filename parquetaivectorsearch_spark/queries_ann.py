@@ -103,3 +103,23 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return H.hnsw_search(loaded, emb, queries, k=20)
+
+
+@register("pq_topk")  # rows-only: quantization is approximate by construction
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed search (operators/pq.py, Jégou et al. TPAMI 2011):
+    train 8×16 codebooks on a capped sample, encode the corpus to 4-byte
+    codes (64× smaller than the raw float32 vectors), ADC-scan the codes
+    for a 200-deep shortlist, then exact re-rank to top-20 — the pipeline
+    that keeps the reference's search (Program.cs:207-227) RAM-resident
+    when the corpus is 1000× its 1M rows."""
+    from parquetaivectorsearch_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = PQ.train_pq(emb, m=8, k=16)
+    codes = PQ.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    short = PQ.pq_adc_search(codes, books, queries, shortlist=200)
+    return PQ.pq_rerank(short, emb, queries, k=20)

@@ -1,0 +1,77 @@
+"""PQ semantics: code validity, compression factor, ADC+re-rank recall vs
+the exact oracle on a planted-neighbor corpus (same methodology as
+tests/test_ann.py), and re-rank distance equality with the exact kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.operators import knn
+from parquetaivectorsearch_spark.operators import pq as PQ
+from parquetaivectorsearch_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _queries(emb, n=4):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_pq_codes_shape_and_range(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = PQ.train_pq(emb, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    codes = PQ.pq_encode(emb, books).toPandas()
+    assert len(codes) == emb.count()
+    mat = np.stack(codes["codes"].to_numpy())
+    assert mat.shape[1] == 8
+    assert mat.min() >= 0 and mat.max() < 16
+
+
+def test_pq_adc_rerank_recall_planted(spark):
+    """Shortlist-200 ADC + exact re-rank reaches recall@20 ≥ 0.9 on a
+    corpus with planted near-neighbors (raw fixture vectors are ~random,
+    see test_ann.py docstring for why planting is required)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.toPandas()
+    x = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    rng = np.random.RandomState(11)
+    rows, next_id = [], int(base["vec_id"].max()) + 1
+    for q in range(4):
+        for _ in range(20):
+            v = x[q] + 0.05 * rng.randn(x.shape[1]).astype(np.float32)
+            v /= np.linalg.norm(v)
+            rows.append((next_id, [float(f) for f in v], -1))
+            next_id += 1
+    planted = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    corpus = emb.union(planted)
+
+    queries = _queries(emb)
+    exact = {(r.query_id, r.vec_id)
+             for r in knn.knn_join(corpus, queries, k=20).collect()}
+    books = PQ.train_pq(corpus, m=8, k=16)
+    codes = PQ.pq_encode(corpus, books)
+    short = PQ.pq_adc_search(codes, books, queries, shortlist=200)
+    approx = {(r.query_id, r.vec_id)
+              for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@20 = {recall:.3f}"
+
+
+def test_pq_rerank_distances_match_exact_kernel(spark):
+    """Re-ranked distances must equal the canonical Catalyst fold for the
+    same (query, id) pairs — the shortlist changes candidates, never the
+    metric."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = _queries(emb, n=2)
+    books = PQ.train_pq(emb, m=8, k=16)
+    codes = PQ.pq_encode(emb, books)
+    short = PQ.pq_adc_search(codes, books, queries, shortlist=50)
+    rr = PQ.pq_rerank(short, emb, queries, k=10).toPandas()
+    exact = knn.knn_join(emb, queries, k=emb.count()).toPandas()
+    ex = {(r.query_id, r.vec_id): r.distance for r in exact.itertuples()}
+    for r in rr.itertuples():
+        assert ex[(r.query_id, r.vec_id)] == r.distance
