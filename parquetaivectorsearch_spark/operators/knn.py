@@ -175,3 +175,63 @@ def knn_topk_sql(spark: SparkSession, corpus: DataFrame, query: DataFrame,
         ORDER BY distance, c.vec_id
         LIMIT {int(k)}
     """)
+
+
+def mmr_rerank(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+               k: int = 10, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick k of each query's candidates maximizing
+    ``λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — relevance balanced against
+    redundancy, the diversification step after a KNN/hybrid retrieval.
+
+    Scale shape: candidates are a per-query top-N (bounded, ~50 rows per
+    query), so the greedy O(k·N) loop runs per group inside applyInPandas
+    with the group's own vectors only — the corpus is touched once to
+    attach candidate vectors (semi-join-sized read), never iterated.
+    Deterministic: float64 numpy, fixed iteration order, argmax ties break
+    to the lowest candidate index (stable argmax), candidates pre-sorted by
+    (distance, id).
+
+    Input ``candidates``: (query_id, vec_id, distance[, ...]).
+    Output: (query_id, vec_id, mmr_rank, relevance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.toPandas()
+    q_vecs = {int(r["query_id"]): np.asarray(r["query_vec"], dtype=np.float64)
+              for _, r in q_pdf.iterrows()}
+
+    with_vec = candidates.select("query_id", id_col, "distance").join(
+        corpus.select(id_col, vec_col), id_col)
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["distance", id_col], ignore_index=True)
+        qid = int(pdf["query_id"].iloc[0])
+        q = q_vecs[qid]
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        rel = x @ q                      # relevance: dot with the query
+        sim = x @ x.T                    # pairwise candidate similarity
+        n = len(ids)
+        chosen: list[int] = []
+        free = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if chosen:
+                red = sim[:, chosen].max(axis=1)
+            else:
+                red = np.zeros(n)
+            score = np.where(free, lam * rel - (1.0 - lam) * red, -np.inf)
+            pick = int(score.argmax())   # stable: first max wins
+            chosen.append(pick)
+            free[pick] = False
+        return pd.DataFrame({
+            "query_id": qid,
+            id_col: ids[chosen],
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            "relevance": rel[chosen],
+        })
+
+    out_schema = f"query_id BIGINT, {id_col} BIGINT, mmr_rank INT, relevance DOUBLE"
+    return with_vec.groupBy("query_id").applyInPandas(per_query, out_schema)

@@ -123,3 +123,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     short = PQ.pq_adc_search(codes, books, queries, shortlist=200)
     return PQ.pq_rerank(short, emb, queries, k=20)
+
+
+@register("mmr_rerank")  # rows-only: greedy iterative selection, not SQL-expressible
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact top-50 candidates per query (4 queries),
+    then Maximal Marginal Relevance greedy re-rank to 10 (λ=0.7) inside
+    applyInPandas — the de-duplicating final stage of a RAG retrieval
+    stack (pairs with hybrid_search)."""
+    from parquetaivectorsearch_spark.operators import knn as KNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = KNN.knn_join(emb, queries, k=50)
+    return KNN.mmr_rerank(cand, emb, queries, k=10, lam=0.7)
