@@ -237,3 +237,46 @@ def q_project_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("2").alias("f2"), F.col("3").alias("f3"),
         )
     )
+
+
+@register("datetime_functions", """
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+           EXTRACT(MONTH FROM o_orderdate) AS mon,
+           EXTRACT(DOY FROM o_orderdate) AS doy,
+           isodow(o_orderdate) AS iso_dow,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS epoch_day,
+           datediff('day', DATE '1970-01-01', last_day(CAST(o_orderdate AS DATE)))
+             AS month_end_day,
+           datediff('day', DATE '1970-01-01',
+                    CAST(date_trunc('month', o_orderdate) AS DATE))
+             AS month_start_day,
+           (EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+             + EXTRACT(MONTH FROM o_orderdate) - 1 AS month_index
+    FROM orders WHERE o_orderkey < 1000
+""")
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery (SURVEY §2.8 X): extract fields, ISO
+    weekday, last-day/truncation boundaries, month indexing. Every output is
+    an integer (epoch-day or field number) — the cross-engine-safe export
+    per the determinism recipe; Spark's weekday() (0=Monday) maps to
+    DuckDB's isodow (1=Monday) by +1. All codegen'd, filter pushed."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.to_date("o_orderdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.datediff(d, epoch).cast("long").alias("epoch_day"),
+        F.datediff(F.last_day(d), epoch).cast("long").alias("month_end_day"),
+        F.datediff(F.to_date(F.date_trunc("month", "o_orderdate")), epoch)
+            .cast("long").alias("month_start_day"),
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .cast("long").alias("month_index"),
+    )

@@ -429,3 +429,88 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_custs"),
              F.sum(_d12("c_acctbal")).cast("decimal(38,4)").alias("total_bal"))
     )
+
+
+@register("priority_shipment_counts", """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+""")
+def q_priority_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line-status counts of high- vs low-priority
+    orders among slow shipments (>30 days after ordering). The fixtures have
+    no l_shipmode column, so l_linestatus is the grouping stand-in — the
+    plan archetype is identical: fact⋈fact equi-join with a cross-table
+    inequality evaluated join-side, then two conditional counts in one
+    hash agg (one pass, no second join or union)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register("waiting_suppliers", """
+    WITH items AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM items l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (
+        SELECT 1 FROM items l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM items l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late
+      )
+    GROUP BY s_name
+""")
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *only* late supplier on a
+    finished multi-supplier order. Three correlated references to the same
+    derived table become one base DataFrame reused three ways — a semi join
+    (some other supplier exists) and an anti join (no other *late* supplier)
+    stacked on the late-items probe, both with a non-equi suppkey≠ predicate
+    riding the orderkey equi-key. Lateness (>60 days, no l_receiptdate in
+    the fixtures) is computed once in `items` so all three branches agree."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    items = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey",
+                (F.col("l_shipdate") > F.col("o_orderdate")
+                 + F.expr("INTERVAL 60 DAYS")).alias("is_late"))
+    )
+    l1 = items.filter(F.col("is_late"))
+    l2 = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = (items.filter(F.col("is_late"))
+          .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")))
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        l1.join(l2, (F.col("l_orderkey") == F.col("ok2"))
+                & (F.col("l_suppkey") != F.col("sk2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("ok3"))
+              & (F.col("l_suppkey") != F.col("sk3")), "left_anti")
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -84,3 +84,71 @@ def test_correlated_scalar_decorrelates_to_aggregate_join(spark):
     plan = P.formatted_plan(QUERIES["correlated_scalar_subquery"](spark, SF_SMOKE))
     assert P.has_partial_aggregate(QUERIES["correlated_scalar_subquery"](spark, SF_SMOKE)) or "HashAggregate" in plan, plan
     assert "Join" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# queries_tpch2: full TPC-H shape suite — scale posture
+# ---------------------------------------------------------------------------
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    """Q7 shape: supplier/customer/nation sides all broadcast; the only
+    sort-merge-worthy join is lineitem⋈orders; shipdate window is pushed."""
+    df = QUERIES["nation_volume"](spark, SF_SMOKE)
+    plan = P.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "l_shipdate" in " ".join(P.pushed_filters(df))
+
+
+def test_market_share_single_shuffle_probe(spark):
+    """Q8 shape: 7-table join with five broadcast stages stacked on one
+    probe; no nested-loop join anywhere."""
+    plan = P.formatted_plan(QUERIES["market_share"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_returned_customers_take_ordered(spark):
+    """Q10 shape: ORDER BY revenue LIMIT 20 must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    plan = P.executed_plan(QUERIES["returned_customers"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_order_count_distribution_keeps_outer_join(spark):
+    """Q13 shape: the priority filter must ride the join (LeftOuter
+    survives) — a WHERE would silently drop order-less customers."""
+    plan = P.formatted_plan(QUERIES["order_count_distribution"](spark, SF_SMOKE))
+    assert "LeftOuter" in plan, plan
+
+
+def test_waiting_suppliers_semi_then_anti(spark):
+    """Q21 shape: EXISTS → one semi join, NOT EXISTS → one anti join,
+    both with the suppkey≠ predicate riding the orderkey equi-key."""
+    plan = P.formatted_plan(QUERIES["waiting_suppliers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_disjunctive_preds_stays_hash_join(spark):
+    """Q19 shape: the OR-of-bands must evaluate as a post-join filter on a
+    broadcast-hash join — writing it into the join condition degrades to a
+    nested-loop cross product at scale."""
+    plan = P.formatted_plan(QUERIES["disjunctive_preds"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_idle_customers_anti_join_pushes_price(spark):
+    """Q22 shape: NOT EXISTS plans as an anti join whose build side scans
+    only big orders (price filter pushed to that scan)."""
+    df = QUERIES["idle_customers"](spark, SF_SMOKE)
+    plan = P.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "o_totalprice" in " ".join(P.pushed_filters(df))
+
+
+def test_datetime_functions_no_shuffle(spark):
+    """Pure per-row datetime projection: key filter pushed, zero exchanges."""
+    df = QUERIES["datetime_functions"](spark, SF_SMOKE)
+    assert "o_orderkey" in " ".join(P.pushed_filters(df))
+    assert len(re.findall(r"\(\d+\) Exchange", P.formatted_plan(df))) == 0
