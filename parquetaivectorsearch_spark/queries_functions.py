@@ -280,3 +280,66 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
             .cast("long").alias("month_index"),
     )
+
+
+@register("map_functions", """
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+           MAX(event_type = 'error') AS has_error
+    FROM events GROUP BY user_id
+""")
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (SURVEY §2.8 X): per-user event-type histogram as a
+    real MapType column — map_from_entries over sorted collected structs,
+    then size / element_at / map_contains_key consume it. The oracle reads
+    the same facts relationally (conditional counts), proving the map round
+    trip loses nothing. Two-level agg keeps the collect_list per (user,type)
+    pair tiny; the map itself never exceeds the event-type cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = (
+        counts.groupBy("user_id")
+        .agg(F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m"))
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.map_contains_key("m", "error").alias("has_error"),
+    )
+
+
+@register("conditional_functions", """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           GREATEST(c_acctbal, 0.0) AS bal_floor,
+           LEAST(c_acctbal, 5000.0) AS bal_cap,
+           COALESCE(ROUND(c_acctbal / NULLIF(c_nationkey % 5, 0), 4), -1.0)
+             AS per_unit,
+           CASE WHEN c_acctbal IS NULL THEN 0 ELSE 1 END AS has_bal
+    FROM customer
+""")
+def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling battery (SURVEY §2.8 X): CASE banding,
+    GREATEST/LEAST clamps, NULLIF-guarded division with COALESCE fallback.
+    All codegen'd row-local expressions — the null-safety idioms every
+    ingest pipeline needs, with zero exchanges in the plan."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high")
+            .alias("bal_band"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap"),
+        F.coalesce(
+            F.round(bal / F.nullif(F.col("c_nationkey") % 5, F.lit(0)), 4),
+            F.lit(-1.0),
+        ).alias("per_unit"),
+        F.when(bal.isNull(), 0).otherwise(1).alias("has_bal"),
+    )

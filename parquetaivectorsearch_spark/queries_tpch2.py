@@ -514,3 +514,48 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register("cheapest_supplier", """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 1.0
+               / (100.0 * SUM(l_quantity)) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, l_suppkey AS suppkey, ROUND(unit_price, 6) AS unit_price
+    FROM unit
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#21'
+      AND unit_price = (
+        SELECT MIN(u2.unit_price) FROM unit u2
+        WHERE u2.l_partkey = unit.l_partkey
+      )
+""")
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier offering each part at the lowest
+    observed unit price — a correlated MIN subquery joined back on
+    (partkey, min_value). The fixtures have no partsupp.ps_supplycost, so
+    unit price is derived from lineitem: integer cent-sum / integral
+    quantity-sum, both order-independent, so the double division and the
+    min-equality join are bit-exact across engines (ties return every
+    minimal supplier, as in the spec). The groupwise-min is a second agg
+    over the 'unit' aggregate, not a window — cheaper at 100 TB because
+    the per-(part,supplier) rollup has already collapsed the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) * 1.0
+              / (F.lit(100.0) * F.sum("l_quantity"))).alias("unit_price"))
+    )
+    min_unit = (unit.groupBy(F.col("l_partkey").alias("mp_partkey"))
+                .agg(F.min("unit_price").alias("min_price")))
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .filter(F.col("p_brand") == "Brand#21").select("p_partkey"))
+    return (
+        unit.join(part, unit.l_partkey == part.p_partkey)
+        .join(min_unit, (F.col("l_partkey") == F.col("mp_partkey"))
+              & (F.col("unit_price") == F.col("min_price")))
+        .select("p_partkey", F.col("l_suppkey").alias("suppkey"),
+                F.round("unit_price", 6).alias("unit_price"))
+    )
