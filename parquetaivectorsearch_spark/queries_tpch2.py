@@ -287,12 +287,17 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) achieving max quarterly revenue —
-    an aggregate feeding a scalar-subquery filter over itself. Spark: the
-    revenue aggregate is computed once; the single-row max side is planned
-    as a broadcast-hash join against it (no recompute of lineitem — the
-    max is over the 100-row agg output, not the fact table). Decimal
-    revenue makes max-equality exact, so ties (all qualifying suppliers)
-    are returned just like the spec's view formulation."""
+    an aggregate feeding a scalar-subquery filter over itself. A literal
+    scalar-subquery translation re-runs the revenue aggregate (and so
+    re-scans lineitem) for the MAX side — observed as 2 fact scans with no
+    ReusedExchange. Instead the max-filter is a rank() window over the
+    per-supplier agg output: lineitem is scanned once, and the only new
+    exchange moves |suppliers| pre-aggregated rows to one partition (the
+    agg output is ~6 orders of magnitude smaller than the fact table).
+    Decimal revenue makes rank-1 equality exact, so ties (all qualifying
+    suppliers) are returned just like the spec's view formulation."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -301,11 +306,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).cast("decimal(38,4)").alias("total_revenue"))
     )
-    max_rev = revenue0.agg(F.max("total_revenue").alias("max_revenue"))
     sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
-        revenue0.join(F.broadcast(max_rev),
-                      revenue0.total_revenue == F.col("max_revenue"))
+        revenue0
+        .withColumn("rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc())))
+        .filter(F.col("rk") == 1)
         .join(sup, F.col("supplier_no") == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )

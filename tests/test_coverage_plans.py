@@ -152,3 +152,16 @@ def test_datetime_functions_no_shuffle(spark):
     df = QUERIES["datetime_functions"](spark, SF_SMOKE)
     assert "o_orderkey" in " ".join(P.pushed_filters(df))
     assert len(re.findall(r"\(\d+\) Exchange", P.formatted_plan(df))) == 0
+
+
+def test_top_supplier_single_fact_scan(spark):
+    """Q15 shape: the max-revenue filter must NOT re-run the revenue
+    aggregate (scalar-subquery formulation re-scans lineitem); the rank
+    window over the agg output keeps exactly one fact scan."""
+    df = QUERIES["top_supplier"](spark, SF_SMOKE)
+    df.collect()
+    plan = P.executed_plan(df)
+    baseline = QUERIES["forecast_revenue"](spark, SF_SMOKE)
+    baseline.collect()
+    per_scan = P.executed_plan(baseline).count("lineitem.parquet")
+    assert plan.count("lineitem.parquet") == per_scan, plan
