@@ -543,24 +543,27 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, min_value). The fixtures have no partsupp.ps_supplycost, so
     unit price is derived from lineitem: integer cent-sum / integral
     quantity-sum, both order-independent, so the double division and the
-    min-equality join are bit-exact across engines (ties return every
-    minimal supplier, as in the spec). The groupwise-min is a second agg
-    over the 'unit' aggregate, not a window — cheaper at 100 TB because
-    the per-(part,supplier) rollup has already collapsed the fact table."""
+    rank-1 cutoff are bit-exact across engines (ties return every minimal
+    supplier, as in the spec). The groupwise-min is a rank() window
+    PARTITIONed BY partkey over the per-(part,supplier) agg output — a
+    join-back against a second aggregate re-scans lineitem (observed: no
+    ReusedExchange), while the window shuffles only the already-collapsed
+    rollup, ~|part×supplier| rows."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     unit = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) * 1.0
               / (F.lit(100.0) * F.sum("l_quantity"))).alias("unit_price"))
     )
-    min_unit = (unit.groupBy(F.col("l_partkey").alias("mp_partkey"))
-                .agg(F.min("unit_price").alias("min_price")))
     part = F.broadcast(_t(spark, sf_dir, "part")
                        .filter(F.col("p_brand") == "Brand#21").select("p_partkey"))
+    w = Window.partitionBy("l_partkey").orderBy("unit_price")
     return (
         unit.join(part, unit.l_partkey == part.p_partkey)
-        .join(min_unit, (F.col("l_partkey") == F.col("mp_partkey"))
-              & (F.col("unit_price") == F.col("min_price")))
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
         .select("p_partkey", F.col("l_suppkey").alias("suppkey"),
                 F.round("unit_price", 6).alias("unit_price"))
     )
