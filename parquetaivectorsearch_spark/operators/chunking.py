@@ -50,18 +50,22 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tf = term count in doc; idf = ln((N + 1) / (df + 1)) + 1 (smoothed,
     the scikit-learn convention); score = tf · idf, rounded.
 
-    Shape: one explode + two hash aggregations; the per-term df table is
-    tiny relative to the corpus and broadcast-joins back onto term counts.
-    Output: (doc_id, term, tf, df, tfidf).
+    Shape: one explode + one hash aggregation; df (documents containing
+    the term) is a count window over the term partition of the SAME tf
+    output — a groupBy(term)-then-join-back re-derives the whole
+    explode+agg pipeline (observed: 2 extra corpus scans, no
+    ReusedExchange). n_docs is an id-only scan (column-pruned, no
+    explode). Output: (doc_id, term, tf, df, tfidf).
     """
+    from pyspark.sql.window import Window
+
     terms = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .join(F.broadcast(n_docs))
         .select(
             "doc_id", "term", "tf", "df",

@@ -449,35 +449,39 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: signup → first later click → first later purchase,
-    strictly ordered per user. Each stage is a groupBy-min plus an equi-join
-    on user_id — three aggs sharing one partitioning key, no windows over
-    raw events. The product-analytics shape (step counts + conversion) at
-    100 TB stays three hash-partitioned passes."""
-    e = _t(spark, sf_dir, "events")
-    s1 = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    strictly ordered per user. Three stacked min-over-user windows — each
+    stage's threshold (t1, t2) is a window column the next window's CASE
+    references, so all three stages share ONE hash exchange on user_id and
+    events is scanned once (the CTE-chain formulation recomputed its
+    lineage: 5 fact scans, observed). The per-user rows then collapse to
+    one via distinct (map-side, since user rows are co-partitioned) and a
+    single global count row."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((F.col("event_type") == "click")
+                         & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+        .withColumn(
+            "t3",
+            F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-    n1 = s1.filter(F.col("t1").isNotNull()).agg(F.count("*").alias("n_signup"))
-    n2 = s2.agg(F.count("*").alias("n_click_after"))
-    n3 = s3.agg(F.count("*").alias("n_purchase_after"))
-    return (
-        n1.join(n2).join(n3).select(
-            "n_signup", "n_click_after", "n_purchase_after",
-            F.round(F.col("n_purchase_after") * 1.0 / F.col("n_signup"), 6)
-            .alias("conversion"),
-        )
+    users = staged.select("user_id", "t1", "t2", "t3").distinct()
+    return users.agg(
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click_after"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_purchase_after"),
+    ).select(
+        "n_signup", "n_click_after", "n_purchase_after",
+        F.round(F.col("n_purchase_after") * 1.0 / F.col("n_signup"), 6)
+        .alias("conversion"),
     )
 
 

@@ -343,3 +343,31 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("per_unit"),
         F.when(bal.isNull(), 0).otherwise(1).alias("has_bal"),
     )
+
+
+@register("bitwise_functions", """
+    SELECT o_orderkey,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 15 AS with_flags,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           bit_count(o_orderkey) AS popcount
+    FROM orders WHERE o_orderkey < 2000
+""")
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery (SURVEY §2.8 X): xor/and/or, shifts, popcount — the
+    primitives behind hash partitioning, bloom/bit-sampling sketches and
+    SimHash-style fingerprints (operators/dedup.py uses them in anger).
+    Pure codegen row-local ops; key filter pushed to the scan."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        (k.bitwiseAND(F.lit(255))).alias("low_byte"),
+        (k.bitwiseOR(F.lit(15))).alias("with_flags"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )

@@ -490,12 +490,17 @@ def q_priority_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *only* late supplier on a
-    finished multi-supplier order. Three correlated references to the same
-    derived table become one base DataFrame reused three ways — a semi join
-    (some other supplier exists) and an anti join (no other *late* supplier)
-    stacked on the late-items probe, both with a non-equi suppkey≠ predicate
-    riding the orderkey equi-key. Lateness (>60 days, no l_receiptdate in
-    the fixtures) is computed once in `items` so all three branches agree."""
+    finished multi-supplier order. The spec's EXISTS ("some other supplier
+    on the order") and NOT EXISTS ("no other late supplier") are both
+    per-order set facts, so instead of a semi + anti join that re-derive
+    the items pipeline three times (observed: 3 lineitem scans), two
+    distinct-count windows over orderkey compute them in one pass:
+    qualifying rows are late AND n_suppliers≥2 AND n_late_suppliers==1.
+    One scan of each fact, one hash exchange on orderkey. Lateness (>60
+    days, no l_receiptdate in the fixtures) is computed once so every
+    predicate agrees."""
+    from pyspark.sql.window import Window
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -505,16 +510,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_shipdate") > F.col("o_orderdate")
                  + F.expr("INTERVAL 60 DAYS")).alias("is_late"))
     )
-    l1 = items.filter(F.col("is_late"))
-    l2 = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
-    l3 = (items.filter(F.col("is_late"))
-          .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        items
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("n_late_supp", F.size(F.collect_set(
+            F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)))
+    )
     sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
-        l1.join(l2, (F.col("l_orderkey") == F.col("ok2"))
-                & (F.col("l_suppkey") != F.col("sk2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("ok3"))
-              & (F.col("l_suppkey") != F.col("sk3")), "left_anti")
+        flagged.filter(F.col("is_late") & (F.col("n_supp") >= 2)
+                       & (F.col("n_late_supp") == 1))
         .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -121,12 +121,18 @@ def test_order_count_distribution_keeps_outer_join(spark):
     assert "LeftOuter" in plan, plan
 
 
-def test_waiting_suppliers_semi_then_anti(spark):
-    """Q21 shape: EXISTS → one semi join, NOT EXISTS → one anti join,
-    both with the suppkey≠ predicate riding the orderkey equi-key."""
-    plan = P.formatted_plan(QUERIES["waiting_suppliers"](spark, SF_SMOKE))
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+def test_waiting_suppliers_single_scan_window(spark):
+    """Q21 shape: the EXISTS / NOT EXISTS set facts come from per-order
+    windows, not semi/anti joins that would re-derive the items pipeline —
+    lineitem must be scanned exactly once."""
+    df = QUERIES["waiting_suppliers"](spark, SF_SMOKE)
+    df.collect()
+    plan = P.executed_plan(df)
+    assert "Window" in plan, plan
+    baseline = QUERIES["forecast_revenue"](spark, SF_SMOKE)
+    baseline.collect()
+    per_scan = P.executed_plan(baseline).count("lineitem.parquet")
+    assert plan.count("lineitem.parquet") == per_scan, plan
 
 
 def test_disjunctive_preds_stays_hash_join(spark):
