@@ -371,3 +371,67 @@ def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).cast("int").alias("popcount"),
     )
+
+
+@register("variant_json", """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER)
+             * CAST(json_extract(props, '$.k') AS INTEGER) AS k_sq,
+           CAST(json_extract(props, '$.k') AS INTEGER) > 50 AS is_big
+    FROM events
+""")
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into an
+    open-schema VARIANT value, then typed variant_get extraction — the
+    engine-native answer to schema-drifting JSON at 100 TB (no
+    per-row schema inference, binary-encoded storage, shreddable).
+    get_json_object (string re-parse per access) stays in json_extract
+    as the legacy twin."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k * k).alias("k_sq"),
+        (k > 50).alias("is_big"),
+    )
+
+
+@register("udtf_split_words", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS arr
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(u.s.pos AS INTEGER) AS pos, u.s.word AS word
+    FROM w, unnest(list_transform(arr,
+                   (x, i) -> struct_pack(pos := i - 1, word := x))) AS u(s)
+""")
+def q_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.11; Spark 4 table function): LATERAL
+    split of each document into (position, word) rows. The set-returning
+    escape hatch when explode()-on-an-expression can't express the
+    generator (stateful tokenizers, parsers). Bounded to 50 docs — the
+    row-at-a-time Python path is the *slow* lane and the battery exists to
+    pin the API, not to win the benchmark; explode_words is the codegen
+    twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            import re
+            words = [t for t in re.split(r"\s+", (text or "").strip()) if t]
+            for i, w in enumerate(words):
+                yield i, w
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql("""
+        SELECT doc_id, t.pos, t.word
+        FROM docs_for_udtf, LATERAL split_words_udtf(text) t
+    """)
