@@ -435,3 +435,33 @@ def q_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t.pos, t.word
         FROM docs_for_udtf, LATERAL split_words_udtf(text) t
     """)
+
+
+@register("python_datasource_scan", """
+    WITH seq AS (
+      SELECT unnest(generate_series(0, 4999)) AS id
+    )
+    SELECT id, (id * 2654435761) % 100003 AS val
+    FROM seq WHERE (id * 2654435761) % 100003 < 50000
+""")
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Python DataSource API (Spark 4, SURVEY §2.1):
+    a partitioned synthetic sequence source registered as a first-class
+    format — executors read input partitions independently, exactly like
+    parquet file splits. The filter rides on top like any scan predicate.
+    See sources/pyds.py for the source; the oracle regenerates the same
+    deterministic rows relationally."""
+    from parquetaivectorsearch_spark.session import ship_package
+    from parquetaivectorsearch_spark.sources.pyds import SequenceDataSource
+
+    # The DataSource class pickles by module reference and this query never
+    # touches load_table's lazy hook — ship the package zip explicitly.
+    ship_package(spark)
+
+    try:
+        spark.dataSource.register(SequenceDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (spark.read.format("seqsource")
+          .option("n", 5000).option("parts", 8).load())
+    return df.filter(F.col("val") < 50000)
