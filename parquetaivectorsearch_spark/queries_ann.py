@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquetaivectorsearch_spark.operators import ann as ANN
+from parquetaivectorsearch_spark.operators import knn
 from parquetaivectorsearch_spark.queries import register, _t
 
 
@@ -139,3 +140,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = KNN.knn_join(emb, queries, k=50)
     return KNN.mmr_rerank(cand, emb, queries, k=10, lam=0.7)
+
+
+@register("knn_topk_arrow")  # rows-only: matmul accumulation differs in last ulp
+def q_knn_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native exact KNN (mapInArrow + numpy matmul per RecordBatch,
+    per-batch top-k): same ids as knn_topk, asserted in tests/test_knn.py.
+    The scale path for very wide embeddings (reference: 1536 dims)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = knn.query_vector_df(emb, 0)
+    return knn.knn_topk_arrow(emb, q, k=20)

@@ -37,3 +37,17 @@ def test_knn_join_bulk_fewer_shuffled_rows(spark):
     )
     out = knn.knn_join_bulk(emb, queries, k=3)
     assert out.count() == 2 * 3
+
+
+def test_knn_topk_arrow_matches_exact_ids(spark):
+    """The Arrow/matmul KNN must return exactly the ids of the canonical
+    HOF-fold KNN, in the same order (distances may differ in the last ulp)."""
+    from parquetaivectorsearch_spark import queries as Q
+    from tests.conftest import SF_CORRECT
+
+    qs = Q.all_queries()
+    exact = [r["vec_id"] for r in
+             qs["knn_topk"](spark, SF_CORRECT).select("vec_id").collect()]
+    arrow = [r["vec_id"] for r in
+             qs["knn_topk_arrow"](spark, SF_CORRECT).select("vec_id").collect()]
+    assert arrow == exact
