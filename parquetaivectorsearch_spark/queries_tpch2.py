@@ -1,7 +1,9 @@
-"""Full TPC-H query-shape coverage, part 2: Q7/Q8/Q9/Q10/Q13/Q15/Q17/Q19/Q22
-adapted to the driver fixtures (FIXTURES.md — no partsupp table and no
-l_shipmode/l_commitdate columns, so Q2/Q11/Q12/Q20/Q21 have no faithful
-input; every other classic shape is here or in queries_tpch.py).
+"""Full TPC-H query-shape coverage, part 2: Q2/Q7-Q10/Q12/Q13/Q15/Q17/Q19/
+Q21/Q22 adapted to the driver fixtures (FIXTURES.md — no partsupp table and
+no l_shipmode/l_receiptdate columns, so Q2/Q9/Q12/Q21 substitute the missing
+attribute with a fixture equivalent, noted per query; Q11/Q20 are
+partsupp-inventory queries with no analog at all. Every other classic shape
+is here or in queries_tpch.py).
 
 Why these matter at 100 TB: each one is a distinct physical-plan archetype —
 multi-way broadcast-dim join with disjunctive nation pairs (Q7), conditional
