@@ -171,3 +171,29 @@ def test_top_supplier_single_fact_scan(spark):
     baseline.collect()
     per_scan = P.executed_plan(baseline).count("lineitem.parquet")
     assert plan.count("lineitem.parquet") == per_scan, plan
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The custom source's row set must be identical under any partition
+    count — partitioning is a parallelism knob, not a semantic one (the
+    contract any 100 TB source must satisfy)."""
+    from parquetaivectorsearch_spark.session import ship_package
+    from parquetaivectorsearch_spark.sources.pyds import SequenceDataSource
+
+    ship_package(spark)
+    try:
+        spark.dataSource.register(SequenceDataSource)
+    except Exception:
+        pass
+    def rows(parts):
+        df = (spark.read.format("seqsource")
+              .option("n", 500).option("parts", parts).load())
+        assert df.rdd.getNumPartitions() == min(parts, 500)
+        return sorted((r.id, r.val) for r in df.collect())
+    assert rows(1) == rows(8) == rows(17)
+
+
+def test_variant_json_no_shuffle(spark):
+    """VARIANT parse + typed extraction is per-row work: zero exchanges."""
+    plan = P.formatted_plan(QUERIES["variant_json"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
