@@ -465,3 +465,35 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (spark.read.format("seqsource")
           .option("n", 5000).option("parts", 8).load())
     return df.filter(F.col("val") < 50000)
+
+
+@register("datetime_constructors", """
+    SELECT o_orderkey,
+           datediff('day', DATE '1970-01-01',
+                    make_date(CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER),
+                              CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER), 1))
+             AS month_floor_day,
+           epoch_us(make_timestamp(CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                                   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT),
+                                   CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT),
+                                   12, 30, 0))
+             AS noonish_us
+    FROM orders WHERE o_orderkey < 1500
+""")
+def q_datetime_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime constructors (SURVEY §2.8 X): make_date / make_timestamp
+    from extracted fields — the write side of the datetime battery (building
+    partition boundaries, synthetic event times). Integer epoch-day/µs
+    outputs per the determinism recipe."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    epoch = F.lit("1970-01-01").cast("date")
+    y, m, d = F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.make_date(y, m, F.lit(1)), epoch).cast("long")
+            .alias("month_floor_day"),
+        F.unix_micros(
+            F.make_timestamp_ntz(y, m, d, F.lit(12), F.lit(30), F.lit(0))
+            .cast("timestamp"))
+            .alias("noonish_us"),
+    )
