@@ -197,3 +197,16 @@ def test_variant_json_no_shuffle(spark):
     """VARIANT parse + typed extraction is per-row work: zero exchanges."""
     plan = P.formatted_plan(QUERIES["variant_json"](spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_funnel_steps_single_event_scan(spark):
+    """The three funnel stages must share one window exchange over events —
+    the CTE-chain formulation re-scanned events five times."""
+    df = QUERIES["funnel_steps"](spark, SF_SMOKE)
+    df.collect()
+    plan = P.executed_plan(df)
+    assert "Window" in plan, plan
+    baseline = QUERIES["tumbling_window_agg"](spark, SF_SMOKE)
+    baseline.collect()
+    per_scan = P.executed_plan(baseline).count("events.parquet")
+    assert plan.count("events.parquet") == per_scan, plan
