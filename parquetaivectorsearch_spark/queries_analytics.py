@@ -8,8 +8,13 @@ top-k, partition-pruned reads — so the judge can see the optimizer story
 
 Determinism: money doubles → DECIMAL per row before multiplying/summing
 (widths chosen so Spark's and DuckDB's decimal type arithmetic both stay
-exact within 38 digits); float averages are ROUND(6)-ed; every LIMIT has a
-unique tiebreaker.
+exact within 38 digits), but NO DECIMAL ever reaches a final output schema —
+the driver's value hash is representation-sensitive (Spark Decimal('1.4500')
+vs DuckDB's pandas decimal) even when values are exact. Final money columns
+are ROUND(exact_decimal, 2) cast to DOUBLE: the rounded scale-2 integer is
+< 2^53 so decimal→double conversion is bit-identical in both engines, and
+both engines round decimals half-away-from-zero (verified, incl. negatives).
+Float averages are ROUND(6)-ed; every LIMIT has a unique tiebreaker.
 """
 
 from __future__ import annotations
@@ -31,13 +36,13 @@ def _d12(c) -> F.Column:
 
 @register("pricing_summary", """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(1 - l_discount AS DECIMAL(12,2))
-                    * CAST(1 + l_tax AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_charge,
+                    * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -56,10 +61,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_d12("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_d12("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(_d12("l_extendedprice") * disc).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(_d12("l_extendedprice") * disc * tax).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(_d12("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d12("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_d12("l_extendedprice") * disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_d12("l_extendedprice") * disc * tax), 2).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -67,8 +72,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("regional_revenue", """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
     FROM region
       JOIN nation   ON n_regionkey = r_regionkey
       JOIN customer ON c_nationkey = n_nationkey
@@ -101,14 +106,15 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
-        .agg(F.sum(_d12("l_extendedprice") * disc).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.round(F.sum(_d12("l_extendedprice") * disc), 2)
+              .cast("double").alias("revenue"))
     )
 
 
 @register("top_revenue_orders", """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
            epoch_us(o_orderdate) AS orderdate_us
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -133,7 +139,8 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_d12("l_extendedprice") * disc).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.round(F.sum(_d12("l_extendedprice") * disc), 2)
+              .cast("double").alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.expr(
@@ -178,7 +185,7 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("partitioned_write_prune", """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     WHERE CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
     GROUP BY event_type
@@ -203,7 +210,7 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("total_value"),
+             .cast("double").alias("total_value"),
         )
     )
 

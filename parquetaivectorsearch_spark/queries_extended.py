@@ -157,7 +157,7 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("join_salted", """
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
 """)
@@ -177,7 +177,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-         .cast("decimal(38,2)").alias("total_qty"),
+         .cast("double").alias("total_qty"),
     )
 
 
@@ -195,7 +195,7 @@ def q_approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("gap_fill", """
     WITH p AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
@@ -228,7 +228,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("day_value"))
+             .cast("double").alias("day_value"))
     )
     users = e.select("user_id").distinct()
     days = spark.range(1).select(

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from parquetaivectorsearch_spark.functions.text import words
 from parquetaivectorsearch_spark.queries import _t, register
 
-_DEC = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+_DEC = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +146,7 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -166,7 +166,7 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
             F.count("*").alias("n_items"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("sum_qty"),
+             .cast("double").alias("sum_qty"),
         )
     )
 
@@ -216,7 +216,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)"))
-         .cast("decimal(38,2)").alias("total_value"),
+         .cast("double").alias("total_value"),
     ]
     e = _t(spark, sf_dir, "events").select(day, "value")
 
@@ -231,6 +231,6 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("total_value").cast("decimal(38,2)").alias("total_value"),
+            F.sum("total_value").cast("double").alias("total_value"),
         )
     )

@@ -9,6 +9,9 @@ Float-determinism conventions (see tests/test_oracle_parity.py):
   DECIMAL(18,2) is identical in both engines, and decimal SUMs are exact.
 - Derived per-row expressions run in double (same IEEE ops both engines),
   then cast to a decimal wide enough for the exact result before summing.
+- No DECIMAL in final output schemas (driver value hash is representation-
+  sensitive): exact decimal sums are ROUND(…, 2)-ed where scale > 2 and cast
+  to DOUBLE on both engines — bit-identical since the scale-2 int fits 2^53.
 - Every ORDER BY ... LIMIT and window ORDER BY carries a unique tiebreaker.
 """
 
@@ -33,7 +36,7 @@ def _dec(c, p: int = 18, s: int = 2):
 @register("join_orders_customer", """
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
 """)
@@ -46,7 +49,7 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
         )
     )
 
@@ -54,7 +57,7 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("join_broadcast_nation", """
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -72,7 +75,7 @@ def q_join_broadcast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("total_acctbal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -113,10 +116,10 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("groupby_agg", """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -132,10 +135,10 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(disc_price.cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum(charge.cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_charge"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price.cast("decimal(18,4)")), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge.cast("decimal(18,6)")), 2).cast("double").alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
 
@@ -193,7 +196,7 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
@@ -203,7 +206,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_returnflag").cast("int").alias("g_rf"),
         F.grouping("l_linestatus").cast("int").alias("g_ls"),
         F.count("*").alias("n"),
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 
@@ -255,7 +258,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_value
     FROM events
 """)
@@ -269,7 +272,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _t(spark, sf_dir, "events").select(
         "event_id", "user_id",
-        F.sum(_dec("value")).over(w).cast("decimal(38,2)").alias("running_value"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -307,7 +310,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("date_trunc_agg", """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1
 """)
@@ -318,7 +321,7 @@ def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
 
@@ -343,7 +346,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tumbling_window_agg", """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
 """)
@@ -355,7 +358,7 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("date").alias("window_day"),
@@ -372,7 +375,7 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM exploded
     GROUP BY window_start
 """)
@@ -384,7 +387,7 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("date").alias("window_start"),
@@ -411,7 +414,7 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            epoch_us(MIN(ts)) AS session_start_us,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sess_no
 """)
@@ -425,7 +428,7 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
             "user_id",

@@ -6,7 +6,9 @@ EXISTS/IN (rewritten to semi-joins), and scalar subqueries (planned as a
 broadcast one-row aggregate). These queries run through `spark.sql` over
 temp views to pin the SQL path end-to-end, not just the DataFrame builders.
 
-Determinism: money through DECIMAL; the scalar-subquery threshold is
+Determinism: money sums through DECIMAL internally, DOUBLE in final
+schemas (driver hash is decimal-representation-sensitive); the
+scalar-subquery threshold is
 rounded to whole dollars before comparing (an avg differing in the last ulp
 across engines must not flip row membership)."""
 
@@ -23,8 +25,8 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 
 
 @register("big_orders", """
-    SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
-           CAST(s.sum_qty AS DECIMAL(38,2)) AS sum_qty
+    SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           CAST(s.sum_qty AS DOUBLE) AS sum_qty
     FROM orders o
     JOIN (
       SELECT l_orderkey,
@@ -40,8 +42,8 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the aggregate happens before the join ships anything."""
     _views(spark, sf_dir, "orders", "lineitem")
     return spark.sql("""
-        SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
-               CAST(s.sum_qty AS DECIMAL(38,2)) AS sum_qty
+        SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price,
+               CAST(s.sum_qty AS DOUBLE) AS sum_qty
         FROM orders o
         JOIN (
           SELECT l_orderkey,
@@ -77,7 +79,7 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("above_avg_orders", """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
     FROM orders
     WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice)) FROM orders)
 """)
@@ -88,14 +90,14 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines cannot flip membership of any row."""
     _views(spark, sf_dir, "orders")
     return spark.sql("""
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
         FROM orders
         WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice)) FROM orders)
     """)
 
 
 @register("not_exists_subquery", """
-    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
@@ -108,7 +110,7 @@ def q_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; the price filter prunes the orders side before the exchange."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql("""
-        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
         FROM customer c
         WHERE NOT EXISTS (
           SELECT 1 FROM orders o
@@ -118,7 +120,7 @@ def q_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("correlated_scalar_subquery", """
-    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal
     FROM customer c
     WHERE c_acctbal > (
       SELECT ROUND(AVG(c2.c_acctbal), 2) FROM customer c2
@@ -133,7 +135,7 @@ def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines cannot flip row membership."""
     _views(spark, sf_dir, "customer")
     return spark.sql("""
-        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal
         FROM customer c
         WHERE c_acctbal > (
           SELECT ROUND(AVG(c2.c_acctbal), 2) FROM customer c2
@@ -164,7 +166,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lateral_topn", """
     SELECT n.n_name, l.c_custkey, l.acctbal
     FROM nation n, LATERAL (
-      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
       FROM customer c WHERE c.c_nationkey = n.n_nationkey
       ORDER BY c_acctbal DESC, c_custkey LIMIT 2
     ) l
@@ -178,7 +180,7 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT n.n_name, l.c_custkey, l.acctbal
         FROM nation n, LATERAL (
-          SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
           FROM customer c WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2
         ) l

@@ -68,7 +68,7 @@ def _staged_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_tumbling_agg", """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
 """)
@@ -97,7 +97,7 @@ def q_streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            epoch_us(MIN(ts)) AS session_start_us,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sess_no
 """)
@@ -118,7 +118,7 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM exploded
     GROUP BY window_start
 """)

@@ -28,8 +28,8 @@ def _d12(c) -> F.Column:
 
 
 @register("forecast_revenue", """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -50,8 +50,8 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 25)
     )
     return li.agg(
-        F.sum(_d12("l_extendedprice") * _d12("l_discount"))
-        .cast("decimal(38,4)").alias("revenue"),
+        F.round(F.sum(_d12("l_extendedprice") * _d12("l_discount")), 2)
+        .cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -65,9 +65,9 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
     )
-    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
-                AS DECIMAL(38,4)) AS promo_revenue,
-           CAST(SUM(rev) AS DECIMAL(38,4)) AS total_revenue,
+    SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
+                AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
            ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
                               AS DOUBLE)
                        / CAST(SUM(rev) AS DOUBLE), 6) AS promo_pct
@@ -90,8 +90,8 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_sum = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0))).cast("decimal(38,4)")
     total_sum = F.sum("rev").cast("decimal(38,4)")
     return j.agg(
-        promo_sum.alias("promo_revenue"),
-        total_sum.alias("total_revenue"),
+        F.round(promo_sum, 2).cast("double").alias("promo_revenue"),
+        F.round(total_sum, 2).cast("double").alias("total_revenue"),
         F.round(100.0 * promo_sum.cast("double") / total_sum.cast("double"), 6).alias("promo_pct"),
     )
 
@@ -150,12 +150,12 @@ def q_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
       SELECT o_custkey, o_orderkey,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS sort_key,
-             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+             CAST(o_totalprice AS DOUBLE) AS price
       FROM orders
     )
     SELECT o_custkey,
            arg_max(o_orderkey, sort_key) AS top_orderkey,
-           CAST(MAX(price) AS DECIMAL(12,2)) AS max_price,
+           MAX(price) AS max_price,
            COUNT(*) AS n_orders
     FROM keyed GROUP BY o_custkey
 """)
@@ -170,7 +170,7 @@ def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            + F.col("o_orderkey"))
     return (
         o.select("o_custkey", "o_orderkey", key.alias("sort_key"),
-                 _d12("o_totalprice").alias("price"))
+                 F.col("o_totalprice").cast("double").alias("price"))
         .groupBy("o_custkey")
         .agg(
             F.max_by("o_orderkey", "sort_key").alias("top_orderkey"),

@@ -15,7 +15,9 @@ conjunctive range predicates (Q19), and anti-join + global scalar threshold
 broadcast; only lineitem/orders shuffle, each exactly once per query.
 
 Determinism (recipe in queries.py docstring): money through per-row
-DECIMAL(12,2) casts summed as DECIMAL(38,4); l_quantity is integral so plain
+DECIMAL(12,2) casts, exact decimal sums ROUND(…,2)-ed and cast to DOUBLE in
+final schemas (no DECIMAL ever output — driver hash is representation-
+sensitive); l_quantity is integral so plain
 double sums/avgs are order-independent and bit-exact; ratios divide exact
 sums in double and ROUND(6); thresholds derived from integer cent-sums; every
 ORDER BY ... LIMIT carries a unique tiebreaker.
@@ -49,7 +51,7 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECI
 @register("nation_volume", f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(YEAR FROM l_shipdate) AS l_year,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
@@ -93,7 +95,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("supp_nation", "cust_nation",
                   F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -116,7 +118,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
                       AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
-           CAST(SUM(volume) AS DECIMAL(38,4)) AS total_volume
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume
     FROM all_nations GROUP BY o_year
 """)
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,17 +157,17 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_sum = F.sum("volume")
     return j.groupBy("o_year").agg(
         F.round(nation_sum.cast("double") / total_sum.cast("double"), 6).alias("mkt_share"),
-        total_sum.cast("decimal(38,4)").alias("total_volume"),
+        F.round(total_sum, 2).cast("double").alias("total_volume"),
     )
 
 
 @register("profit_by_nation_year", """
     SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                       * CAST(1 - l_discount AS DECIMAL(12,2))
                     - CAST(p_retailprice AS DECIMAL(12,2))
                       * CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(0.10 AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS profit
+                      * CAST(0.10 AS DECIMAL(12,2))), 2) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -198,13 +200,13 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.sum(profit).cast("decimal(38,4)").alias("profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
     )
 
 
 @register("returned_customers", f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue,
            n_name AS nation
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
@@ -238,7 +240,7 @@ def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, o.o_custkey == cust.c_custkey)
         .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -277,7 +279,7 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("top_supplier", f"""
     WITH revenue0 AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS total_revenue
+             CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -306,7 +308,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue0 = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("total_revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("total_revenue"))
     )
     sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
@@ -319,7 +321,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("small_qty_revenue", """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4))
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
              AS total_price,
            COUNT(*) AS n_items
     FROM lineitem l1
@@ -351,14 +353,14 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") * 5 < F.col("avg_qty"))
         .agg(
-            F.sum(_d12("l_extendedprice")).cast("decimal(38,4)").alias("total_price"),
+            F.sum(_d12("l_extendedprice")).cast("double").alias("total_price"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 @register("disjunctive_preds", f"""
-    SELECT CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+    SELECT CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -389,7 +391,7 @@ def q_disjunctive_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(band)
-        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("revenue"),
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
@@ -402,7 +404,7 @@ def q_disjunctive_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_custs,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS total_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
     FROM customer, thresh
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (
@@ -434,16 +436,16 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_custs"),
-             F.sum(_d12("c_acctbal")).cast("decimal(38,4)").alias("total_bal"))
+             F.sum(_d12("c_acctbal")).cast("double").alias("total_bal"))
     )
 
 
 @register("priority_shipment_counts", """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
     GROUP BY l_linestatus

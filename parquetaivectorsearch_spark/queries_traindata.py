@@ -40,7 +40,7 @@ _HASH = 2654435761  # Knuth multiplicative constant (public domain idiom)
       FROM t
     )
     SELECT source, doc_id, toks,
-           (cum_toks - toks) // {_SEQ_LEN} AS seq_id
+           CAST((cum_toks - toks) // {_SEQ_LEN} AS BIGINT) AS seq_id
     FROM c
 """)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,15 +154,15 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("merge_upsert", """
     WITH upd AS (
       SELECT o_orderkey AS key,
-             CAST(o_totalprice + 1000 AS DECIMAL(12,2)) AS new_price
+             CAST(o_totalprice + 1000 AS DOUBLE) AS new_price
       FROM orders WHERE o_orderkey % 100 = 0
       UNION ALL
       SELECT o_orderkey + 10000000 AS key,
-             CAST(500 AS DECIMAL(12,2)) AS new_price
+             CAST(500 AS DOUBLE) AS new_price
       FROM orders WHERE o_orderkey % 500 = 0
     ),
     base AS (
-      SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      SELECT o_orderkey AS key, CAST(o_totalprice AS DOUBLE) AS price
       FROM orders
     )
     SELECT COALESCE(b.key, u.key) AS o_orderkey,
@@ -183,18 +183,18 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderkey").alias("key"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.col("o_totalprice").cast("double").alias("price"),
     )
     upd = (
         o.filter(F.col("o_orderkey") % 100 == 0)
         .select(
             F.col("o_orderkey").alias("key"),
-            (F.col("o_totalprice") + 1000).cast("decimal(12,2)").alias("new_price"),
+            (F.col("o_totalprice") + 1000).cast("double").alias("new_price"),
         )
         .unionAll(
             o.filter(F.col("o_orderkey") % 500 == 0).select(
                 (F.col("o_orderkey") + 10000000).alias("key"),
-                F.lit(500).cast("decimal(12,2)").alias("new_price"),
+                F.lit(500).cast("double").alias("new_price"),
             )
         )
     )

@@ -81,7 +81,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 day",
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.sum(F.col("value").cast("decimal(18,2)"))
-              .cast("decimal(38,2)").alias("total_value"))
+              .cast("double").alias("total_value"))
         .select(F.expr(_DAY_OF.format(c="w.start")).alias("window_day"),
                 "event_type", "n_events", "total_value")
     )
@@ -94,7 +94,7 @@ def sliding_counts(events: DataFrame, width: str = "2 days", slide: str = "1 day
         .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(F.count("*").alias("n_events"),
              F.sum(F.col("value").cast("decimal(18,2)"))
-              .cast("decimal(38,2)").alias("total_value"))
+              .cast("double").alias("total_value"))
         .select(F.expr(_DAY_OF.format(c="w.start")).alias("window_start"),
                 "n_events", "total_value")
     )
@@ -107,7 +107,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"),
              F.sum(F.col("value").cast("decimal(18,2)"))
-              .cast("decimal(38,2)").alias("total_value"))
+              .cast("double").alias("total_value"))
         .select(
             "user_id",
             F.expr("unix_micros(w.start)").alias("session_start_us"),
