@@ -93,3 +93,32 @@ def test_chunking_reconstructs_text(spark, text, size, overlap):
     # full coverage: last chunk reaches the end of the text
     last = rows[-1]
     assert last.chunk_id * stride + len(last.chunk_text) == len(text)
+
+
+def test_driver_window_covers_all_suites():
+    """The first 50 registered queries (the driver's correctness-check
+    window) must include at least one oracle-backed representative of every
+    queries_* module, and every _DRIVER_WINDOW name must actually exist."""
+    import collections
+
+    from parquetaivectorsearch_spark import queries as Q
+
+    qs, ors = Q.all_queries(), Q.all_oracles()
+    missing = [n for n in Q._DRIVER_WINDOW if n not in qs]
+    assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
+
+    window = list(qs)[:50]
+    by_module = collections.defaultdict(list)
+    for name in window:
+        by_module[qs[name].__module__.split(".")[-1]].append(name)
+
+    all_modules = {fn.__module__.split(".")[-1] for fn in qs.values()}
+    uncovered = all_modules - set(by_module)
+    assert not uncovered, f"suites with no driver-window query: {uncovered}"
+
+    # every module except the by-design rows-only ones contributes an
+    # oracle-backed (hash-checkable) query to the window
+    rows_only_ok = {"queries_ann", "queries_streaming"}
+    weak = {m for m, names in by_module.items()
+            if m not in rows_only_ok and not any(n in ors for n in names)}
+    assert not weak, f"suites with only rows-only window queries: {weak}"
