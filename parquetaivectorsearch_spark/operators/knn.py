@@ -141,15 +141,18 @@ def knn_join_bulk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     else np.arange(len(dj))
                 heap = best[int(qid)]
                 for i in cand:
-                    item = (-dj[i], int(ids[i]))
+                    # (-distance, -id): on equal distance the SMALLER id is
+                    # the larger heap item and survives, matching the exact
+                    # path's Window.orderBy(distance, id) tie-break
+                    item = (-dj[i], -int(ids[i]))
                     if len(heap) < k:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:
                         heapq.heapreplace(heap, item)
         rows = [
-            (qid, vid, -negd)
+            (qid, -negvid, -negd)
             for qid, heap in best.items()
-            for negd, vid in heap
+            for negd, negvid in heap
         ]
         yield pd.DataFrame(rows, columns=["query_id", "vec_id", "distance"])
 

@@ -131,13 +131,16 @@ def pq_adc_search(codes_df: DataFrame, codebooks: np.ndarray,
                     else np.arange(len(s))
                 heap = best[int(qid)]
                 for i in cand:
-                    item = (s[i], int(ids[i]))
+                    # (score, -id): on equal score the SMALLER id is the
+                    # larger heap item and survives, matching the final
+                    # Window.orderBy(desc(approx_score), vec_id) tie-break
+                    item = (s[i], -int(ids[i]))
                     if len(heap) < shortlist:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:
                         heapq.heapreplace(heap, item)
-        rows = [(qid, vid, sc) for qid, heap in best.items()
-                for sc, vid in heap]
+        rows = [(qid, -negvid, sc) for qid, heap in best.items()
+                for sc, negvid in heap]
         yield pd.DataFrame(rows, columns=["query_id", "vec_id", "approx_score"])
 
     survivors = codes_df.mapInPandas(

@@ -28,7 +28,19 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str,
     Cost model: build side inflates n_salts×, probe side spreads hot keys
     over n_salts tasks — the right trade when build ≪ probe and probe keys
     are skewed. Output columns = probe ∪ (build − key).
+
+    Only probe-preserving join types are valid: the build side is
+    replicated n_salts×, so right/full outer would emit n_salts duplicates
+    of every unmatched build row.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is incorrect under build-side "
+            f"replication (unmatched build rows would duplicate n_salts×); "
+            f"use one of {sorted(allowed)}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts))
     p = probe.withColumn("_salt", salt.cast("int"))
     b = build.withColumn(

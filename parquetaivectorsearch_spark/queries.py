@@ -131,9 +131,14 @@ def q_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source || ' ' || text AS full_text FROM documents
 """)
 def q_concat_title_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column concat (titles[i] + ' ' + texts[i], Program.cs:79)."""
+    """Column concat (titles[i] + ' ' + texts[i], Program.cs:79).
+
+    F.concat (not concat_ws): concat propagates NULL when either operand is
+    NULL, exactly like the oracle's `||` — concat_ws silently skips NULLs
+    and would diverge on any null row."""
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat_ws(" ", "source", "text").alias("full_text")
+        "doc_id",
+        F.concat(F.col("source"), F.lit(" "), F.col("text")).alias("full_text"),
     )
 
 

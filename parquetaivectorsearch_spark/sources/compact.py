@@ -39,8 +39,15 @@ def compact_parquet(spark: SparkSession, path: str,
                     partition_by: str | None = None) -> tuple[int, int]:
     """Rewrite a parquet directory into ceil(total/target) files (per
     partition dir when `partition_by` is given). Returns (files_before,
-    files_after). Writes to a sibling temp dir, then swaps via rename — a
-    crash before the swap leaves the original intact."""
+    files_after). Writes to a sibling temp dir, then swaps via two renames.
+
+    NOT atomic (plain filesystems have no multi-path transaction): a crash
+    between the two renames leaves no data at `path` with the original
+    stranded at `path__old`; on a failed second rename this function
+    restores `path__old` back to `path` before raising. Readers racing the
+    swap can observe a missing directory for the rename window. For
+    transactional swaps use a table format (Delta/Iceberg) — this operator
+    is the no-table-format fallback."""
     total, before = dir_stats(spark, path)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
@@ -58,8 +65,15 @@ def compact_parquet(spark: SparkSession, path: str,
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     old = path.rstrip("/") + "__old"
-    fs.rename(jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(old))
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.rename(hpath(path), hpath(old))
+    try:
+        if not fs.rename(hpath(tmp), hpath(path)):
+            raise IOError(f"rename {tmp} -> {path} returned false")
+    except Exception:
+        # best-effort rollback: put the original back before surfacing
+        fs.rename(hpath(old), hpath(path))
+        raise
+    fs.delete(hpath(old), True)
     _, after = dir_stats(spark, path)
     return before, after
