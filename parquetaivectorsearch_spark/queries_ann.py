@@ -89,10 +89,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_hnsw_topk")  # rows-only: approximate results
 def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual index algorithm end-to-end: partitioned HNSW
-    build (Program.cs:140-174) → topology-only persist (Program.cs:231-244)
-    → load + vector re-attach (Program.cs:246-263) → fan-out beam search,
-    global top-20 (Program.cs:207-227). Recall vs the exact oracle is
-    asserted in tests/test_hnsw.py; IVF stays the scale-path default."""
+    build (Program.cs:140-174) → persist (Program.cs:231-244) → load →
+    fan-out beam search, global top-20 (Program.cs:207-227). Unlike the
+    reference's topology-only persist + vector re-bind (Program.cs:256),
+    vectors ride with the graph rows, so the search plan has NO corpus
+    join — at 100 TB a per-search re-bind is a full-corpus shuffle.
+    Recall vs the exact oracle is asserted in tests/test_hnsw.py; IVF
+    stays the scale-path default."""
     from parquetaivectorsearch_spark.operators import hnsw as H
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -103,7 +106,7 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return H.hnsw_search(loaded, emb, queries, k=20)
+    return H.hnsw_search(loaded, queries, k=20)
 
 
 @register("pq_topk")  # rows-only: quantization is approximate by construction
