@@ -203,24 +203,22 @@ _DUCK_COS = (
 
 
 @register("similarity_join", f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cosine
     FROM e a, e b
     WHERE a.vec_id < b.vec_id AND {_DUCK_COS} >= 0.35
 """)
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine θ-join on a bounded id range (SURVEY §2.3 X). The
-    sequential-fold cosine is bit-deterministic, so this hash-matches; the
-    LSH/IVF approximate variant is the separate rows-only `ann_topk`."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = V.cosine_similarity("emb_a", "emb_b")
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
-    )
+    """Exact cosine θ-join over the FULL corpus (SURVEY §2.3 X) — no id
+    cap. Tiled block-pair equi-joins (operators/simjoin.py, Okcan &
+    Riedewald M-bucket shape) keep every task's tile bounded and the plan
+    free of cartesian nodes while staying exact; the sequential-fold
+    cosine is bit-deterministic, so this hash-matches the DuckDB oracle.
+    Approximate scale variants: `similarity_join_lsh`, `dedup_embedding`."""
+    from parquetaivectorsearch_spark.operators.simjoin import all_pairs_similarity_join
+
+    return all_pairs_similarity_join(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------

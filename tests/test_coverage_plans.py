@@ -210,3 +210,14 @@ def test_funnel_steps_single_event_scan(spark):
     baseline.collect()
     per_scan = P.executed_plan(baseline).count("events.parquet")
     assert plan.count("events.parquet") == per_scan, plan
+
+
+def test_similarity_join_is_tiled_not_cartesian(spark):
+    """The exact θ-join must run as tiled equi-joins (Okcan & Riedewald
+    M-bucket shape, operators/simjoin.py): no CartesianProduct /
+    BroadcastNestedLoopJoin node, a broadcast of the tiny tile relation,
+    and a shuffle equi-join that co-locates each (n/B)² tile."""
+    plan = P.formatted_plan(QUERIES["similarity_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
