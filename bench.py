@@ -38,7 +38,8 @@ HEADLINE = [
     "dot_product",         # distance kernel over the whole corpus
     "knn_topk",            # FLAGSHIP: exact top-20 by dot-product distance
     "knn_join",            # batch-of-queries KNN
-    "ann_topk",            # IVF build + persist + load + search
+    "ann_build",           # IVF train + assign + persist   (build path)
+    "ann_search",          # IVF load + probe + top-k        (serve path)
     "dedup_exact",         # exact dedup groupBy
     "dedup_minhash",       # MinHash+LSH near-dup pipeline
     "dedup_simhash",       # SimHash near-dup pipeline
@@ -49,6 +50,67 @@ HEADLINE = [
     "streaming_tumbling_agg",  # same agg through Structured Streaming
     "image_features",      # multimodal: mapInPandas numpy decode
 ]
+
+
+def _bench_ann(spark, timings: dict, recall: dict) -> None:
+    """ANN metrics, build and serve timed SEPARATELY (VERDICT r1 item 7:
+    a serve-path regression must not hide inside a build-inclusive
+    number), plus recall@20 vs the exact-KNN oracle for every ANN tier
+    (IVF / HNSW / PQ) so speed can never be bought with silent recall
+    loss. Recall batches are 8 queries × 20 rows — bounded collects.
+
+    NB on the IVF number: the fixture vectors are ~uniform random, so
+    true neighbors spread evenly over cells and ANY partition-pruned
+    index caps at recall ≈ nprobe/nlist here (≈0.3-0.5 at 3/10) — that
+    measures the data, not the index; on clustered real embeddings the
+    same config clears 0.9 (planted-neighbor gate, tests/test_ann.py).
+    HNSW searches every partition graph and PQ re-ranks exactly, so
+    neither has that cap."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators import ann as ANN
+    from parquetaivectorsearch_spark.operators import hnsw as H
+    from parquetaivectorsearch_spark.operators import knn
+    from parquetaivectorsearch_spark.operators import pq as PQ
+    from parquetaivectorsearch_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    exact = {}
+    for r in knn.knn_join(emb, queries, k=20).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall_of(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return round(hits / sum(len(v) for v in exact.values()), 4)
+
+    # IVF: the scale-path default — timed build vs serve
+    path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
+    t0 = time.monotonic()
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    index.save(spark, path)
+    timings["ann_build"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    loaded = ANN.IVFIndex.load(spark, path)
+    ivf_rows = ANN.ivf_search(loaded, queries, k=20, nprobe=3).collect()
+    timings["ann_search"] = round(time.monotonic() - t0, 3)
+    recall["ivf@20"] = recall_of(ivf_rows)
+
+    # HNSW + PQ recall (untimed here: reference-parity and RAM tiers)
+    graph = H.build_hnsw(emb, n_partitions=4)
+    recall["hnsw@20"] = recall_of(H.hnsw_search(graph, queries, k=20).collect())
+    books = PQ.train_pq(emb, m=8, k=16)
+    codes = PQ.pq_encode(emb, books)
+    shortlist = PQ.pq_adc_search(codes, books, queries, shortlist=200)
+    recall["pq@20"] = recall_of(
+        PQ.pq_rerank(shortlist, emb, queries, k=20).collect())
 
 
 def main() -> None:
@@ -74,7 +136,13 @@ def main() -> None:
     qs["count_rows"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    recall: dict[str, float] = {}
     for name in HEADLINE:
+        if name == "ann_build":
+            _bench_ann(spark, timings, recall)
+            continue
+        if name == "ann_search":
+            continue  # timed inside _bench_ann
         fn = qs[name]
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -87,6 +155,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "recall": recall,
         "sf": sf,
     }))
     spark.stop()
