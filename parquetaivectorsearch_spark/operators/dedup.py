@@ -61,6 +61,24 @@ def _perm_seeds(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(k)]
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Ensure the pre-explode corpus has ≥ defaultParallelism partitions.
+
+    File-split sizing can't anticipate the ~100-300× shingle/word explode:
+    a corpus that arrives as one parquet row group (one input partition)
+    would run the entire signature stage — the dominant cost — on a single
+    core. One hash shuffle of the raw text is negligible next to the
+    exploded stage it parallelizes, and as a bonus the downstream
+    groupBy(doc_id) agg reuses this partitioning (no second exchange).
+    When the scan already has enough splits (the 100 TB case: thousands of
+    row groups), this is a no-op.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, id_col)
+    return docs
+
+
 def shingle_hashes_exploded(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
     """(doc_id, h): one row per (doc, distinct shingle), h = xxhash64 of the
@@ -80,7 +98,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     groupBy(doc_id) with k `min((a_i·h + b_i) mod p)` aggregate expressions —
     all whole-stage codegen with map-side combine; min over duplicates equals
     min over the distinct set, so no distinct pass is needed."""
-    sh = shingle_hashes_exploded(docs, text_col, id_col, shingle_n)
+    sh = shingle_hashes_exploded(_spread(docs, id_col), text_col, id_col, shingle_n)
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"_mh{i}")
         for i, (a, b) in enumerate(_perm_seeds(k, seed))
@@ -138,7 +156,7 @@ def shingle_hash_sets(docs: DataFrame, text_col: str = "text",
     candidate verification. bigint set ops are ~5× cheaper than re-intersecting
     the shingle strings; xxhash64 collisions among ~1k shingles in a 2^64
     space are negligible for jaccard."""
-    return docs.select(
+    return _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
             F.transform(char_ngrams(text_col, shingle_n), lambda s: F.xxhash64(s))
@@ -191,7 +209,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     weighted, the standard SimHash. Same explode/groupBy shape as minhash:
     words hashed once, `bits` sum() aggregates in codegen. Docs with no
     words vanish (no rows)."""
-    ws = docs.select(
+    ws = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
     ).select("doc_id", F.xxhash64("w").alias("h"))
     sums = [
