@@ -329,10 +329,14 @@ def read_hnsw(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+MAX_QUERY_BATCH = 10_000
+
+
 def hnsw_search(graph: DataFrame, queries: DataFrame, k: int = 20,
                 params: HNSWParams | None = None,
                 corpus: DataFrame | None = None,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                max_query_batch: int = MAX_QUERY_BATCH) -> DataFrame:
     """KNNSearch analog (Program.cs:216-219), distributed: every query fans
     out to every partition graph; each graph beam-searches its own nodes;
     the global answer is the k best across partitions
@@ -359,7 +363,17 @@ def hnsw_search(graph: DataFrame, queries: DataFrame, k: int = 20,
             "vec_id",
         )
     spark = graph.sparkSession
-    qpdf = queries.toPandas()  # serving-side fan-out: queries are few by contract
+    # Serving-side fan-out: the query batch is broadcast to every partition
+    # graph, so it must be small BY CONTRACT — and the contract is enforced,
+    # not assumed: limit(max+1) bounds the driver pull no matter what the
+    # caller hands us, and one row over the cap raises instead of silently
+    # collecting a million queries. Batch big query sets upstream.
+    qpdf = queries.limit(max_query_batch + 1).toPandas()
+    if len(qpdf) > max_query_batch:
+        raise ValueError(
+            f"hnsw_search query batch exceeds max_query_batch="
+            f"{max_query_batch}; split the queries into batches (the serve "
+            f"path broadcasts the batch to every partition graph)")
     bq = spark.sparkContext.broadcast(qpdf)
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
