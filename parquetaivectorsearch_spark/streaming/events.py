@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong it reads as
-# bigint and is rebuilt with integer µs arithmetic (see sources/catalog.py).
+# readStream needs a declared schema; forcing ts to LongType reads the raw
+# int64 ticks for BOTH fixture generations — TIMESTAMP(NANOS) files yield
+# raw nanos (via nanosAsLong), TIMESTAMP(MICROS) files yield raw micros —
+# and the per-path unit probe below picks the right divisor.
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),
@@ -35,26 +37,32 @@ EVENTS_RAW_SCHEMA = T.StructType([
 ])
 
 # Watermarks require TIMESTAMP (instant), not TIMESTAMP_NTZ — rebuild the
-# nanos as an epoch instant (timestamp_micros takes no timezone), and keep
-# every *output* session-TZ-independent: date_from_unix_date for window
+# raw ticks as an epoch instant (timestamp_micros takes no timezone), and
+# keep every *output* session-TZ-independent: date_from_unix_date for window
 # days, unix_micros for session starts. The fixture's wall-clock times are
 # UTC instants under this reading, matching DuckDB's view of the file.
-_TS_REBUILD = "timestamp_micros(ts DIV 1000)"
 _DAY_OF = "date_from_unix_date(CAST(unix_micros({c}) DIV 86400000000 AS INT))"
 
 
 def read_event_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int | None = None) -> DataFrame:
+                      max_files_per_trigger: int | None = None,
+                      ts_unit_divisor: int | None = None) -> DataFrame:
     """File-source stream of events. `path` is a directory (or an sf dir —
     pathGlobFilter picks the events file); each new file is a micro-batch
     input, the streaming analog of the reference's directory scan
-    (Program.cs:31)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (Program.cs:31). The raw-long unit is probed per path (nanos vs micros
+    fixture generations — see sources/catalog.py), then rebuilt with
+    integer ``DIV`` (epoch-nanos exceed 2^53; double division corrupts µs).
+    """
+    from parquetaivectorsearch_spark.sources.catalog import events_ts_micros_divisor
+
+    div = ts_unit_divisor if ts_unit_divisor is not None \
+        else events_ts_micros_divisor(spark, path)
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.option("pathGlobFilter", "*.parquet").parquet(path)
-    return stream.withColumn("ts", F.expr(_TS_REBUILD))
+    return stream.withColumn("ts", F.expr(f"timestamp_micros(ts DIV {div})"))
 
 
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:

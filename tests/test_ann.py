@@ -99,3 +99,39 @@ def test_embedding_dedup_finds_clones(spark):
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     expected = {(r.vec_id, r.vec_id + 1_000_000) for r in emb.collect()}
     assert expected <= got
+
+
+def test_adaptive_nlist_scales_with_corpus():
+    """Blocking-cluster count must grow with N (VERDICT r4 #5): a fixed
+    nlist makes within-list pair work quadratic in corpus size."""
+    from parquetaivectorsearch_spark.operators.ann import (
+        AVG_DEDUP_LIST_SIZE, adaptive_nlist)
+
+    assert adaptive_nlist(100) == 2                       # floor
+    assert adaptive_nlist(10 * AVG_DEDUP_LIST_SIZE) == 10  # linear middle
+    assert adaptive_nlist(10**9) == 4096                  # trainability cap
+    # expected list size stays ~constant through the linear regime
+    for n in (10**4, 10**5, 10**6):
+        assert abs(n / adaptive_nlist(n) - AVG_DEDUP_LIST_SIZE) \
+            <= AVG_DEDUP_LIST_SIZE
+
+
+def test_embedding_dedup_adaptive_default(spark):
+    """Default (adaptive) nlist still recovers planted exact duplicates."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    clones = emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    pairs = ANN.embedding_dedup(emb.union(clones), threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    expected = {(r.vec_id, r.vec_id + 1_000_000) for r in emb.collect()}
+    assert expected <= got
+
+
+def test_ann_queries_carry_recall_column(spark):
+    """The rows-only ANN driver queries must emit a per-query recall column
+    ≥ 0.9 (VERDICT r4 #3/#7) so accuracy is visible in recorded rows."""
+    from parquetaivectorsearch_spark.queries_ann import q_ann_topk, q_pq_topk
+
+    for q in (q_ann_topk, q_pq_topk):
+        rows = q(spark, SF_SMOKE).collect()
+        assert len(rows) == 20
+        assert all(r.recall >= 0.9 for r in rows), q.__name__
