@@ -187,6 +187,18 @@ def main() -> None:
     # Warm up the JVM / file listing / codegen paths once so the first timed
     # query measures the operator, not session startup.
     qs["count_rows"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Also warm the Python-worker pool (pandas_udf + mapInPandas spawn one
+    # worker per core on first use, each paying interpreter + numpy import —
+    # ~2s of one-time cost that otherwise lands on whichever UDF query runs
+    # first). Long-lived workers are the steady-state posture; the timed
+    # loop should measure operators, not daemon spin-up.
+    def _warm(batches):
+        import numpy  # noqa: F401 — force the heavy import in every worker
+        yield from batches
+
+    (spark.range(10_000, numPartitions=int(CPUS))
+     .mapInPandas(_warm, "id long")
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     recall: dict[str, float] = {}

@@ -68,3 +68,17 @@ def test_scan_prunes_embedding_when_unused(spark):
     df = load_table(spark, SF_SMOKE, "embeddings").groupBy("label").count()
     scans = P.read_schema_columns(df)
     assert scans and all("embedding" not in cols for cols in scans), scans
+
+
+def test_events_ts_filter_pushes_down(spark):
+    """With the timestamp[us] fixture generation, events.ts passes through
+    the loader untransformed, so a time-range predicate must reach the
+    parquet scan as a pushed filter. (Under the old TIMESTAMP(NANOS)
+    fixtures ts was a computed column and pushdown was impossible — this
+    pins the scale win the dtype branch in sources/catalog.py buys.)"""
+    from parquetaivectorsearch_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    pushed = P.pushed_filters(ev)
+    assert any("ts" in p for p in pushed), pushed

@@ -25,7 +25,8 @@ def _stage_split(spark, n_files=3):
     n micro-batches."""
     src = load_table(spark, SF_SMOKE, "events")
     d = tempfile.mkdtemp(prefix="ev_split_")
-    # stage with raw nanos-long ts so the stream reader's rebuild applies
+    # re-stage through spark.read so whatever dtype the fixture generation
+    # uses round-trips; read_event_stream probes the staged files' unit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     raw.repartition(n_files).write.mode("overwrite").parquet(d)
