@@ -111,3 +111,24 @@ def test_nanos_generation_roundtrip(spark, tmp_path):
         "complete")
     row = sink.collect()[0]
     assert (row.lo, row.hi) == (lo_us, lo_us + 5_000_000)
+
+
+def test_all_tables_match_duckdb_shape(spark):
+    """Generic fixture-generation insurance: every catalog table loads with
+    the same row count and column set DuckDB sees in the same parquet file.
+    A driver-side fixture regeneration that changes a physical type the
+    loaders can't normalize shows up here before it corrupts query results."""
+    from parquetaivectorsearch_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for name in TABLES:
+        path = f"{SF_SMOKE}/{name}.parquet"
+        n_duck, = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}')").fetchone()
+        cols_duck = [
+            r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()]
+        df = load_table(spark, SF_SMOKE, name)
+        assert df.count() == n_duck, name
+        assert df.columns == cols_duck, name
+    con.close()
