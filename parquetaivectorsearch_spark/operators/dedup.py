@@ -9,38 +9,47 @@ The reference has no dedup — its nearest analog is the KNN match (SURVEY
 - SimHash: 64-bit sign-of-sums fingerprint → chunk-match candidates →
   hamming verification
 
-Everything runs in Catalyst built-ins, no Python in the hot path.
-
-Shape note (learned the hard way): signature computation is *explode +
-groupBy with k aggregate expressions*, not k higher-order-function lambdas
-over a shared array. HOF lambdas get no common-subexpression elimination,
-so `transform(seeds, ab -> array_min(transform(shingle_hashes, ...)))`
-re-derives the shingle-hash array k times (~60s for 5k docs at k=32); the
-explode/groupBy shape hashes each shingle once, keeps the k min()/sum()
-expressions in whole-stage codegen with map-side partial aggregation, and
-— because the signature plan now *ends in an exchange* — the LSH banding
-self-join reuses that exchange instead of recomputing both sides.
+Shape note (two rounds of measurement): signature computation went
+HOF-lambdas (r1, ~60s/5k docs — no CSE, the shingle-hash array re-derived
+k times) → explode + groupBy with k aggregate expressions (r2-r4 — each
+shingle hashed once, map-side combine) → a single Arrow-vectorized pandas
+UDF over the per-doc shingle-hash array (r5). The explode/groupBy shape
+was still ~120s of CPU at sf0.1: 5M exploded rows × k pmod-min aggregate
+expressions is 200M interpreted expression evaluations (the generated
+update method for 40 aggregates is too large for effective JIT), plus a
+full shuffle of the exploded rows. Signatures are embarrassingly parallel
+per document, so the right distributed shape is: hash shingles JVM-side
+(xxhash64 in a transform — one pass), ship the bigint arrays to one
+pandas UDF batch (Arrow), and do the k modular-min reductions as numpy
+segmented reduceat over the flattened batch — no explode, no shuffle in
+the signature stage at all, ~30× less CPU, identical values.
 
 Scale posture (100 TB):
-- The explode is pipeline-parallel and the partial agg reduces each
-  partition to n_local_docs × k values before the shuffle.
+- The signature stage is a narrow map (shuffle-free); parallelism comes
+  from the input partitioning (see _spread).
 - Band-key / chunk-key self-joins are keyed on short deterministic
   strings; bucket sizes are bounded by construction (a band collision
   requires r equal minhashes). Degenerate hot buckets (e.g. empty
-  documents) are the one real skew risk — empties drop out at explode.
+  documents) are the one real skew risk — empties are filtered out
+  before the UDF.
 - Signatures are O(k) ints per doc, tiny next to the text; candidate
   verification joins shingle-hash arrays (bigint, not strings) for only
   the candidate pairs.
 - MinHash permutations use h_i(x) = (a_i·x + b_i) mod p over pre-reduced
-  x < p = 2^31 - 1, so a_i·x < 2^62 never overflows int64 (ANSI-safe).
+  x < p = 2^31 - 1, so a_i·x < 2^62 never overflows int64 (ANSI-safe, and
+  numpy int64 arithmetic matches Spark's pmod exactly).
 """
 
 from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from parquetaivectorsearch_spark.functions.text import char_ngrams, words
 
@@ -80,32 +89,62 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.repartition(target, id_col)
 
 
-def shingle_hashes_exploded(docs: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
-    """(doc_id, h): one row per (doc, distinct shingle), h = xxhash64 of the
-    shingle pre-reduced mod p. Docs shorter than shingle_n vanish (no rows).
-    Each shingle is hashed exactly once here; everything downstream works on
-    the bigint."""
-    return docs.select(
+def shingle_hash_arrays(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
+    """(doc_id, hashes: array<bigint>): xxhash64 of each distinct shingle.
+    Docs shorter than shingle_n are dropped (empty shingle set — they can't
+    be near-dups of anything under jaccard). The hashing is one JVM-side
+    pass; everything downstream works on the bigints."""
+    # Drop short docs with a CHEAP pushable predicate (length >= n ⟺ the
+    # shingle set is non-empty), never size(transform(...)): an expensive
+    # filter expression gets pushed below the _spread exchange into the
+    # scan stage, re-shingling the whole corpus on the scan's (possibly
+    # single-task) parallelism.
+    return docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= shingle_n)
+    ).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_ngrams(text_col, shingle_n)).alias("shingle"),
-    ).select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h"))
+        F.transform(char_ngrams(text_col, shingle_n),
+                    lambda s: F.xxhash64(s)).alias("hashes"),
+    )
+
+
+def _minhash_sig_udf(seeds: list[tuple[int, int]]):
+    """Arrow-batch minhash: for a batch of per-doc hash arrays, flatten to
+    one int64 vector, apply each permutation vectorized, and take per-doc
+    mins with np.minimum.reduceat (segmented min — one pass per
+    permutation over the whole batch, no per-doc python loop)."""
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array([a for a, _ in seeds], dtype=np.int64)
+    B = np.array([b for _, b in seeds], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lengths = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
+        hmod = flat % MERSENNE_P  # numpy floor-mod == Spark pmod for p > 0
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        out = np.empty((len(A), n), dtype=np.int64)
+        for i in range(len(A)):
+            out[i] = np.minimum.reduceat((A[i] * hmod + B[i]) % MERSENNE_P, offsets)
+        return pd.Series(list(out.T))
+
+    return sig
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 40, shingle_n: int = 5, seed: int = 42) -> DataFrame:
-    """(doc_id, signature: array<bigint> of length k).
-
-    groupBy(doc_id) with k `min((a_i·h + b_i) mod p)` aggregate expressions —
-    all whole-stage codegen with map-side combine; min over duplicates equals
-    min over the distinct set, so no distinct pass is needed."""
-    sh = shingle_hashes_exploded(_spread(docs, id_col), text_col, id_col, shingle_n)
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(f"_mh{i}")
-        for i, (a, b) in enumerate(_perm_seeds(k, seed))
-    ]
-    return sh.groupBy("doc_id").agg(*mins).select(
-        "doc_id", F.array(*[f"_mh{i}" for i in range(k)]).alias("signature")
+    """(doc_id, signature: array<bigint> of length k), k permutation-mins
+    min((a_i·h + b_i) mod p) over the doc's distinct shingle hashes —
+    computed as a shuffle-free narrow map (see module docstring)."""
+    sh = shingle_hash_arrays(_spread(docs, id_col), text_col, id_col, shingle_n)
+    return sh.select(
+        "doc_id", _minhash_sig_udf(_perm_seeds(k, seed))("hashes").alias("signature")
     )
 
 
@@ -179,21 +218,30 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Full MinHash-LSH near-dup pipeline: candidates from banding, then
     exact jaccard verification on candidate pairs only.
 
-    The verification hash-sets are *recomputed* map-side (shingle_hash_sets,
-    a per-row HOF with no shuffle) rather than fused into the signature
-    groupBy via collect_set + checkpoint — measured at sf0.1, pushing every
-    distinct shingle hash through the aggregation shuffle plus a checkpoint
-    materialization costs more than two shuffle-free scans. At 100 TB the
-    same tradeoff holds as long as the corpus scan is cheaper than a
-    full-corpus set shuffle — which is exactly when LSH beats all-pairs.
+    Materialization strategy (measured at sf0.1, r5): signatures and the
+    verification hash-sets are each localCheckpoint'ed once. Without the
+    checkpoints the optimizer re-derives the full scan→shingle→hash chain
+    in FOUR places (both sides of the banding self-join, both grams
+    branches — and the grams copies land inside broadcast builds, i.e. on
+    one thread). Both artifacts are O(corpus) rows of O(k) ints — tiny
+    next to the text — which is exactly the DFS-persisted intermediate a
+    100 TB run would write between stages anyway.
+
+    The candidate pair set is explicitly repartitioned before verification:
+    pairs are two longs, so AQE coalesces them into one partition and the
+    array_intersect verification — the CPU-heavy step — would run on a
+    single core. REPARTITION_BY_NUM pins the verify parallelism.
 
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n, seed)
-    cands = minhash_candidates(sigs, bands)
-    # hash-shingle once per doc, join the hash sets to the candidate pairs —
-    # verification cost is O(candidates), shingling stays O(docs)
-    grams = shingle_hash_sets(docs, text_col, id_col, shingle_n)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n, seed) \
+        .localCheckpoint(eager=False)
+    cands = minhash_candidates(sigs, bands).repartition(target)
+    # hash-shingle once per doc (checkpointed), join the hash sets to the
+    # candidate pairs — verification cost is O(candidates), shingling O(docs)
+    grams = shingle_hash_sets(docs, text_col, id_col, shingle_n) \
+        .localCheckpoint(eager=False)
     return (
         cands.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")), "doc_a")
         .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")), "doc_b")
@@ -203,24 +251,51 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def _simhash_fp_udf():
+    """Arrow-batch simhash: unpack each word-hash int64 into its 64 bits
+    (little-endian uint8 view + np.unpackbits — bit i of the two's-
+    complement value, matching Spark's arithmetic shiftright(h, i) & 1),
+    map bits to ±1, and sum per doc with np.add.reduceat."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def fp(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lengths = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
+        bits = np.unpackbits(
+            flat.astype("<i8", copy=False).view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little",
+        ).astype(np.int32)
+        pm = bits * 2 - 1  # ±1 per (word, bit)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sums = np.add.reduceat(pm, offsets, axis=0)  # (n_docs, 64)
+        return pd.Series(list((sums >= 0).astype(np.int32)))
+
+    return fp
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(doc_id, bits: array<int> of 0/1). For each bit position i: sign of
     Σ over word occurrences of (2·bit_i(xxhash64(word)) − 1) — frequency-
-    weighted, the standard SimHash. Same explode/groupBy shape as minhash:
-    words hashed once, `bits` sum() aggregates in codegen. Docs with no
-    words vanish (no rows)."""
-    ws = _spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
-    ).select("doc_id", F.xxhash64("w").alias("h"))
-    sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_s{i}")
-        for i in range(bits)
-    ]
-    bit_arr = F.array(*[
-        F.when(F.col(f"_s{i}") >= 0, F.lit(1)).otherwise(F.lit(0)) for i in range(bits)
-    ])
-    return ws.groupBy("doc_id").agg(*sums).select("doc_id", bit_arr.alias("bits"))
+    weighted, the standard SimHash, as a shuffle-free narrow map (words
+    hashed once JVM-side, bit sums vectorized in one pandas UDF — see
+    module docstring). Docs with no words are dropped."""
+    if bits != 64:
+        raise ValueError("simhash_fingerprints packs int64 word hashes: bits must be 64")
+    # Cheap pushable word-existence predicate (see shingle_hash_arrays).
+    ws = _spread(
+        docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")),
+        id_col,
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("hashes"),
+    )
+    return ws.select("doc_id", _simhash_fp_udf()("hashes").alias("bits"))
 
 
 def simhash_chunks(bits_col: Column, n_chunks: int = 4) -> Column:
