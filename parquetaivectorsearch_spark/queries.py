@@ -41,8 +41,11 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(spark: SparkSession, sf_dir: str, name: str, *,
+       spread: bool = False) -> DataFrame:
+    """``spread=True`` floors scan parallelism for compute-heavy consumers
+    when the table is row-group-starved (see sources/catalog.load_table)."""
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +383,7 @@ def q_knn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document length/word/token stats (SURVEY §2.8 X)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_computed"),

@@ -53,7 +53,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is one partial+final hash aggregate over a pushed-down timestamp
     filter — the canonical 100 TB 'summarize the fact table' pattern.
     Decimal per-row casts keep the three money sums bit-exact."""
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = _t(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
     disc = _d12(F.lit(1) - F.col("l_discount"))

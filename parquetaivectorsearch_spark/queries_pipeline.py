@@ -48,7 +48,7 @@ def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-side partial counts → one shuffle on word →
     TakeOrderedAndProject for the limit (no global sort materialized)."""
     return (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=True)
         .select(F.explode(words(F.lower("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))

@@ -129,7 +129,7 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: partial (map-side) + final agg, no
     join, filter pushed to the scan. Revenue math runs per-row in double
     (bit-identical across engines), then exact decimal sums."""
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = _t(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))

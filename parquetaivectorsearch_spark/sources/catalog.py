@@ -24,18 +24,59 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               *, spread: bool = False) -> DataFrame:
     """Scan one fixture table. Plain ``spark.read.parquet`` — Catalyst owns
     split planning, vectorized decode, pushdown, pruning (the reference's
-    hand-rolled Parallel.ForEach + LogicalReader loop, Program.cs:33-75)."""
+    hand-rolled Parallel.ForEach + LogicalReader loop, Program.cs:33-75).
+
+    ``spread=True`` requests a parallelism floor for compute-heavy
+    consumers: parquet parallelism bottoms out at one task per row group,
+    so a table stored as a handful of row groups runs any scan-fused
+    computation (partial aggregation, explode, expression-heavy
+    projection) on a handful of cores regardless of cluster size. When —
+    and only when — the footer probe says the table is row-group-starved,
+    a round-robin repartition to defaultParallelism is appended; filters
+    still reach the scan (Catalyst pushes predicates below Repartition).
+    On a real multi-TB table (thousands of row groups) this is a no-op,
+    so cheap projection queries keep their exchange-free plans by simply
+    not asking for it.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     from parquetaivectorsearch_spark.session import ship_package
 
     ship_package(spark)  # UDF queries must import this package on workers
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        slots = spark.sparkContext.defaultParallelism
+        if _num_row_groups(f"{sf_dir}/{name}.parquet") < max(2, slots // 2):
+            df = df.repartition(slots)
+    return df
+
+
+_RG_CACHE: dict[str, int] = {}
+
+
+def _num_row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` (file or directory) — the
+    hard upper bound on scan-stage parallelism. Footer-only reads, cached
+    per path (the fixture files are immutable within a run)."""
+    if path not in _RG_CACHE:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+                 if os.path.isdir(path) else [path])
+        _RG_CACHE[path] = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+    return _RG_CACHE[path]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,17 +65,47 @@ def read_event_stream(spark: SparkSession, path: str,
     return stream.withColumn("ts", F.expr(f"timestamp_micros(ts DIV {div})"))
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _ephemeral_checkpoint_dir() -> str:
+    """Checkpoint dir for throwaway availableNow runs (memory sink, result
+    discarded after the harness reads it). Durability buys nothing here, so
+    prefer tmpfs when the host has it — the HDFS-backed state store fsyncs
+    a delta file per partition per batch plus offset/commit logs per batch,
+    and on a real disk that (not compute) dominates small-state runs. A
+    production query with a real sink points checkpointLocation at a DFS."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix="ckpt_avail_", dir=base)
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str,
+                      state_partitions: int | None = 8) -> DataFrame:
     """Drive the stream through all available data into a memory sink and
     return the sink table. availableNow terminates after the backlog —
-    batch-job semantics over the streaming operator graph."""
+    batch-job semantics over the streaming operator graph.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    this query (it is frozen into the checkpoint at first start). Stateful
+    tasks pay a per-partition state-store open/commit cost every batch, so
+    the right count tracks STATE size, not cluster width: the fixture's
+    ≤10k keys want single digits, a 100 TB stream wants cores × k. None
+    keeps the session default."""
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -218,8 +248,6 @@ def run_latest_state_upsert(events: DataFrame, state_root: str) -> DataFrame:
     exactly how a 100 TB CDC snapshot stays consistent without a table
     format. Returns the final state (all batches drained, availableNow).
     """
-    import tempfile
-
     versions: list[str] = []
     spark = events.sparkSession
 
@@ -250,7 +278,7 @@ def run_latest_state_upsert(events: DataFrame, state_root: str) -> DataFrame:
 
     q = (
         events.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+        .option("checkpointLocation", _ephemeral_checkpoint_dir())
         .trigger(availableNow=True)
         .start()
     )
