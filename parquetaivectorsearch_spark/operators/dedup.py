@@ -235,13 +235,16 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Output: (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
     target = docs.sparkSession.sparkContext.defaultParallelism
-    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n, seed) \
-        .localCheckpoint(eager=False)
+    # ONE shingling pass feeds both the signatures and the verification
+    # sets: the checkpointed (doc_id, hashes) arrays are the shared
+    # artifact (signatures are k mins over them; jaccard intersects them).
+    hashes = shingle_hash_arrays(_spread(docs, id_col), text_col, id_col,
+                                 shingle_n).localCheckpoint(eager=False)
+    sigs = hashes.select(
+        "doc_id", _minhash_sig_udf(_perm_seeds(k, seed))("hashes").alias("signature")
+    )
     cands = minhash_candidates(sigs, bands).repartition(target)
-    # hash-shingle once per doc (checkpointed), join the hash sets to the
-    # candidate pairs — verification cost is O(candidates), shingling O(docs)
-    grams = shingle_hash_sets(docs, text_col, id_col, shingle_n) \
-        .localCheckpoint(eager=False)
+    grams = hashes.select("doc_id", F.array_distinct("hashes").alias("g"))
     return (
         cands.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")), "doc_a")
         .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")), "doc_b")

@@ -60,6 +60,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     u = l.select(*lcols, "_side", *[f"_p_{p}" for p in payload]).unionByName(
         r.select(*lcols, "_side", *[f"_p_{p}" for p in payload])
     )
+    # Pin the window's parallelism: the union is a few bytes per row, so
+    # AQE's byte-based coalescing would run the sort+carry — the CPU-heavy
+    # step — on one or two cores. An explicit numbered repartition on the
+    # window key satisfies the window's required distribution (no second
+    # exchange) and is exempt from AQE coalescing.
+    u = u.repartition(u.sparkSession.sparkContext.defaultParallelism, on)
     # Total order inside each key: (ts, side) — callers must pre-dedupe the
     # right side to one row per (on, ts), which makes the carry fully
     # deterministic (right rows sort before left rows at the same instant).
@@ -112,6 +118,12 @@ def range_join_bucketed(events: DataFrame, key: str, ts: str,
         F.col(key), F.col("_cell"),
         F.col("_us").alias("_us_b"), *[F.col(p).alias(f"b_{p}") for p in payload],
     )
+    # Pin join parallelism (see asof_join): the shuffled rows are a few
+    # bytes each but the joined candidate set is where the compute lives,
+    # so AQE's byte-based coalescing would serialize it.
+    target = events.sparkSession.sparkContext.defaultParallelism
+    a2 = a2.repartition(target, F.col(key), F.col("_cell"))
+    b = b.repartition(target, F.col(key), F.col("_cell"))
     gap = (F.col("_us_b") - F.col("_us_a")) / F.lit(1_000_000.0)
     return (
         a2.join(b, [key, "_cell"])
