@@ -257,15 +257,18 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def _simhash_fp_udf():
     """Arrow-batch simhash: unpack each word-hash int64 into its 64 bits
     (little-endian uint8 view + np.unpackbits — bit i of the two's-
-    complement value, matching Spark's arithmetic shiftright(h, i) & 1),
-    map bits to ±1, and sum per doc with np.add.reduceat."""
+    complement value), map bits to ±1, sum per doc with np.add.reduceat,
+    and re-pack the 64 sign bits into ONE int64 fingerprint (bit i set ⟺
+    Σ_i ≥ 0). A packed fingerprint keeps everything downstream in codegen
+    scalar ops — chunk extraction is shift+mask, hamming is
+    bit_count(a XOR b) — instead of interpreted 64-element array HOFs."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(T.ArrayType(T.IntegerType()))
+    @pandas_udf(T.LongType())
     def fp(hashes: pd.Series) -> pd.Series:
         n = len(hashes)
         if n == 0:
-            return pd.Series([], dtype=object)
+            return pd.Series([], dtype="int64")
         lengths = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
         bits = np.unpackbits(
@@ -276,20 +279,21 @@ def _simhash_fp_udf():
         offsets = np.zeros(n, dtype=np.int64)
         np.cumsum(lengths[:-1], out=offsets[1:])
         sums = np.add.reduceat(pm, offsets, axis=0)  # (n_docs, 64)
-        return pd.Series(list((sums >= 0).astype(np.int32)))
+        packed = np.packbits(sums >= 0, axis=1, bitorder="little")  # (n, 8) u8
+        return pd.Series(packed.view("<u8")[:, 0].view(np.int64))
 
     return fp
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """(doc_id, bits: array<int> of 0/1). For each bit position i: sign of
-    Σ over word occurrences of (2·bit_i(xxhash64(word)) − 1) — frequency-
-    weighted, the standard SimHash, as a shuffle-free narrow map (words
-    hashed once JVM-side, bit sums vectorized in one pandas UDF — see
-    module docstring). Docs with no words are dropped."""
+    """(doc_id, fp: bigint). Bit i of fp = sign of Σ over word occurrences
+    of (2·bit_i(xxhash64(word)) − 1) — frequency-weighted, the standard
+    SimHash, as a shuffle-free narrow map (words hashed once JVM-side, bit
+    sums vectorized in one pandas UDF — see module docstring). Docs with
+    no words are dropped."""
     if bits != 64:
-        raise ValueError("simhash_fingerprints packs int64 word hashes: bits must be 64")
+        raise ValueError("simhash_fingerprints packs an int64: bits must be 64")
     # Cheap pushable word-existence predicate (see shingle_hash_arrays).
     ws = _spread(
         docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")),
@@ -298,21 +302,19 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("hashes"),
     )
-    return ws.select("doc_id", _simhash_fp_udf()("hashes").alias("bits"))
+    return ws.select("doc_id", _simhash_fp_udf()("hashes").alias("fp"))
 
 
-def simhash_chunks(bits_col: Column, n_chunks: int = 4) -> Column:
-    """Pack the bit array into n_chunks integers (for LSH-style chunk
-    matching: hamming ≤ d pairs must share ≥ 1 of d+1 chunks)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-        lambda j: F.aggregate(
-            F.slice(bits_col, j * (F.size(bits_col) / n_chunks).cast("int") + 1,
-                    (F.size(bits_col) / n_chunks).cast("int")),
-            F.lit(0).cast("bigint"),
-            lambda acc, bit: acc * 2 + bit,
-        ),
-    )
+def simhash_chunks(fp_col: Column, n_chunks: int = 4) -> Column:
+    """The fingerprint's n_chunks disjoint 16·(4/n_chunks)-bit fields as an
+    array (for LSH-style chunk matching: hamming ≤ d pairs must share ≥ 1
+    of d+1 chunks). Shift+mask on the packed int64 — pure codegen."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return F.array(*[
+        F.shiftrightunsigned(fp_col, width * j).bitwiseAND(F.lit(mask))
+        for j in range(n_chunks)
+    ])
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -325,17 +327,16 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     # Checkpoint the fingerprints: the chunk-bucket self-join and the two
     # verify joins all read one materialized copy instead of re-running the
-    # word-explode agg per branch (see minhash_dedup for the persist-vs-
-    # checkpoint tradeoff).
-    fp = simhash_fingerprints(docs, text_col, id_col).select(
-        "doc_id", "bits", simhash_chunks(F.col("bits"), n_chunks).alias("chunks")
-    ).localCheckpoint(eager=False)
+    # word-hash UDF per branch (see minhash_dedup for the persist-vs-
+    # checkpoint tradeoff). Each row is two longs.
+    fp = simhash_fingerprints(docs, text_col, id_col).localCheckpoint(eager=False)
     exploded = fp.select(
-        "doc_id", F.posexplode("chunks").alias("chunk_id", "chunk_val")
+        "doc_id", F.posexplode(simhash_chunks(F.col("fp"), n_chunks))
+        .alias("chunk_id", "chunk_val")
     ).repartition(F.col("chunk_id"), F.col("chunk_val"))
     a, b = exploded.alias("a"), exploded.alias("b")
-    # Dedup candidate pairs BEFORE attaching the bit arrays: distinct over
-    # two longs, not over two 64-element arrays.
+    # Dedup candidate pairs BEFORE attaching the fingerprints: distinct
+    # over two longs.
     cands = (
         a.join(
             b,
@@ -349,16 +350,14 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         )
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, d: acc + d,
-    )
+    # Exact hamming on the packed fingerprints: popcount of the XOR — one
+    # codegen'd scalar expression per pair.
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return (
         cands.join(fp.select(F.col("doc_id").alias("doc_a"),
-                             F.col("bits").alias("bits_a")), "doc_a")
+                             F.col("fp").alias("fp_a")), "doc_a")
         .join(fp.select(F.col("doc_id").alias("doc_b"),
-                        F.col("bits").alias("bits_b")), "doc_b")
+                        F.col("fp").alias("fp_b")), "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
