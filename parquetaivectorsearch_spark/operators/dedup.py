@@ -93,16 +93,23 @@ def shingle_hash_arrays(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
     """(doc_id, hashes: array<bigint>): xxhash64 of each distinct shingle.
     Docs shorter than shingle_n are dropped (empty shingle set — they can't
-    be near-dups of anything under jaccard). The hashing is one JVM-side
-    pass; everything downstream works on the bigints."""
-    # Drop short docs with a CHEAP pushable predicate (length >= n ⟺ the
-    # shingle set is non-empty), never size(transform(...)): an expensive
-    # filter expression gets pushed below the _spread exchange into the
-    # scan stage, re-shingling the whole corpus on the scan's (possibly
-    # single-task) parallelism.
-    return docs.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= shingle_n)
-    ).select(
+    be near-dups of anything under jaccard).
+
+    Shape note: this stays `transform(char_ngrams(...), xxhash64)` — HOF
+    lambdas run interpreted per element (~20s CPU for 5M shingles at
+    sf0.1), but spread over the cores that is 0.6s of wall. The
+    "all-codegen" alternative (explode positions → substring → xxhash64 →
+    collect_set) measured WORSE: collect_set is an ObjectHashAggregate,
+    which is not codegen'd and falls back to sort-based aggregation above
+    128 keys per partition — a 5M-row object sort per partition.
+
+    The short-doc drop is a CHEAP pushable predicate (length >= n ⟺ the
+    shingle set is non-empty), never size(transform(...)): an expensive
+    filter expression gets pushed below the _spread exchange into the
+    scan stage, re-shingling the whole corpus on the scan's (possibly
+    single-task) parallelism."""
+    t = F.col(text_col)
+    return docs.filter(t.isNotNull() & (F.length(t) >= shingle_n)).select(
         F.col(id_col).alias("doc_id"),
         F.transform(char_ngrams(text_col, shingle_n),
                     lambda s: F.xxhash64(s)).alias("hashes"),
@@ -196,12 +203,9 @@ def shingle_hash_sets(docs: DataFrame, text_col: str = "text",
     candidate verification. bigint set ops are ~5× cheaper than re-intersecting
     the shingle strings; xxhash64 collisions among ~1k shingles in a 2^64
     space are negligible for jaccard."""
-    return _spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.transform(char_ngrams(text_col, shingle_n), lambda s: F.xxhash64(s))
-        ).alias("g"),
-    )
+    return shingle_hash_arrays(
+        _spread(docs, id_col), text_col, id_col, shingle_n
+    ).select("doc_id", F.col("hashes").alias("g"))
 
 
 def jaccard_of_hash_sets(ga: Column, gb: Column) -> Column:
@@ -210,6 +214,34 @@ def jaccard_of_hash_sets(ga: Column, gb: Column) -> Column:
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = (F.size(ga) + F.size(gb)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def _jaccard_udf():
+    """Arrow-batch jaccard over distinct hash arrays. A pandas UDF rather
+    than the Column expression for the verify stage ON PURPOSE: a
+    deterministic JVM filter like `jaccard_of_hash_sets(...) >= t` gets
+    pushed into the verify JOIN as a residual condition, where the
+    array_intersect is evaluated interpreted and re-derived again in the
+    output projection (~4 evaluations per candidate pair, measured 37s CPU
+    for 24k pairs at sf0.1). Python predicates cannot enter join
+    conditions, so the UDF pins verification above the join — one
+    intersect per pair, vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def jac(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        n = len(ga)
+        out = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            a = np.asarray(ga.iat[i], dtype=np.int64)
+            b = np.asarray(gb.iat[i], dtype=np.int64)
+            inter = np.intersect1d(a, b).size  # sorts+uniques: robust to dup hashes
+            union = a.size + b.size - inter
+            if union > 0:
+                out[i] = inter / union
+        return pd.Series(out)
+
+    return jac
 
 
 def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -244,12 +276,11 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         "doc_id", _minhash_sig_udf(_perm_seeds(k, seed))("hashes").alias("signature")
     )
     cands = minhash_candidates(sigs, bands).repartition(target)
-    grams = hashes.select("doc_id", F.array_distinct("hashes").alias("g"))
+    grams = hashes.select("doc_id", F.col("hashes").alias("g"))  # collect_set: distinct
     return (
         cands.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")), "doc_a")
         .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")), "doc_b")
-        .select("doc_a", "doc_b",
-                jaccard_of_hash_sets(F.col("ga"), F.col("gb")).alias("jaccard"))
+        .select("doc_a", "doc_b", _jaccard_udf()(F.col("ga"), F.col("gb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -47,8 +47,14 @@ def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: explode whitespace tokens, count, top-100.
     Scale shape: map-side partial counts → one shuffle on word →
     TakeOrderedAndProject for the limit (no global sort materialized)."""
+    # NOT spread: the vocabulary is shared across documents, so map-side
+    # partial aggregation collapses each map task's words to the ~30k
+    # distinct vocabulary before the shuffle — one map task ships 30k
+    # partial rows where 32 would ship ~800k (measured 2× slower overall).
+    # Scan parallelism matters less than partial-agg dedup for
+    # low-cardinality explodes.
     return (
-        _t(spark, sf_dir, "documents", spread=True)
+        _t(spark, sf_dir, "documents")
         .select(F.explode(words(F.lower("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
