@@ -43,6 +43,59 @@ def test_exact_dedup_counts(spark):
     assert groups.agg(F.sum("n_copies")).first()[0] == docs.count()
 
 
+def test_minhash_signature_udf_matches_expression_formula(spark):
+    """The Arrow-vectorized signature UDF must be bit-identical to the
+    definitional Catalyst form (explode + k min-aggregates of
+    (a·h + b) mod p over pmod(xxhash64(shingle), p)). Pins numpy/Spark
+    integer-arithmetic parity (floor-mod vs pmod, int64 overflow headroom)
+    so a refactor of either side can't silently drift the LSH buckets."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    seeds = DD._perm_seeds(8, 42)
+    sh = docs.select(
+        "doc_id", F.explode(char_ngrams("text", 5)).alias("s")
+    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(DD.MERSENNE_P)).alias("h"))
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(DD.MERSENNE_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(seeds)
+    ]
+    expected = {
+        r["doc_id"]: [r[f"_m{i}"] for i in range(len(seeds))]
+        for r in sh.groupBy("doc_id").agg(*mins).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in DD.minhash_signatures(docs, k=len(seeds), seed=42).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_fingerprint_udf_matches_expression_formula(spark):
+    """The packed-int64 fingerprint must equal the definitional form: bit i
+    set iff Σ over word occurrences of (2·bit_i(xxhash64(word)) − 1) ≥ 0."""
+    from parquetaivectorsearch_spark.functions.text import words
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    ws = docs.select(
+        "doc_id", F.explode(words("text")).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_s{i}")
+        for i in range(64)
+    ]
+    rows = ws.groupBy("doc_id").agg(*sums).collect()
+    expected = {}
+    for r in rows:
+        v = 0
+        for i in range(64):
+            if r[f"_s{i}"] >= 0:
+                v |= 1 << i
+        if v >= 1 << 63:  # two's-complement int64
+            v -= 1 << 64
+        expected[r["doc_id"]] = v
+    got = {r["doc_id"]: r["fp"] for r in DD.simhash_fingerprints(docs).collect()}
+    assert got == expected
+
+
 def test_simhash_self_consistency(spark):
     """Identical texts must land at hamming 0; the operator must not pair a
     doc with itself."""
