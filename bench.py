@@ -199,6 +199,27 @@ def main() -> None:
     (spark.range(10_000, numPartitions=int(CPUS))
      .mapInPandas(_warm, "id long")
      .write.format("noop").mode("overwrite").save())
+    # Warm the two engine components the noop-sink loop never touches, on
+    # 100 synthetic rows each (same steady-state principle as the JVM and
+    # Python-worker warmups above — measure operators, not one-time class
+    # loading): (1) the parquet WRITE path (committer + output writers;
+    # otherwise ann_build's index persist absorbs it), (2) the Structured
+    # Streaming machinery (IncrementalExecution, state store provider,
+    # offset/commit logs; otherwise the first streaming query absorbs it).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    wdir = tempfile.mkdtemp(prefix="bench_warm_")
+    spark.range(100).withColumn("p", F.col("id") % 4).write \
+        .mode("overwrite").partitionBy("p").parquet(f"{wdir}/pq")
+    from parquetaivectorsearch_spark.streaming.events import run_available_now
+
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(f"{wdir}/stream_in")
+    stream = spark.readStream.schema("id long").parquet(f"{wdir}/stream_in")
+    run_available_now(stream.groupBy("id").count(), "update", state_partitions=2)
+    shutil.rmtree(wdir, ignore_errors=True)
 
     timings: dict[str, float] = {}
     recall: dict[str, float] = {}
