@@ -135,3 +135,16 @@ def test_ann_queries_carry_recall_column(spark):
         rows = q(spark, SF_SMOKE).collect()
         assert len(rows) == 20
         assert all(r.recall >= 0.9 for r in rows), q.__name__
+
+
+def test_knn_topk_int8_exact_after_rerank(spark):
+    """The int8-shortlist + exact-rerank serve path must return the exact
+    top-20 (recall 1.0): the quantization error bound (scale/2 per element)
+    cannot evict a true neighbor from a 500-deep shortlist at fixture
+    scale."""
+    from parquetaivectorsearch_spark.queries_ann import q_knn_topk_int8
+    from tests.conftest import SF_CORRECT
+
+    rows = q_knn_topk_int8(spark, SF_CORRECT).collect()
+    assert len(rows) == 160  # 8 queries x k=20
+    assert all(r.recall == 1.0 for r in rows)
