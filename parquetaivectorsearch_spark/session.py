@@ -69,6 +69,16 @@ def get_spark(app_name: str = "parquetaivectorsearch_spark", *, cpus: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # ObjectHashAggregate (collect_list/collect_set/percentile & other
+        # TypedImperativeAggregates) silently falls back to SORT-BASED
+        # aggregation after 128 distinct keys per partition — a per-
+        # partition object sort that measured 10-40× slower on grouped
+        # collection aggs (an explode+collect_set shingle stage went 83s
+        # at sf0.1 purely from the fallback). 64k keys of small per-key
+        # buffers is well within executor memory at our partition sizing;
+        # spill safety for pathological key counts is preserved above it.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "65536")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
