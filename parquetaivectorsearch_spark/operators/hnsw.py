@@ -81,57 +81,48 @@ class HNSWParams:
 
 # ---------------------------------------------------------------------------
 # numpy HNSW core (one graph per partition; runs inside applyInPandas)
+#
+# Adjacency is a fixed-capacity int32 matrix per layer (nbr[l][node, :cnt])
+# instead of dict-of-arrays: slice access in the beam loop, O(1) back-link
+# append, no per-edge np.append copies. ``visited`` is an epoch-stamped
+# int32 array — reset is a counter bump, not an O(n) memset per beam call.
+# Insert distances are precomputed in CHUNKS: one (B × n) GEMM per B
+# inserts replaces B GEMVs (BLAS-3 vs BLAS-2), bounded to ~64 MB scratch.
 # ---------------------------------------------------------------------------
 
-def _dist(vectors: np.ndarray, idxs: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """Dot-product distance 1 − v·q for a batch of node indexes (one matmul
-    — the numpy stand-in for the reference's SIMD kernel, csproj:15)."""
-    return 1.0 - vectors[idxs] @ q
+# Per-chunk distance scratch budget: B = _CHUNK_BUDGET // n insert rows per
+# GEMM, so the (B, n) float32 block stays ~64 MB no matter the partition
+# size. At n beyond the budget, B degrades to 1 (a single GEMV) — per-insert
+# work stays O(n·d) only in the precompute, never materializing O(n²).
+_CHUNK_BUDGET = 1 << 24
 
 
-# Below this partition size, each insert/search precomputes ALL distances to
-# the query with one BLAS GEMV and the beam search just indexes into it —
-# ~10× less per-call numpy overhead than gathering rows per expansion. Above
-# it, distances are computed lazily per expansion so per-insert work stays
-# O(ef·M·log n·d), not O(n·d) — the property that matters when a partition
-# holds millions of vectors at 100 TB.
-_PRECOMP_MAX = 1 << 14
-
-
-def _dist_of(vectors: np.ndarray, q: np.ndarray):
-    """Distance accessor for one query: precomputed GEMV under
-    ``_PRECOMP_MAX``, lazy gathered-matmul above it."""
-    if len(vectors) <= _PRECOMP_MAX:
-        dq = 1.0 - vectors @ q
-        return dq.__getitem__
-    return lambda idxs: 1.0 - vectors[idxs] @ q
-
-
-def _search_layer(dist_of, adj, entry: int, ef: int,
-                  visited: np.ndarray) -> list[tuple[float, int]]:
+def _search_layer(dist_b, dist_s, nbr: np.ndarray, cnt: np.ndarray,
+                  entry: int, ef: int, visited: np.ndarray,
+                  epoch: int) -> list[tuple[float, int]]:
     """Beam search on one layer (paper Alg. 2): maintain the ef best, expand
     the closest unexpanded candidate until no candidate beats the worst.
 
-    ``visited`` is a caller-provided bool scratch array (len = corpus size);
-    it is reset here. A flat bool array beats a Python set by ~3-5× on the
-    membership test that dominates the insert loop."""
-    visited[:] = False
-    d0 = float(dist_of(np.array([entry], dtype=np.int64))[0])
-    visited[entry] = True
+    ``dist_b`` maps an index array to distances, ``dist_s`` a scalar index;
+    ``nbr``/``cnt`` are the layer's capacity-matrix adjacency; ``visited``
+    is the caller's epoch-stamp scratch (stamp == epoch ⇒ seen)."""
+    d0 = float(dist_s(entry))
+    visited[entry] = epoch
     cand = [(d0, entry)]           # min-heap by distance
     best = [(-d0, entry)]          # max-heap (negated) of the ef best
     while cand:
         d, node = heapq.heappop(cand)
         if d > -best[0][0]:
             break
-        neigh = adj.get(node)
-        if neigh is None or len(neigh) == 0:
+        c = cnt[node]
+        if c == 0:
             continue
-        new = neigh[~visited[neigh]]
+        neigh = nbr[node, :c]
+        new = neigh[visited[neigh] != epoch]
         if len(new) == 0:
             continue
-        visited[new] = True
-        nds = dist_of(new)
+        visited[new] = epoch
+        nds = dist_b(new)
         if len(best) >= ef:
             # batch-filter against the current worst before touching heaps
             worst = -best[0][0]
@@ -147,7 +138,8 @@ def _search_layer(dist_of, adj, entry: int, ef: int,
 
 
 def _select_neighbors(x: np.ndarray, cands: list[tuple[float, int]], m: int,
-                      adj: dict, p: "HNSWParams", dist_of) -> np.ndarray:
+                      nbr: np.ndarray, cnt: np.ndarray, p: "HNSWParams",
+                      dist_b) -> np.ndarray:
     """Neighbor selection for one insert: paper Alg. 3 (simple nearest-M)
     or Alg. 4 (heuristic) per ``p.heuristic`` — the reference's
     SelectHeuristic/ExpandBestSelection pair (Program.cs:135-137).
@@ -162,19 +154,22 @@ def _select_neighbors(x: np.ndarray, cands: list[tuple[float, int]], m: int,
     if not p.heuristic:
         return np.array([nid for _, nid in cands[:m]], dtype=np.int64)
 
-    ids = np.array([nid for _, nid in cands], dtype=np.int64)
-    dq = np.array([d for d, _ in cands], dtype=np.float64)
+    k = len(cands)
+    ids = np.fromiter((nid for _, nid in cands), dtype=np.int64, count=k)
+    dq = np.fromiter((d for d, _ in cands), dtype=np.float64, count=k)
     if p.extend_candidates:
         # ExpandBestSelection: widen the working set with candidates'
-        # neighborhoods (paper Alg. 4 extendCandidates branch) — gathered
-        # and de-duplicated vectorized, distances in one batch.
-        nbr_arrays = [adj[int(i)] for i in ids if int(i) in adj]
-        if nbr_arrays:
-            ext = np.unique(np.concatenate(nbr_arrays))
+        # neighborhoods (paper Alg. 4 extendCandidates branch) — one
+        # masked gather from the capacity matrix, distances in one batch.
+        counts = cnt[ids]
+        if counts.any():
+            rows = nbr[ids]                                   # (k, cap)
+            ext = rows[np.arange(rows.shape[1]) < counts[:, None]]
+            ext = np.unique(ext)
             ext = ext[~np.isin(ext, ids)]
             if len(ext):
                 ids = np.concatenate([ids, ext])
-                dq = np.concatenate([dq, dist_of(ext)])
+                dq = np.concatenate([dq, dist_b(ext)])
     cap = max(p.ef_construction, 2 * m)
     order = np.argsort(dq, kind="stable")[:cap]
     ids, dq = ids[order], dq[order]
@@ -206,61 +201,124 @@ def _select_neighbors(x: np.ndarray, cands: list[tuple[float, int]], m: int,
 
 def _build_graph(x: np.ndarray, p: HNSWParams) -> list[dict[int, np.ndarray]]:
     """Insert-all build (paper Alg. 1). Returns adjacency per layer:
-    layers[l][node] = np.array of neighbor node indexes."""
+    layers[l][node] = np.array of neighbor node indexes.
+
+    Internally the graph lives in capacity matrices; the dict form is
+    materialized once at the end for the row emitter (build_hnsw)."""
     n = len(x)
     rng = np.random.RandomState(p.seed)
     mL = 1.0 / math.log(p.M)
     levels = np.minimum(
         (-np.log(rng.uniform(1e-12, 1.0, size=n)) * mL).astype(np.int64), 32)
     max_level = int(levels.max()) if n else 0
-    layers: list[dict[int, np.ndarray]] = [dict() for _ in range(max_level + 1)]
+    n_layers = max_level + 1
+    caps = [2 * p.M if lvl == 0 else p.M for lvl in range(n_layers)]
+    nbrs = [np.zeros((n, caps[lvl]), dtype=np.int32) for lvl in range(n_layers)]
+    cnts = [np.zeros(n, dtype=np.int32) for lvl in range(n_layers)]
+    # parallel per-edge distance store: ndist[l][node, j] = d(node, nbr j).
+    # Makes the back-link degree cap an O(cap) argmax-replace instead of a
+    # recomputed matmul + argsort per overflow (the build's former #2 cost).
+    ndists = [np.zeros((n, caps[lvl]), dtype=np.float32)
+              for lvl in range(n_layers)]
     entry, entry_level = 0, int(levels[0])
-    for lvl in range(entry_level + 1):
-        layers[lvl][0] = np.empty(0, dtype=np.int64)
-    visited = np.zeros(n, dtype=bool)  # shared scratch for every beam search
+    visited = np.zeros(n, dtype=np.int32)  # epoch stamps; 0 = never seen
+    epoch = 0
+    chunk = max(1, _CHUNK_BUDGET // max(n, 1))
+    dq_block: np.ndarray | None = None
+    block_lo = 0
     for i in range(1, n):
-        dist_of = _dist_of(x, x[i])
+        if dq_block is None or i >= block_lo + len(dq_block):
+            block_lo = i
+            # one GEMM precomputes distances for the next `chunk` inserts
+            dq_block = 1.0 - x[i:i + chunk] @ x.T
+        dq = dq_block[i - block_lo]
+        dist_b, dist_s = dq.__getitem__, dq.__getitem__
         lvl_i = int(levels[i])
         ep = entry
         # greedy descent through layers above the node's level (ef=1)
         for lvl in range(entry_level, lvl_i, -1):
-            ep = _search_layer(dist_of, layers[lvl], ep, 1, visited)[0][1]
+            epoch += 1
+            ep = _search_layer(dist_b, dist_s, nbrs[lvl], cnts[lvl], ep, 1,
+                               visited, epoch)[0][1]
         # insert with ef_construction beam on each level ≤ node level
         for lvl in range(min(entry_level, lvl_i), -1, -1):
-            found = _search_layer(dist_of, layers[lvl], ep, p.ef_construction,
-                                  visited)
+            epoch += 1
+            found = _search_layer(dist_b, dist_s, nbrs[lvl], cnts[lvl], ep,
+                                  p.ef_construction, visited, epoch)
             m = p.M if lvl > 0 else 2 * p.M  # layer-0 degree 2M (paper §4)
-            nbrs = _select_neighbors(x, found, m, layers[lvl], p, dist_of)
-            layers[lvl][i] = nbrs
-            # back-links + degree cap: keep each neighbor's m nearest
-            for nb in nbrs.tolist():
-                cur = layers[lvl].get(nb, np.empty(0, dtype=np.int64))
-                cur = np.append(cur, i)
-                if len(cur) > m:
-                    keep = np.argsort(_dist(x, cur, x[nb]))[:m]
-                    cur = cur[keep]
-                layers[lvl][nb] = cur
+            sel = _select_neighbors(x, found, m, nbrs[lvl], cnts[lvl], p,
+                                    dist_b)
+            nbrs[lvl][i, :len(sel)] = sel
+            cnts[lvl][i] = len(sel)
+            ndists[lvl][i, :len(sel)] = dq[sel]
+            # back-links + degree cap: keep each neighbor's m nearest.
+            # d(nb, i) = dq[nb] (dq is this insert's distance row), so the
+            # overflow case is evict-the-farthest via the stored edge
+            # distances — no recompute.
+            nbr_l, cnt_l, nd_l = nbrs[lvl], cnts[lvl], ndists[lvl]
+            for nb in sel.tolist():
+                c = cnt_l[nb]
+                d_nb = dq[nb]
+                if c < m:
+                    nbr_l[nb, c] = i
+                    nd_l[nb, c] = d_nb
+                    cnt_l[nb] = c + 1
+                else:
+                    row = nd_l[nb, :c]
+                    worst = int(np.argmax(row))
+                    if d_nb < row[worst]:
+                        nbr_l[nb, worst] = i
+                        nd_l[nb, worst] = d_nb
             ep = int(found[0][1])
         if lvl_i > entry_level:
-            for lvl in range(entry_level + 1, lvl_i + 1):
-                layers[lvl][i] = np.empty(0, dtype=np.int64)
             entry, entry_level = i, lvl_i
+    # materialize the dict form the emitter expects: node ∈ layer iff its
+    # drawn level reaches it (node 0 and late entry-point promotions
+    # included — their lists are simply empty until back-links arrive)
+    layers: list[dict[int, np.ndarray]] = []
+    for lvl in range(n_layers):
+        members = np.nonzero(levels >= lvl)[0]
+        layers.append({
+            int(j): nbrs[lvl][j, :cnts[lvl][j]].astype(np.int64)
+            for j in members.tolist()
+        })
     return layers
 
 
-def _graph_knn(x: np.ndarray, layers: list[dict[int, np.ndarray]],
-               q: np.ndarray, k: int, ef: int,
-               visited: np.ndarray) -> list[tuple[float, int]]:
+def _layers_to_matrix(layers: list[dict[int, np.ndarray]], n: int):
+    """Dict adjacency → (nbr, cnt) capacity matrices per layer (serve path)."""
+    out = []
+    for adj in layers:
+        cap = max((len(v) for v in adj.values()), default=0)
+        nbr = np.zeros((n, max(cap, 1)), dtype=np.int32)
+        cnt = np.zeros(n, dtype=np.int32)
+        for node, vs in adj.items():
+            cnt[node] = len(vs)
+            nbr[node, :len(vs)] = vs
+        out.append((nbr, cnt))
+    return out
+
+
+def _graph_knn(x: np.ndarray, matrix_layers, entry0: int,
+               q: np.ndarray, k: int, ef: int, visited: np.ndarray,
+               epoch: int) -> tuple[list[tuple[float, int]], int]:
     """Full search (paper Alg. 5): greedy descent, layer-0 ef-beam, top-k.
     Distances stay LAZY here regardless of partition size: a serve-path
     GEMV over all n rows would cost exactly a brute-force scan per query,
     which is the thing the graph exists to avoid."""
-    dist_of = lambda idxs: 1.0 - x[idxs] @ q  # noqa: E731
-    entry = next(iter(layers[-1]))
-    for lvl in range(len(layers) - 1, 0, -1):
-        entry = _search_layer(dist_of, layers[lvl], entry, 1, visited)[0][1]
-    found = _search_layer(dist_of, layers[0], entry, max(ef, k), visited)
-    return found[:k]
+    dist_b = lambda idxs: 1.0 - x[idxs] @ q  # noqa: E731
+    dist_s = lambda i: float(1.0 - x[i] @ q)  # noqa: E731
+    entry = entry0
+    for lvl in range(len(matrix_layers) - 1, 0, -1):
+        epoch += 1
+        nbr, cnt = matrix_layers[lvl]
+        entry = _search_layer(dist_b, dist_s, nbr, cnt, entry, 1,
+                              visited, epoch)[0][1]
+    epoch += 1
+    nbr, cnt = matrix_layers[0]
+    found = _search_layer(dist_b, dist_s, nbr, cnt, entry, max(ef, k),
+                          visited, epoch)
+    return found[:k], epoch
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +365,14 @@ def build_hnsw(corpus: DataFrame, n_partitions: int = 8,
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__vec"),
     )
-    return prepared.groupBy("__part").applyInPandas(build, _GRAPH_SCHEMA)
+    # Explicit repartition by the group key: it satisfies the groupBy's
+    # ClusteredDistribution (no second exchange) and, unlike a bare
+    # groupBy shuffle, is NOT coalescible by AQE — small corpora hash to
+    # a few MB, and AQE would fuse the P build tasks onto 1-2 cores,
+    # serializing the one stage whose entire point is per-partition
+    # parallelism (the build is CPU-bound, not byte-bound).
+    return (prepared.repartition(n_partitions, "__part")
+            .groupBy("__part").applyInPandas(build, _GRAPH_SCHEMA))
 
 
 def write_hnsw(graph: DataFrame, path: str, topology_only: bool = False) -> None:
@@ -387,12 +452,17 @@ def hnsw_search(graph: DataFrame, queries: DataFrame, k: int = 20,
             for lvl, nbrs in enumerate(pdf["neighbors"].iloc[i]):
                 layers[lvl][i] = np.array(
                     [pos[int(v)] for v in nbrs], dtype=np.int64)
+        entry0 = next(iter(layers[-1]))  # any top-layer member (paper Alg. 5)
+        matrix_layers = _layers_to_matrix(layers, len(pdf))
         out = []
         qp = bq.value
-        visited = np.zeros(len(pdf), dtype=bool)
+        visited = np.zeros(len(pdf), dtype=np.int32)
+        epoch = 0
         for _, qrow in qp.iterrows():
             qv = np.asarray(qrow["query_vec"], dtype=np.float32)
-            for d, node in _graph_knn(x, layers, qv, k, p.ef_search, visited):
+            found, epoch = _graph_knn(x, matrix_layers, entry0, qv, k,
+                                      p.ef_search, visited, epoch)
+            for d, node in found:
                 out.append((int(qrow["query_id"]), int(vids[node]), float(d)))
         return pd.DataFrame(out, columns=["query_id", "vec_id", "distance"])
 

@@ -79,6 +79,14 @@ def get_spark(app_name: str = "parquetaivectorsearch_spark", *, cpus: int | None
         # spill safety for pathological key counts is preserved above it.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 "65536")
+        # One BLAS thread per Python worker: with one worker per core, a
+        # multi-threaded OpenBLAS inside each (numpy kernels in the UDF
+        # paths — KNN matmuls, HNSW/PQ builds) oversubscribes the machine
+        # and slows the CPU-bound stages. Standard practice for
+        # executor-side numpy; a real cluster sets the same env per
+        # executor.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
