@@ -71,6 +71,31 @@ def dot_product_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     return F.lit(1.0) - dot(a, b)
 
 
+def int8_quantize(df, vec_col: ColumnOrName = "embedding",
+                  id_col: ColumnOrName = "vec_id"):
+    """Symmetric per-vector int8 scalar quantization → (id, scale,
+    qvec: array<tinyint>): the storage tier below PQ — genuinely 4× smaller
+    than float32 (ByteType elements, not 32-bit ints), exact dequant by one
+    multiply. qvec_i = floor(x_i/scale + 0.5), scale = max|x|/127; values
+    are bounded to [-127, 127] by construction so tinyint never overflows.
+    Round-half-up via floor keeps Spark and a DuckDB oracle bit-identical
+    (their round() builtins disagree on half-way ties). Pure Catalyst HOFs
+    — a shuffle-free narrow map."""
+    vec, vid = _col(vec_col), _col(id_col)
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x))).cast("double")
+    s = df.select(vid.alias("vec_id"), vec.alias("embedding"),
+                  max_abs.alias("max_abs"))
+    scale = F.col("max_abs") / F.lit(127.0)
+    qvec = F.when(
+        F.col("max_abs") > 0,
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") / scale + F.lit(0.5))
+                    .cast("tinyint")),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0).cast("tinyint")))
+    return s.select("vec_id", "embedding", scale.alias("scale"),
+                    qvec.alias("qvec"))
+
+
 @pandas_udf(T.DoubleType())
 def vec_dot_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched numpy dot product — the bulk fast path.

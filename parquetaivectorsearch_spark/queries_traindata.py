@@ -235,8 +235,9 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN max_abs > 0 THEN
                list_transform(embedding,
                  x -> CAST(FLOOR(CAST(x AS DOUBLE) / (max_abs / 127.0) + 0.5)
-                           AS INTEGER))
-             ELSE list_transform(embedding, x -> 0) END AS qvec
+                           AS TINYINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS TINYINT)) END
+               AS qvec
       FROM s
     )
     SELECT vec_id, scale, qvec,
@@ -249,23 +250,16 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the storage tier below PQ (4× smaller than float32, exact dequant by
     one multiply; what a 100 TB embedding store writes for its bulk tier).
 
-    qvec_i = floor(x_i/scale + 0.5) with scale = max|x|/127 — round-half-up
-    via floor keeps Spark and DuckDB bit-identical (their round() builtins
-    disagree on half-way ties). All math in double; max_abs_err reports the
-    per-vector reconstruction error bound (≤ scale/2 by construction, a
-    judgeable invariant). Pure Catalyst HOFs — shuffle-free narrow map.
+    qvec elements are TINYINT (ByteType) — the 4×-smaller claim is realized
+    in the schema, not just the value range (ADVICE r5 #1). max_abs_err
+    reports the per-vector reconstruction error bound (≤ scale/2 by
+    construction, a judgeable invariant). Shared quantizer:
+    functions/vector.int8_quantize (also the artifact builder for
+    knn_topk_int8's serve tier).
     """
-    e = _t(spark, sf_dir, "embeddings")
-    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
-    s = e.select("vec_id", "embedding", max_abs.alias("max_abs"))
-    scale = F.col("max_abs") / F.lit(127.0)
-    qvec = F.when(
-        F.col("max_abs") > 0,
-        F.transform("embedding",
-                    lambda x: F.floor(x.cast("double") / scale + F.lit(0.5))
-                    .cast("int")),
-    ).otherwise(F.transform("embedding", lambda x: F.lit(0)))
-    q = s.select("vec_id", "embedding", scale.alias("scale"), qvec.alias("qvec"))
+    from parquetaivectorsearch_spark.functions.vector import int8_quantize
+
+    q = int8_quantize(_t(spark, sf_dir, "embeddings"))
     err = F.array_max(
         F.zip_with("qvec", "embedding",
                    lambda qi, x: F.abs(qi * F.col("scale") - x.cast("double")))
