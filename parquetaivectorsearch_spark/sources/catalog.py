@@ -64,19 +64,58 @@ _RG_CACHE: dict[str, int] = {}
 def _num_row_groups(path: str) -> int:
     """Total parquet row groups under ``path`` (file or directory) — the
     hard upper bound on scan-stage parallelism. Footer-only reads, cached
-    per path (the fixture files are immutable within a run)."""
+    per path (the fixture files are immutable within a run).
+
+    The probe is local-filesystem-only by nature (glob + pyarrow file
+    reads). For a non-local ``sf_dir`` (hdfs://, s3://) or any unreadable
+    footer it reports "ample row groups" so ``spread`` stays the
+    documented no-op at scale instead of raising (ADVICE r5 #3) — a
+    multi-TB DFS table has thousands of row groups anyway."""
     if path not in _RG_CACHE:
         import glob
         import os
 
-        import pyarrow.parquet as pq
+        _AMPLE = 1 << 30
+        if "://" in path and not path.startswith("file:"):
+            return _AMPLE  # non-file URI scheme: not probeable, assume ample
+        try:
+            import pyarrow.parquet as pq
 
-        files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
-                 if os.path.isdir(path) else [path])
-        _RG_CACHE[path] = sum(
-            pq.ParquetFile(f).metadata.num_row_groups for f in files
-        )
+            local = path.removeprefix("file:")
+            files = (sorted(glob.glob(os.path.join(local, "*.parquet")))
+                     if os.path.isdir(local) else [local])
+            _RG_CACHE[path] = sum(
+                pq.ParquetFile(f).metadata.num_row_groups for f in files
+            )
+        except OSError:
+            return _AMPLE
     return _RG_CACHE[path]
+
+
+def approx_num_rows(df: DataFrame) -> int | None:
+    """Source row count from the parquet footers of ``df``'s input files —
+    zero Spark jobs. None when the frame has no file inputs or a footer
+    is unreachable (non-local DFS). NB: this is the count of the SOURCE
+    files, not of the frame after filters — callers must tolerate an
+    overestimate (sizing heuristics do; result-correctness paths do not)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if "://" in p:
+            return None  # non-local DFS: footers not readable from here
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except OSError:
+            return None
+    return total or None
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,21 +90,36 @@ def run_available_now(stream_df: DataFrame, output_mode: str,
     tasks pay a per-partition state-store open/commit cost every batch, so
     the right count tracks STATE size, not cluster width: the fixture's
     ≤10k keys want single digits, a 100 TB stream wants cores × k. None
-    keeps the session default."""
+    keeps the session default.
+
+    NB: the pin temporarily mutates the session-global
+    ``spark.sql.shuffle.partitions`` (Spark offers no per-query override
+    for the value a streaming checkpoint freezes), so concurrent batch
+    queries on the same session may plan with the pinned count. The
+    engine's harnesses (driver, bench, tests) execute queries
+    sequentially; a concurrently-shared session should pass
+    ``state_partitions=None``. The ephemeral checkpoint (tmpfs when
+    available) is deleted after termination — the memory sink already
+    holds the result, and leaking /dev/shm dirs burns RAM (ADVICE r5 #2).
+    """
+    import shutil
+
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = _ephemeral_checkpoint_dir()
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             stream_df.writeStream.format("memory").queryName(name)
-            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .option("checkpointLocation", ckpt)
             .outputMode(output_mode).trigger(availableNow=True).start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
