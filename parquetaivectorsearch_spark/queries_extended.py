@@ -272,3 +272,45 @@ def q_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.count("*").alias("n"),
     )
+
+
+@register("join_bucketed", """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+""")
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (operators/skew.write_bucketed): both fact
+    tables pre-shuffled once into the same 8-bucket layout on the join key,
+    so the repeated join itself plans with ZERO Exchange — the 100 TB
+    answer for fact-to-fact joins that recur across a pipeline (pay the
+    shuffle once at ingest, amortize it over every downstream join).
+    The merge hint pins SortMergeJoin so the bucket layout, not a
+    broadcast, carries the join; tests/test_plans.py asserts the no-
+    Exchange-below-join invariant. Result is identical to the plain join,
+    so the oracle is the plain join."""
+    import tempfile
+    import zlib
+
+    from parquetaivectorsearch_spark.operators.skew import write_bucketed
+
+    db = f"bucketq_{zlib.crc32(sf_dir.encode()):08x}"
+    loc = tempfile.mkdtemp(prefix=f"{db}_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(li, f"{db}.lineitem_b", "l_orderkey", 8)
+    write_bucketed(o, f"{db}.orders_b", "l_orderkey", 8)
+    j = spark.table(f"{db}.lineitem_b").hint("merge").join(
+        spark.table(f"{db}.orders_b"), "l_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("double").alias("total_price"),
+    )

@@ -490,3 +490,129 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-quality filters (training-data curation stage)
+# ---------------------------------------------------------------------------
+
+@register("repetition_score", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    w2 AS (
+      SELECT doc_id, ws, len(ws) AS nw, len(list_distinct(ws)) AS nd
+      FROM w WHERE len(ws) >= 2
+    ),
+    b AS (
+      SELECT doc_id, nw, nd,
+             ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)] AS bg
+      FROM w2, unnest(generate_series(1, nw - 1)) AS t(i)
+    ),
+    bc AS (SELECT doc_id, nw, nd, bg, COUNT(*) AS c FROM b GROUP BY ALL),
+    bm AS (
+      SELECT doc_id, nw, nd, MAX(c) AS max_bg, SUM(c) AS n_bg
+      FROM bc GROUP BY doc_id, nw, nd
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(nd AS DOUBLE) / nw, 9) AS dup_word_frac,
+           ROUND(CAST(max_bg AS DOUBLE) / n_bg, 9) AS top_bigram_frac
+    FROM bm
+""")
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for corpus filtering (the Gopher-rules family,
+    Rae et al. 2021 §A1.1: high duplicate-word / duplicate-n-gram fractions
+    mark boilerplate and degenerate text):
+
+    - ``dup_word_frac``  = 1 − |distinct words| / |words|
+    - ``top_bigram_frac`` = occurrences of the most frequent bigram / #bigrams
+
+    Entirely per-row codegen — bigrams come from a ``transform`` over index
+    offsets, and the max bigram multiplicity is the longest equal-adjacent
+    run of the *sorted* bigram array (one ``aggregate`` fold), so the whole
+    operator is a narrow map with ZERO shuffles: at 100 TB it rides the
+    corpus scan. The oracle computes the same multiplicity relationally
+    (unnest → GROUP BY) — two shapes, one answer. Ratios are single
+    divisions of exact ints, rounded 9 dp belt-and-braces."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.words("text").alias("ws")).filter(F.size("ws") >= 2)
+    bgs = F.expr(
+        "array_sort(transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+    )
+    # Longest equal-adjacent run in the sorted array == max multiplicity.
+    # seq(2, greatest(2, n)) probes try_element_at(bgs, 2) = NULL when
+    # n == 1 (ANSI-safe); NULL = x is NULL, the CASE falls to ELSE 1, and
+    # best stays 1 — correct for a single-bigram doc.
+    max_run = F.expr("""
+        aggregate(
+          sequence(2, greatest(size(bgs), 2)),
+          struct(1 AS run, 1 AS best),
+          (acc, i) -> struct(
+            CASE WHEN try_element_at(bgs, i) = try_element_at(bgs, i - 1)
+                 THEN acc.run + 1 ELSE 1 END AS run,
+            greatest(acc.best,
+                     CASE WHEN try_element_at(bgs, i) = try_element_at(bgs, i - 1)
+                          THEN acc.run + 1 ELSE 1 END) AS best),
+          acc -> acc.best)
+    """)
+    return (
+        base.select("doc_id", F.size("ws").alias("nw"),
+                    F.size(F.array_distinct("ws")).alias("nd"),
+                    bgs.alias("bgs"))
+        .select(
+            "doc_id",
+            F.round(F.lit(1.0) - F.col("nd").cast("double") / F.col("nw"), 9)
+             .alias("dup_word_frac"),
+            F.round(max_run.cast("double") / F.size("bgs"), 9)
+             .alias("top_bigram_frac"),
+        )
+    )
+
+
+@register("unigram_logprob", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    freq AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-LN(CAST(c AS DOUBLE) / n_total)), 6) AS avg_neg_logprob
+    FROM t JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+""")
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring — the cheapest member of the
+    perplexity-filter family (CCNet, Wenzek et al. 2020, uses a KenLM
+    5-gram; the unigram case needs no external model): score(doc) =
+    mean over tokens of −ln p(token), p = corpus relative frequency.
+    High scores flag rare-token gibberish, low scores flag stopword soup.
+
+    Shape at 100 TB: one explode + hash-agg builds the vocabulary (partial
+    combine keeps the shuffle at |vocab|, not |tokens|), the vocab then
+    BROADCASTS back onto the token stream (vocab ≪ corpus — the classic
+    model-train/model-apply asymmetry), and the per-doc agg shuffles on
+    doc_id. Rounded 6 dp — far above both libm ln ulps and double
+    summation-order wobble (~1e-13 on ~500-term sums)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TX.words("text")).alias("term"))
+    freq = t.groupBy("term").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("n_total"))
+    return (
+        t.join(F.broadcast(freq), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("n_total"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

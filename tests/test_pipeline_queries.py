@@ -111,3 +111,49 @@ def test_vocab_top_words_is_take_ordered(spark):
     partition), not a global sort of the whole vocabulary."""
     df = QUERIES["vocab_top_words"](spark, SF_CORRECT)
     assert P.has_take_ordered(df)
+
+
+def test_repetition_score_planted_values(spark):
+    """Hand-checkable docs: the max-multiplicity fold must equal the
+    relational (group-by) definition on planted repetition."""
+    from parquetaivectorsearch_spark.queries_text import q_repetition_score
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rep_")
+    spark.createDataFrame(
+        [
+            # "a b a b a" → words 5, distinct 2; bigrams: ab,ba,ab,ba → max 2/4
+            (0, "a b a b a"),
+            # all distinct words → dup 0; every bigram unique → 1/3
+            (1, "w x y z"),
+            # one bigram only
+            (2, "p q"),
+            # degenerate: same word repeated
+            (3, "t t t t"),
+        ],
+        "doc_id BIGINT, text STRING",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_repetition_score(spark, d).collect()}
+    assert abs(got[0].dup_word_frac - (1 - 2 / 5)) < 1e-9
+    assert abs(got[0].top_bigram_frac - 2 / 4) < 1e-9
+    assert got[1].dup_word_frac == 0.0 and abs(got[1].top_bigram_frac - 1 / 3) < 1e-9
+    assert got[2].dup_word_frac == 0.0 and got[2].top_bigram_frac == 1.0
+    assert abs(got[3].dup_word_frac - (1 - 1 / 4)) < 1e-9
+    assert got[3].top_bigram_frac == 1.0  # "t t" ×3 of 3 bigrams
+
+
+def test_unigram_logprob_hand_case(spark):
+    """3 tokens total: p(a)=2/3, p(b)=1/3; doc0 = avg(-ln 2/3, -ln 2/3) …"""
+    import math
+    import tempfile
+
+    from parquetaivectorsearch_spark.queries_text import q_unigram_logprob
+
+    d = tempfile.mkdtemp(prefix="ulp_")
+    spark.createDataFrame(
+        [(0, "a a"), (1, "b")], "doc_id BIGINT, text STRING"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_unigram_logprob(spark, d).collect()}
+    assert got[0].n_tokens == 2 and got[1].n_tokens == 1
+    assert abs(got[0].avg_neg_logprob - round(-math.log(2 / 3), 6)) < 1e-6
+    assert abs(got[1].avg_neg_logprob - round(-math.log(1 / 3), 6)) < 1e-6

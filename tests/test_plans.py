@@ -82,3 +82,24 @@ def test_events_ts_filter_pushes_down(spark):
         F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
     pushed = P.pushed_filters(ev)
     assert any("ts" in p for p in pushed), pushed
+
+
+def test_join_bucketed_has_no_exchange_below_join(spark):
+    """The bucketed fact-to-fact join must consume the bucket layout: no
+    ShuffleExchange may feed the SortMergeJoin (the post-join agg is allowed
+    its own exchange)."""
+    df = QUERIES["join_bucketed"](spark, SF_SMOKE)
+    plan = P.executed_plan(df)
+    join_at = plan.find("SortMergeJoin")
+    assert join_at != -1, plan
+    # Everything below the join in the plan string = the two scan subtrees.
+    below = plan[join_at:]
+    assert "Exchange" not in below, below
+
+
+def test_repetition_score_is_shuffle_free(spark):
+    """repetition_score must ride the corpus scan — a narrow map with zero
+    exchanges (the whole point vs the explode+groupBy shape)."""
+    df = QUERIES["repetition_score"](spark, SF_SMOKE)
+    plan = P.executed_plan(df)
+    assert "Exchange" not in plan, plan
