@@ -74,3 +74,41 @@ def canonical_docs(pairs: DataFrame, all_docs: DataFrame,
             F.coalesce("cluster_id", F.col("doc_id")).alias("canonical_id"),
         )
     )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank (Brin & Page 1998) over a directed edge
+    list; returns (node, rank). Every node referenced by an edge must have
+    out-degree ≥ 1 (symmetrize the graph first if needed): no dangling
+    nodes, and with a symmetric graph every node also receives
+    contributions each round, so the inner contribution join covers the
+    full node set.
+
+    Scale posture: out-degrees are joined onto the edge list ONCE up front;
+    each iteration is one join (rank onto edges, keyed src) + one hash-agg
+    (sum contributions, keyed dst) — two shuffles per round on a cluster,
+    with `localCheckpoint` truncating lineage per round (same discipline as
+    connected_components above). Fixed n_iter (not convergence-tested)
+    keeps the operator deterministic and oracle-expressible as a bounded
+    recursive CTE.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    ew = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node"))
+    n = nodes.count()  # one tiny job on the (already aggregated) node set
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for i in range(n_iter):
+        contribs = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("c"))
+        )
+        ranks = contribs.select(
+            "node", (F.lit(teleport) + F.lit(damping) * F.col("c")).alias("rank")
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

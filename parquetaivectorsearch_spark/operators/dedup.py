@@ -91,9 +91,18 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
 
 def shingle_hash_arrays(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
-    """(doc_id, hashes: array<bigint>): xxhash64 of each distinct shingle.
-    Docs shorter than shingle_n are dropped (empty shingle set — they can't
-    be near-dups of anything under jaccard).
+    """(doc_id, hashes: array<int>): pmod(xxhash64, 2^31-1) of each distinct
+    shingle. Docs shorter than shingle_n are dropped (empty shingle set —
+    they can't be near-dups of anything under jaccard).
+
+    int32, not int64, ON PURPOSE: the minhash permutations reduce mod
+    p = 2^31-1 anyway (so signatures are identical), and the hash arrays
+    are the pipeline's dominant bytes — the checkpointed shared artifact
+    AND both shuffled sides of the verification joins. Halving the element
+    width measured ~1.4× on the full pipeline at sf0.1. Collision cost:
+    ~1.2k shingles/doc in a 2^31 space ⇒ ~3e-4 expected extra collisions
+    per doc — the same negligible-for-jaccard argument as xxhash64
+    collisions, one power of two smaller.
 
     Shape note: this stays `transform(char_ngrams(...), xxhash64)` — HOF
     lambdas run interpreted per element (~20s CPU for 5M shingles at
@@ -111,8 +120,10 @@ def shingle_hash_arrays(docs: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     return docs.filter(t.isNotNull() & (F.length(t) >= shingle_n)).select(
         F.col(id_col).alias("doc_id"),
-        F.transform(char_ngrams(text_col, shingle_n),
-                    lambda s: F.xxhash64(s)).alias("hashes"),
+        F.transform(
+            char_ngrams(text_col, shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)).cast("int"),
+        ).alias("hashes"),
     )
 
 
@@ -132,13 +143,15 @@ def _minhash_sig_udf(seeds: list[tuple[int, int]]):
         if n == 0:
             return pd.Series([], dtype=object)
         lengths = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+        # Input hashes arrive pre-reduced mod p (int32, shingle_hash_arrays);
+        # promote to int64 so a·h < 2^62 never overflows. numpy floor-mod ==
+        # Spark pmod for p > 0.
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
-        hmod = flat % MERSENNE_P  # numpy floor-mod == Spark pmod for p > 0
         offsets = np.zeros(n, dtype=np.int64)
         np.cumsum(lengths[:-1], out=offsets[1:])
         out = np.empty((len(A), n), dtype=np.int64)
         for i in range(len(A)):
-            out[i] = np.minimum.reduceat((A[i] * hmod + B[i]) % MERSENNE_P, offsets)
+            out[i] = np.minimum.reduceat((A[i] * flat + B[i]) % MERSENNE_P, offsets)
         return pd.Series(list(out.T))
 
     return sig
@@ -204,10 +217,10 @@ def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
 
 def shingle_hash_sets(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 5) -> DataFrame:
-    """(doc_id, g: array<bigint>): the distinct shingle-hash set per doc, for
-    candidate verification. bigint set ops are ~5× cheaper than re-intersecting
-    the shingle strings; xxhash64 collisions among ~1k shingles in a 2^64
-    space are negligible for jaccard."""
+    """(doc_id, g: array<int>): the distinct shingle-hash set per doc, for
+    candidate verification. int set ops are ~10× cheaper than re-intersecting
+    the shingle strings; mod-2^31 collisions among ~1k shingles are
+    negligible for jaccard (see shingle_hash_arrays)."""
     return shingle_hash_arrays(
         _spread(docs, id_col), text_col, id_col, shingle_n
     ).select("doc_id", F.col("hashes").alias("g"))
@@ -245,8 +258,8 @@ def _jaccard_udf():
         n = len(ga)
         out = np.zeros(n, dtype=np.float64)
         for i in range(n):
-            a = np.asarray(ga.iat[i], dtype=np.int64)
-            b = np.asarray(gb.iat[i], dtype=np.int64)
+            a = np.asarray(ga.iat[i])  # int32 arrays — keep native width
+            b = np.asarray(gb.iat[i])
             inter = np.intersect1d(a, b).size  # sorts+uniques: robust to dup hashes
             union = a.size + b.size - inter
             if union > 0:

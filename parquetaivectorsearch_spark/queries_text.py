@@ -616,3 +616,82 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register("pagerank_simgraph", """
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_inner_product(a.v, b.v) AS dot
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rn
+        FROM sims) WHERE rn <= 3
+    ),
+    -- NB: inside WITH RECURSIVE, DuckDB gives any CTE whose body is a
+    -- top-level UNION the recursive-union treatment even when it does not
+    -- self-reference, losing cross-branch dedup; keep the union in a
+    -- subquery under an explicit DISTINCT.
+    edges0 AS (SELECT DISTINCT src, dst FROM
+                 (SELECT src, dst FROM knn
+                  UNION ALL SELECT dst, src FROM knn)),
+    deg AS (SELECT src, COUNT(*) AS odeg FROM edges0 GROUP BY src),
+    edges AS (SELECT e.src, e.dst, d.odeg FROM edges0 e JOIN deg d USING (src)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+    pr AS (
+      SELECT 0 AS iter, src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+      UNION ALL
+      SELECT pr.iter + 1, e.dst,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(pr.rank / e.odeg)
+      FROM pr JOIN edges e ON pr.node = e.src
+      WHERE pr.iter < 10
+      GROUP BY pr.iter + 1, e.dst
+    )
+    SELECT node AS vec_id, ROUND(rank, 6) AS pagerank
+    FROM pr WHERE iter = 10
+""")
+def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized 3-NN similarity graph (bounded id
+    range): rank = centrality within the embedding manifold — the classic
+    graph-signal for coreset/curriculum selection over training corpora
+    (high-rank ≈ dense-region representatives, low-rank ≈ outliers).
+
+    Pipeline: exact 3-NN by dot product (window top-k per src, ties to the
+    smaller vec_id) → symmetrize → operators/components.pagerank, 10 fixed
+    iterations, d = 0.85. Fixed iteration count keeps it oracle-expressible
+    (bounded recursive CTE with aggregation). Float sums cross engines in
+    different orders; ranks rounded 6 dp ≫ the ~1e-13 drift."""
+    from pyspark.sql.window import Window as W
+
+    from parquetaivectorsearch_spark.operators.components import pagerank
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", V.dot("va", "vb").alias("dot"))
+    )
+    knn3 = (
+        sims.withColumn(
+            "rn", F.row_number().over(W.partitionBy("src").orderBy(F.desc("dot"), "dst"))
+        )
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    edges = knn3.union(
+        knn3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, n_iter=10, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.round("rank", 6).alias("pagerank")
+    )

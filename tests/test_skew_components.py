@@ -82,3 +82,28 @@ def test_canonical_docs_covers_singletons(spark):
     m = {r.doc_id: r.canonical_id for r in canon.collect()}
     assert m[1] == 0 and m[0] == 0
     assert all(m[d] == d for d in m if d > 1)
+
+
+def test_pagerank_hand_graph(spark):
+    """Symmetric 3-cycle + pendant pair: ranks must match the closed-form
+    power iteration (numpy) exactly, and sum to 1."""
+    import numpy as np
+    from parquetaivectorsearch_spark.operators.components import pagerank
+
+    el = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (4, 5), (5, 4)]
+    edges = spark.createDataFrame(el, "src BIGINT, dst BIGINT")
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=10).collect()}
+    odeg = {}
+    for s, _ in el:
+        odeg[s] = odeg.get(s, 0) + 1
+    nodes = sorted(odeg)
+    idx = {v: i for i, v in enumerate(nodes)}
+    r = np.full(len(nodes), 1 / len(nodes))
+    for _ in range(10):
+        c = np.zeros(len(nodes))
+        for s, d in el:
+            c[idx[d]] += r[idx[s]] / odeg[s]
+        r = 0.15 / len(nodes) + 0.85 * c
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
