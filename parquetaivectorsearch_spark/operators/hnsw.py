@@ -105,9 +105,28 @@ def _search_layer(dist_b, dist_s, nbr: np.ndarray, cnt: np.ndarray,
 
     ``dist_b`` maps an index array to distances, ``dist_s`` a scalar index;
     ``nbr``/``cnt`` are the layer's capacity-matrix adjacency; ``visited``
-    is the caller's epoch-stamp scratch (stamp == epoch ⇒ seen)."""
+    is the caller's epoch-stamp scratch (stamp == epoch ⇒ seen).
+
+    ef == 1 (the upper-layer greedy descents — most calls) takes a
+    heap-free hill-climb fast path: strict improvement ⇒ monotone distance
+    ⇒ no revisit bookkeeping. (A fully vectorized array-beam for the
+    general case was measured SLOWER — numpy per-call overhead loses to
+    C heapq at beam sizes of ~10² — and reverted.)"""
     d0 = float(dist_s(entry))
     visited[entry] = epoch
+    if ef == 1:
+        cur, d = entry, d0
+        while True:
+            c = cnt[cur]
+            if c == 0:
+                return [(d, cur)]
+            neigh = nbr[cur, :c]
+            nds = dist_b(neigh)
+            j = int(np.argmin(nds))
+            nd = float(nds[j])
+            if nd >= d:
+                return [(d, cur)]
+            cur, d = int(neigh[j]), nd
     cand = [(d0, entry)]           # min-heap by distance
     best = [(-d0, entry)]          # max-heap (negated) of the ef best
     while cand:
