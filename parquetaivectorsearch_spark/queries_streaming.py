@@ -220,3 +220,33 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.filter("user_id >= 0").select(
         "user_id", "last_event_type", "last_value", "last_ts_us"
     )
+
+
+@register("streaming_ivf_ingest")  # rows-only: k-means quantizer is engine-specific
+def q_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingestion into a persisted IVF index
+    (streaming/vectors.py): quantizer trained once on the even-vec_id half,
+    odd half streamed in 4 micro-batches, each assigned to its nearest
+    inverted list and APPENDED to that list's parquet partition — index
+    maintenance with no rebuild (vs the reference's build-from-scratch
+    graph, Program.cs:125-204). Output: per-list totals + how many of each
+    list's vectors arrived via the stream; tests/test_streaming.py asserts
+    streamed assignments equal the batch assignment and no vector is lost
+    or duplicated."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.sources import load_table
+    from parquetaivectorsearch_spark.streaming.vectors import build_then_stream_rest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="ivf_stream_")
+    index = build_then_stream_rest(spark, emb, work, nlist=8)
+    return (
+        index.lists.groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+             .cast("bigint").alias("n_streamed"),
+        )
+        .orderBy("list_id")
+    )

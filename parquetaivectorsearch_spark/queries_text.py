@@ -695,3 +695,68 @@ def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("vec_id"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@register("bpe_merge_step", """
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM w, unnest(generate_series(1, greatest(length(w) - 1, 1))) AS t(i)
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM p WHERE length(pair) = 2
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""")
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step (Sennrich et al. 2016 §3: merge the most
+    frequent adjacent symbol pair): corpus-wide adjacent character-pair
+    counts within words, top 20. This is the inner loop of tokenizer
+    induction — at 100 TB it is explode → partial-agg → one shuffle of
+    |alphabet|² keys → TakeOrdered, the same shape as vocab_top_words.
+    Counts are exact ints; ties break on the pair string."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(TX.words("text")).alias("w"))
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(w) - 1, 1)),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair").limit(20)
+    )
+
+
+@register("doc_char_entropy", """
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    cc AS (SELECT doc_id, ch, COUNT(*) AS n FROM c GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, SUM(n) AS t FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           ROUND(-SUM((n / CAST(t AS DOUBLE)) * log2(n / CAST(t AS DOUBLE))), 6)
+             AS char_entropy
+    FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id
+""")
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy — the classic gibberish /
+    encoding-garbage signal (low ⇒ repeated-char degenerate text, high ⇒
+    random bytes; natural language sits ~4-4.5 bits for English). Exact
+    integer counts through two hash-aggs; the -Σ p·log2 p sum is rounded
+    6 dp above cross-engine summation-order drift (~70 terms)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    c = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    cc = c.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t").cast("double")
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"))
+    )

@@ -1,3 +1,8 @@
+from parquetaivectorsearch_spark.streaming.vectors import (
+    VEC_STREAM_SCHEMA,
+    build_then_stream_rest,
+    stream_ingest_ivf,
+)
 from parquetaivectorsearch_spark.streaming.events import (
     EVENTS_RAW_SCHEMA,
     read_event_stream,
@@ -12,6 +17,9 @@ from parquetaivectorsearch_spark.streaming.events import (
 )
 
 __all__ = [
+    "VEC_STREAM_SCHEMA",
+    "build_then_stream_rest",
+    "stream_ingest_ivf",
     "EVENTS_RAW_SCHEMA",
     "read_event_stream",
     "run_available_now",

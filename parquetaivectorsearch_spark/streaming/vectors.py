@@ -1,0 +1,100 @@
+"""Streaming vector ingestion into a persisted IVF index (SURVEY §2.10 ×
+§2.7 — the index-maintenance story the reference's batch-only build lacks:
+its graph must be rebuilt from scratch to add vectors, Program.cs:125-204).
+
+IVF's quantizer/lists split is what makes it streamable: the k-means
+centroids are a tiny immutable artifact, so new vectors can be assigned to
+their inverted list with one matmul and APPENDED to that list's parquet
+partition — no index rebuild, no read-modify-write of existing lists. Each
+micro-batch lands as new files inside the affected ``list_id=…``
+directories, and the serve path (partition-pruned scan) picks them up on
+the next query. The HNSW analog would need graph surgery per insert —
+exactly why IVF is this engine's scale tier (operators/ann.py docstring).
+
+At 100 TB: the stream appends small files per list; periodic compaction
+(sources/compact.py) folds them into right-sized files. Centroid drift
+under distribution shift is handled by periodic re-train + re-assign — a
+batch job, deliberately out of streaming scope.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from parquetaivectorsearch_spark.operators.ann import IVFIndex, assign_lists
+from parquetaivectorsearch_spark.streaming.events import _ephemeral_checkpoint_dir
+
+VEC_STREAM_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.IntegerType()),
+])
+
+
+def stream_ingest_ivf(spark: SparkSession, staged_dir: str, index_path: str,
+                      centroids: np.ndarray, metric: str = "ip",
+                      max_norm: float = 0.0,
+                      max_files_per_trigger: int = 1) -> None:
+    """Drive a file-source vector stream into the index's inverted lists.
+
+    foreachBatch assigns each micro-batch to its nearest centroid (one
+    matmul — the closure carries only the nlist×dim centroid matrix) and
+    appends, repartitioned by list, into ``{index_path}/lists``. Append
+    mode + partitionBy keeps the write additive: existing list files are
+    never touched, so a concurrent reader sees a consistent (if slightly
+    stale) index at every instant."""
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        assigned = assign_lists(batch_df, centroids, metric, max_norm)
+        (assigned.repartition("list_id").write.mode("append")
+         .partitionBy("list_id").parquet(f"{index_path}/lists"))
+
+    ckpt = _ephemeral_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def build_then_stream_rest(spark: SparkSession, emb: DataFrame,
+                           work_dir: str, nlist: int = 8,
+                           n_stream_files: int = 4) -> IVFIndex:
+    """Demo/test harness: build the index on the even-vec_id half, stage
+    the odd half as ``n_stream_files`` parquet files (one micro-batch each
+    under maxFilesPerTrigger=1), stream-ingest them, and return the
+    re-loaded index now covering the full corpus.
+
+    The streamed half is re-written from the catalog-normalized DataFrame
+    (not copied from the fixture file) so the staged files carry exactly
+    VEC_STREAM_SCHEMA — readStream's declared schema must match the files
+    byte-for-byte (parquet readers do not cast)."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    index = IVFIndex.build(base, nlist=nlist)
+    index.save(spark, f"{work_dir}/index")
+    staged = f"{work_dir}/staged"
+    (rest.select(F.col("vec_id").cast("long"),
+                 F.col("embedding").cast("array<float>"),
+                 F.col("label").cast("int"))
+     .repartition(n_stream_files)
+     .write.mode("overwrite").parquet(staged))
+    stream_ingest_ivf(spark, staged, f"{work_dir}/index", index.centroids,
+                      index.metric, index.max_norm)
+    return IVFIndex.load(spark, f"{work_dir}/index")

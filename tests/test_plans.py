@@ -103,3 +103,36 @@ def test_repetition_score_is_shuffle_free(spark):
     df = QUERIES["repetition_score"](spark, SF_SMOKE)
     plan = P.executed_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark's runtime row-level filtering must inject a bloom filter built
+    from the selective build side into the probe-side scan of a shuffle
+    join (the 100 TB scan-reduction story: most lineitem rows are dropped
+    before the shuffle). The application-side scan threshold defaults to
+    10 GB — sized for real clusters — so it is lowered here to demonstrate
+    the mechanism at fixture scale; results must equal the plain join."""
+    from parquetaivectorsearch_spark.sources import load_table
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        rows = {tuple(r) for r in j.collect()}
+        assert "might_contain" in P.executed_plan(j)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    plain = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+    assert rows == {tuple(r) for r in plain.collect()}

@@ -84,3 +84,58 @@ def test_streaming_dedup_across_batches(spark):
         S.streaming_dedup(stream).select("event_id"), "append")
     n_distinct = load_table(spark, SF_SMOKE, "events").count()
     assert out.count() == n_distinct
+
+
+def test_streaming_ivf_ingest_matches_batch_assignment(spark):
+    """Streamed vectors must land in exactly the list the batch assignment
+    would give them; the final index must cover the full corpus with no
+    loss or duplication across micro-batches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.ann import assign_lists
+    from parquetaivectorsearch_spark.sources import load_table
+    from parquetaivectorsearch_spark.streaming.vectors import build_then_stream_rest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    work = tempfile.mkdtemp(prefix="ivf_stream_t_")
+    index = build_then_stream_rest(spark, emb, work, nlist=8, n_stream_files=4)
+
+    total = emb.count()
+    got = index.lists.select("vec_id", "list_id")
+    assert got.count() == total                       # nothing lost
+    assert got.select("vec_id").distinct().count() == total  # nothing duplicated
+
+    # streamed (odd) assignments == batch assignment under the same quantizer
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    expected = {
+        r.vec_id: r.list_id
+        for r in assign_lists(odd, index.centroids, index.metric,
+                              index.max_norm).collect()
+    }
+    streamed = {r.vec_id: r.list_id
+                for r in got.filter(F.col("vec_id") % 2 == 1).collect()}
+    assert streamed == expected
+
+
+def test_streaming_ivf_ingest_serves_after_append(spark):
+    """The appended lists must be searchable through the normal serve path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.ann import ivf_search
+    from parquetaivectorsearch_spark.sources import load_table
+    from parquetaivectorsearch_spark.streaming.vectors import build_then_stream_rest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    work = tempfile.mkdtemp(prefix="ivf_stream_s_")
+    index = build_then_stream_rest(spark, emb, work, nlist=8)
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    hits = ivf_search(index, queries, k=10, nprobe=8).collect()
+    assert len(hits) == 10
+    # the query vector itself is odd ⇒ arrived via the stream ⇒ must be its
+    # own nearest neighbor at full probe depth
+    assert hits[0].vec_id == 1
