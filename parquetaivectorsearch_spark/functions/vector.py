@@ -96,6 +96,38 @@ def int8_quantize(df, vec_col: ColumnOrName = "embedding",
                     qvec.alias("qvec"))
 
 
+def binary_quantize(df, vec_col: ColumnOrName = "embedding",
+                    id_col: ColumnOrName = "vec_id"):
+    """1-bit (sign) quantization → (vec_id, bcode: array<bigint>): bit j of
+    word w is set iff x[64w+j] > 0 — one int64 per 64 dims, 32× smaller
+    than float32. The crudest storage tier (below int8/PQ); its hamming
+    distance is monotone in the angle for ~zero-mean vectors, so it serves
+    as a shortlist scorer, never a final ranking. Pure Catalyst fold — a
+    shuffle-free narrow map; shiftleft(1L, 63) wrapping to the sign bit is
+    two's-complement-intended."""
+    vec, vid = _col(vec_col), _col(id_col)
+    word = (
+        "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + "
+        "CASE WHEN try_element_at(__v, w * 64 + j + 1) > 0 "
+        "THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+    bcode = F.expr(
+        "transform(sequence(0, int(ceil(size(__v) / 64.0)) - 1), "
+        f"w -> {word})"
+    )
+    return (df.select(vid.alias("vec_id"), vec.alias("__v"))
+            .select("vec_id", bcode.alias("bcode")))
+
+
+def hamming_distance(a: ColumnOrName, b: ColumnOrName):
+    """Σ bit_count(a_w XOR b_w) over the packed code words — all codegen."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
 @pandas_udf(T.DoubleType())
 def vec_dot_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched numpy dot product — the bulk fast path.

@@ -260,3 +260,84 @@ def q_knn_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
     )
     return _with_recall(out, emb, queries, k=20)
+
+
+_BINARY_SHORTLIST = 1000  # 2× the int8 depth: the 32× storage tier pays
+                          # with a cruder scorer, so its rerank digs deeper
+                          # (recall sweep in tests/test_knn.py: 0.92 @ 30%,
+                          # 0.96 @ 40% of the corpus on the random fixtures)
+
+
+def binary_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted 1-bit storage tier: (vec_id, bcode array<bigint>)
+    parquet — one int64 per 64 dims, 32× smaller than float32 — built once
+    per fixture and re-read on every serve call (same keying as
+    int8_artifact)."""
+    import hashlib
+    import os
+
+    from parquetaivectorsearch_spark.functions.vector import binary_quantize
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        tag = hashlib.md5(
+            f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+        ).hexdigest()[:12]
+    except OSError:
+        tag = None
+    path = (os.path.join(tempfile.gettempdir(), f"pavs_bin_{tag}")
+            if tag else tempfile.mkdtemp(prefix="pavs_bin_") + "/artifact")
+    if tag is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        binary_quantize(_t(spark, sf_dir, "embeddings")) \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("knn_topk_binary")  # rows-only: 1-bit shortlist is approximate
+def q_knn_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-time use of the 1-bit tier: phase 1 ranks the persisted sign-bit
+    codes by hamming distance (bit_count(XOR) over packed int64 words — all
+    codegen, reading 32× fewer bytes than float32), takes a
+    `_BINARY_SHORTLIST`-deep shortlist, phase 2 exact-reranks on the full
+    vectors. The bottom rung of the quantization ladder (binary → int8 →
+    PQ → float): cheapest scan, deepest rerank; recall@20 vs the exact twin
+    rides along as a column."""
+    from pyspark.sql.window import Window
+
+    from parquetaivectorsearch_spark.functions.vector import (
+        binary_quantize,
+        dot_product_distance,
+        hamming_distance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    codes = binary_artifact(spark, sf_dir)
+    qcodes = (
+        binary_quantize(queries, vec_col="query_vec", id_col="query_id")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("bcode", "qcode")
+    )
+    w = Window.partitionBy("query_id").orderBy("hd", "vec_id")
+    shortlist = (
+        codes.join(F.broadcast(qcodes))
+        .select("query_id", "vec_id",
+                hamming_distance("bcode", "qcode").alias("hd"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _BINARY_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(queries.withColumnRenamed("query_id", "qid")),
+              F.col("query_id") == F.col("qid"))
+        .select("query_id", "vec_id",
+                dot_product_distance("embedding", "query_vec").alias("distance"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    out = (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 20)
+    )
+    return _with_recall(out, emb, queries, k=20)

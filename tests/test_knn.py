@@ -51,3 +51,54 @@ def test_knn_topk_arrow_matches_exact_ids(spark):
     arrow = [r["vec_id"] for r in
              qs["knn_topk_arrow"](spark, SF_CORRECT).select("vec_id").collect()]
     assert arrow == exact
+
+
+def test_binary_tier_recall_at_partial_shortlist(spark):
+    """The 1-bit hamming shortlist must keep recall@20 ≥ 0.9 while ranking
+    only 40% of the corpus (depth 200 of 500) — the non-trivial gate for
+    the binary tier (the registered query's depth covers ≥ that fraction
+    at every fixture sf)."""
+    from pyspark.sql.window import Window
+
+    from parquetaivectorsearch_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance,
+    )
+    from parquetaivectorsearch_spark.operators import knn as KNN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    codes = binary_quantize(emb)
+    qcodes = (binary_quantize(queries, vec_col="query_vec", id_col="query_id")
+              .withColumnRenamed("vec_id", "query_id")
+              .withColumnRenamed("bcode", "qcode"))
+    w = Window.partitionBy("query_id").orderBy("hd", "vec_id")
+    short = (codes.join(F.broadcast(qcodes))
+             .select("query_id", "vec_id",
+                     hamming_distance("bcode", "qcode").alias("hd"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 200).select("query_id", "vec_id"))
+    exact = KNN.knn_join(emb, queries, k=20).select("query_id", "vec_id")
+    hits = short.join(exact, ["query_id", "vec_id"]).count()
+    assert hits / 160 >= 0.9, hits / 160
+
+
+def test_binary_quantize_matches_numpy_bits(spark):
+    """Sign-bit packing must equal the definitional numpy bit loop."""
+    import numpy as np
+
+    from parquetaivectorsearch_spark.functions.vector import binary_quantize
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    got = {r.vec_id: list(r.bcode) for r in binary_quantize(emb).collect()}
+    for r in emb.collect():
+        v = np.array(r.embedding)
+        words = []
+        for w0 in range(0, len(v), 64):
+            code = 0
+            for j, x in enumerate(v[w0:w0 + 64]):
+                if x > 0:
+                    code |= 1 << j
+            words.append(code - (1 << 64) if code >= (1 << 63) else code)
+        assert got[r.vec_id] == words, r.vec_id
