@@ -1,9 +1,10 @@
 """Full TPC-H query-shape coverage, part 2: Q2/Q7-Q10/Q12/Q13/Q15/Q17/Q19/
 Q21/Q22 adapted to the driver fixtures (FIXTURES.md — no partsupp table and
 no l_shipmode/l_receiptdate columns, so Q2/Q9/Q12/Q21 substitute the missing
-attribute with a fixture equivalent, noted per query; Q11/Q20 are
-partsupp-inventory queries with no analog at all. Every other classic shape
-is here or in queries_tpch.py).
+attribute with a fixture equivalent, noted per query; Q11/Q20 run over a
+partsupp DERIVED deterministically from part × supplier — see the
+`_PARTSUPP_SQL` block. With that, every classic shape is here or in
+queries_tpch.py).
 
 Why these matter at 100 TB: each one is a distinct physical-plan archetype —
 multi-way broadcast-dim join with disjunctive nation pairs (Q7), conditional
@@ -576,4 +577,131 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("p_partkey", F.col("l_suppkey").alias("suppkey"),
                 F.round("unit_price", 6).alias("unit_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11/Q20: the two partsupp-inventory shapes. The fixtures ship no partsupp
+# table, so one is DERIVED deterministically from part × supplier with pure
+# integer arithmetic (no engine-specific hashing) — both engines construct
+# the identical table, so the query shapes become fully oracle-checkable:
+#   eligibility:     (p_partkey + s_suppkey) % 3 = 0   (~1/3 of suppliers/part)
+#   ps_availqty:     (p_partkey*31 + s_suppkey*17) % 9999 + 1
+#   ps_supplycost¢:  (p_partkey*7  + s_suppkey*13) % 100000 + 100  (integer cents)
+# Costs stay INTEGER CENTS through every aggregate and comparison so the
+# value filters are bit-exact; division by 100 happens only in the output.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey, s_nationkey,
+             (p_partkey * 31 + s_suppkey * 17) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 7 + s_suppkey * 13) % 100000 + 100 AS ps_cost_cents
+      FROM part CROSS JOIN supplier
+      WHERE (p_partkey + s_suppkey) % 3 = 0
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ps = p.crossJoin(s).filter((F.col("p_partkey") + F.col("s_suppkey")) % 3 == 0)
+    return ps.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        "s_nationkey",
+        ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 9999 + 1)
+        .alias("ps_availqty"),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 100000 + 100)
+        .alias("ps_cost_cents"),
+    )
+
+
+@register("important_stock", "WITH " + _PARTSUPP_SQL + """
+    , natps AS (
+      SELECT ps_partkey, ps_cost_cents * ps_availqty AS v_cents
+      FROM partsupp WHERE s_nationkey < 5
+    ),
+    pv AS (SELECT ps_partkey, CAST(SUM(v_cents) AS BIGINT) AS value_cents
+           FROM natps GROUP BY ps_partkey),
+    tot AS (SELECT CAST(SUM(v_cents) AS BIGINT) AS total_cents FROM natps)
+    SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+    FROM pv CROSS JOIN tot
+    WHERE value_cents * 10000 > total_cents
+    ORDER BY value_cents DESC, ps_partkey
+""")
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape over the derived partsupp: per-part inventory value
+    (cost × availqty) restricted to a supplier-nation band, keeping parts
+    whose value exceeds 1/10000 of the national total. The group-vs-global
+    comparison is INTEGER (cents × qty, cross-checked via value·10⁴ >
+    total — no double threshold can flip a boundary row), with one
+    broadcastable single-row agg for the total; plan = two hash-aggs over
+    one partsupp derivation + TakeOrdered."""
+    ps = _partsupp(spark, sf_dir).filter(F.col("s_nationkey") < 5)
+    natps = ps.select(
+        "ps_partkey",
+        (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v_cents"))
+    pv = natps.groupBy("ps_partkey").agg(
+        F.sum("v_cents").cast("bigint").alias("value_cents"))
+    tot = natps.agg(F.sum("v_cents").cast("bigint").alias("total_cents"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 10000 > F.col("total_cents"))
+        .select("ps_partkey",
+                (F.col("value_cents").cast("double") / 100.0).alias("stock_value"),
+                "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+        .drop("value_cents")
+    )
+
+
+@register("excess_inventory", "WITH " + _PARTSUPP_SQL + """
+    , shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT ps_suppkey, COUNT(DISTINCT ps_partkey) AS n_excess_parts
+      FROM partsupp JOIN shipped
+        ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_availqty * 2 > qty
+      GROUP BY ps_suppkey
+    )
+    SELECT s_suppkey, s_name, n_excess_parts
+    FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+    ORDER BY s_suppkey
+""")
+def q_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape over the derived partsupp: suppliers holding more
+    than half a year's shipped quantity of some part they stock, with the
+    count of such parts — the excess-inventory chain (lineitem year-agg →
+    partsupp threshold join → per-supplier distinct-count → supplier
+    join). The half-of-quantity comparison is integer (availqty·2 > qty;
+    l_quantity is integral-valued, summed as BIGINT), so the filter is
+    bit-exact in both engines; the per-part counts make the output
+    hash-sensitive to every threshold decision even where the fixture's
+    uniform availqty makes the supplier-level filter weakly selective."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    ps = _partsupp(spark, sf_dir)
+    excess = (
+        ps.join(shipped, (ps.ps_partkey == shipped.l_partkey)
+                & (ps.ps_suppkey == shipped.l_suppkey))
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .groupBy("ps_suppkey")
+        .agg(F.countDistinct("ps_partkey").alias("n_excess_parts"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey)
+        .select("s_suppkey", "s_name", "n_excess_parts")
+        .orderBy("s_suppkey")
     )
