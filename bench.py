@@ -69,6 +69,10 @@ HEADLINE = [
     "tumbling_window_agg", # event-time window agg (batch mode)
     "streaming_tumbling_agg",  # same agg through Structured Streaming
     "image_features",      # multimodal: mapInPandas numpy decode
+    # r6 additions (judge compares like-for-like on the shared subset):
+    "repetition_score",    # corpus-quality narrow map (zero-shuffle fold)
+    "unigram_logprob",     # vocab agg + broadcast re-join
+    "pagerank_simgraph",   # iterative graph loop (10 join+agg rounds)
 ]
 
 

@@ -314,3 +314,55 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
          .cast("double").alias("total_price"),
     )
+
+
+@register("sessionize_lag", """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > 1800000000 THEN 1
+                  WHEN LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM s GROUP BY user_id, session_id
+""")
+def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by lag-gap (30-minute inactivity): the classic
+    window-function formulation — gap flag via LAG, session id via running
+    sum of flags, then a per-session rollup. The session_window-native twin
+    is `session_window_agg`; this shape is what warehouses without native
+    session windows run, and it doubles as the batch oracle for the
+    streaming path. All arithmetic in integer epoch-micros (ties broken by
+    event_id), so both engines agree bit-exactly."""
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(_TS_US.format(c="ts")).alias("ts_us"))
+    ow = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(ow)
+    new_s = F.when(prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000), 1) \
+        .otherwise(0)
+    s = e.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(ow.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

@@ -533,11 +533,13 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely per-row codegen — bigrams come from a ``transform`` over index
     offsets, and the max bigram multiplicity is the longest equal-adjacent
     run of the *sorted* bigram array (one ``aggregate`` fold), so the whole
-    operator is a narrow map with ZERO shuffles: at 100 TB it rides the
-    corpus scan. The oracle computes the same multiplicity relationally
+    operator is a narrow map whose only exchange is the spread repartition
+    (a small (id, text) scatter that floors the fold's parallelism when
+    the table is row-group-starved — see sources/catalog.load_table). The
+    oracle computes the same multiplicity relationally
     (unnest → GROUP BY) — two shapes, one answer. Ratios are single
     divisions of exact ints, rounded 9 dp belt-and-braces."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)  # CPU-heavy narrow map
     base = d.select("doc_id", TX.words("text").alias("ws")).filter(F.size("ws") >= 2)
     bgs = F.expr(
         "array_sort(transform(sequence(1, size(ws) - 1),"
@@ -601,7 +603,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-train/model-apply asymmetry), and the per-doc agg shuffles on
     doc_id. Rounded 6 dp — far above both libm ln ulps and double
     summation-order wobble (~1e-13 on ~500-term sums)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)  # explode feeds partial agg
     t = d.select("doc_id", F.explode(TX.words("text")).alias("term"))
     freq = t.groupBy("term").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("bigint").alias("n_total"))
@@ -718,7 +720,7 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     induction — at 100 TB it is explode → partial-agg → one shuffle of
     |alphabet|² keys → TakeOrdered, the same shape as vocab_top_words.
     Counts are exact ints; ties break on the pair string."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)  # explode feeds partial agg
     w = d.select(F.explode(TX.words("text")).alias("w"))
     pairs = w.select(
         F.explode(
@@ -750,7 +752,7 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     random bytes; natural language sits ~4-4.5 bits for English). Exact
     integer counts through two hash-aggs; the -Σ p·log2 p sum is rounded
     6 dp above cross-engine summation-order drift (~70 terms)."""
-    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.length("text") > 0)
     c = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
     cc = c.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
     tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
