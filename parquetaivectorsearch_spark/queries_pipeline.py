@@ -240,3 +240,105 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value").cast("double").alias("total_value"),
         )
     )
+
+
+@register("profile_columns", """
+    SELECT 'o_custkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+""")
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling sweep (the data-validation stage before a training
+    run): per column — row count, null count, exact distinct count,
+    min/max. One aggregate pass per column batch; at 100 TB the exact
+    distincts swap for approx_count_distinct (`hll_distinct` is the
+    registered sketch twin). Numeric min/max as DOUBLE (rounded where the
+    source is a float column), categorical min/max as NULL so the three
+    profile rows union into one typed frame."""
+    o = _t(spark, sf_dir, "orders")
+    rows = [
+        o.agg(F.lit("o_custkey").alias("col"),
+              F.count("*").alias("n_rows"),
+              (F.count("*") - F.count("o_custkey")).alias("n_nulls"),
+              F.countDistinct("o_custkey").alias("n_distinct"),
+              F.min("o_custkey").cast("double").alias("min_v"),
+              F.max("o_custkey").cast("double").alias("max_v")),
+        o.agg(F.lit("o_totalprice").alias("col"),
+              F.count("*").alias("n_rows"),
+              (F.count("*") - F.count("o_totalprice")).alias("n_nulls"),
+              F.countDistinct("o_totalprice").alias("n_distinct"),
+              F.round(F.min("o_totalprice"), 2).alias("min_v"),
+              F.round(F.max("o_totalprice"), 2).alias("max_v")),
+        o.agg(F.lit("o_orderstatus").alias("col"),
+              F.count("*").alias("n_rows"),
+              (F.count("*") - F.count("o_orderstatus")).alias("n_nulls"),
+              F.countDistinct("o_orderstatus").alias("n_distinct"),
+              F.lit(None).cast("double").alias("min_v"),
+              F.lit(None).cast("double").alias("max_v")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register("fk_expectations", """
+    SELECT 'orders.custkey->customer' AS expectation,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.quantity in (0,100]',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity <= 0 OR l_quantity > 100) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.totalprice >= 0',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+""")
+def q_fk_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks (the dbt-test / Great-Expectations layer): FK
+    containment via LEFT ANTI joins (the scalable form of NOT EXISTS —
+    one shuffle, no subquery-per-row) plus range assertions, each reduced
+    to a violation count. A pipeline gates ingestion on all-zeros; the
+    oracle states the same checks as NOT EXISTS subqueries."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(name, cnt_df):
+        return cnt_df.agg(F.lit(name).alias("expectation"),
+                          F.count("*").cast("bigint").alias("n_violations"))
+
+    checks = [
+        row("orders.custkey->customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti")),
+        row("lineitem.orderkey->orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")),
+        row("lineitem.quantity in (0,100]",
+            li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100))),
+        row("orders.totalprice >= 0",
+            o.filter(F.col("o_totalprice") < 0)),
+    ]
+    out = checks[0]
+    for r in checks[1:]:
+        out = out.unionByName(r)
+    return out
