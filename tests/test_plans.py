@@ -140,3 +140,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     plain = (li.join(o, li.l_orderkey == o.o_orderkey)
              .groupBy("o_orderpriority").count())
     assert rows == {tuple(r) for r in plain.collect()}
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary must come back onto the token stream as a broadcast
+    (vocab ≪ corpus — re-shuffling the token stream for the re-join would
+    double the pipeline's largest exchange)."""
+    df = QUERIES["unigram_logprob"](spark, SF_SMOKE)
+    assert P.has_broadcast_join(df)
+
+
+def test_bpe_merge_step_is_take_ordered(spark):
+    """Top-20 pairs must plan as TakeOrderedAndProject over the partial
+    agg, never a global sort of the |alphabet|² key space."""
+    df = QUERIES["bpe_merge_step"](spark, SF_SMOKE)
+    assert P.has_take_ordered(df)
+    assert P.has_partial_aggregate(df)
