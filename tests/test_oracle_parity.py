@@ -81,6 +81,23 @@ def _canon_rows(df: pd.DataFrame) -> list:
     return sorted(rows)
 
 
+
+def _assert_plan_hygiene(sdf, name: str) -> None:
+    """Repo-wide anti-pattern gate, piggybacked on the parity sweep (every
+    registered query passes through here): the physical plan may never
+    contain a non-broadcast CartesianProduct (bounded θ-joins must come
+    through as broadcast nested-loop joins at this scale) or a
+    row-at-a-time Python UDF (BatchEvalPython — all Python must cross via
+    Arrow: ArrowEvalPython / mapInPandas / applyInPandas). UDTFs are
+    exempt from the Arrow rule (BatchEvalPythonUDTF is Spark's only UDTF
+    node unless the arrow-UDTF flag is on)."""
+    plan = sdf._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct\n{plan}"
+    scalar_plan = plan.replace("BatchEvalPythonUDTF", "")
+    assert "BatchEvalPython" not in scalar_plan, (
+        f"{name}: row-at-a-time Python UDF\n{plan}")
+
+
 QUERIES, ORACLES = Q.all_queries(), Q.all_oracles()
 ORACLE_CASES = sorted(ORACLES)
 ROWS_ONLY_CASES = sorted(set(QUERIES) - set(ORACLES))
@@ -91,6 +108,7 @@ def test_oracle_match(spark, duck, name):
     register_views(duck, SF_CORRECT)
     sdf = QUERIES[name](spark, SF_CORRECT)
     _assert_no_decimal(sdf.schema, name)
+    _assert_plan_hygiene(sdf, name)
     got = sdf.toPandas()
     want = duck.execute(ORACLES[name]).df()
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
@@ -109,5 +127,6 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF_CORRECT)
     _assert_no_decimal(df.schema, name)
+    _assert_plan_hygiene(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
