@@ -762,3 +762,71 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"))
     )
+
+
+@register("pmi_collocations", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.w AS word, COUNT(*) AS c
+      FROM w, unnest(ws) AS t(w) GROUP BY t.w
+    ),
+    n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i + 1 AS INTEGER)] AS w2,
+             COUNT(*) AS c_ab
+      FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    n_bi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bi)
+    SELECT w1, w2, c_ab,
+           ROUND(LN((CAST(c_ab AS DOUBLE) / nb.n)
+                 / ((CAST(a.c AS DOUBLE) / nu.n) * (CAST(b.c AS DOUBLE) / nu.n))), 6)
+             AS pmi
+    FROM bi
+    JOIN uni a ON a.word = w1
+    JOIN uni b ON b.word = w2
+    CROSS JOIN n_uni nu CROSS JOIN n_bi nb
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+""")
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990): PMI(a,b) = ln(p(ab) / (p(a)p(b))) over adjacent word pairs,
+    keeping pairs seen ≥ 5 times — the phrase-induction companion to
+    `bpe_merge_step` (frequency merges) for tokenizer/vocab work. Shape:
+    two explode+hash-agg passes (unigrams, bigrams), two broadcast
+    re-joins of the unigram table onto the bigram counts, TakeOrdered.
+    PMI rounded 6 dp before ranking; ties break on the pair."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    ws = d.select("doc_id", TX.words("text").alias("ws"))
+    uni = (ws.select(F.explode("ws").alias("word"))
+           .groupBy("word").agg(F.count("*").alias("c")))
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_u"))
+    # NB: filter ≥ 2 words BEFORE the index transform — Spark's
+    # sequence(1, 0) is DESCENDING [1, 0], so an unguarded 1-word doc
+    # would probe element_at 0/2 and throw under ANSI mode.
+    bigrams = ws.filter(F.size("ws") >= 2).select(F.explode(F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+    )).alias("p")).select("p.w1", "p.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    n_bi = bi.agg(F.sum("c_ab").cast("bigint").alias("n_b"))
+    pmi = F.round(
+        F.log((F.col("c_ab").cast("double") / F.col("n_b"))
+              / ((F.col("c_a").cast("double") / F.col("n_u"))
+                 * (F.col("c_b").cast("double") / F.col("n_u")))), 6)
+    return (
+        bi.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(uni.select(F.col("word").alias("w1"),
+                                     F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("word").alias("w2"),
+                                     F.col("c").alias("c_b"))), "w2")
+        .join(F.broadcast(n_uni)).join(F.broadcast(n_bi))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+    )

@@ -157,3 +157,21 @@ def test_unigram_logprob_hand_case(spark):
     assert got[0].n_tokens == 2 and got[1].n_tokens == 1
     assert abs(got[0].avg_neg_logprob - round(-math.log(2 / 3), 6)) < 1e-6
     assert abs(got[1].avg_neg_logprob - round(-math.log(1 / 3), 6)) < 1e-6
+
+
+def test_pmi_collocations_survives_one_word_docs(spark):
+    """sequence(1, 0) is DESCENDING in Spark — a 1-word doc must not probe
+    element_at out of bounds under ANSI mode (guarded by the ≥2-word
+    filter before the bigram transform)."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.queries_text import q_pmi_collocations
+
+    d = tempfile.mkdtemp(prefix="pmi_")
+    spark.createDataFrame(
+        [(0, "solo")] + [(i, "alpha beta alpha beta gamma") for i in range(1, 8)],
+        "doc_id BIGINT, text STRING",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = q_pmi_collocations(spark, d).collect()
+    pairs = {(r.w1, r.w2) for r in rows}
+    assert ("alpha", "beta") in pairs  # seen 14 times ≥ 5
