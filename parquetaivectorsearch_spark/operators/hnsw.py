@@ -158,7 +158,8 @@ def _search_layer(dist_b, dist_s, nbr: np.ndarray, cnt: np.ndarray,
 
 def _select_neighbors(x: np.ndarray, cands: list[tuple[float, int]], m: int,
                       nbr: np.ndarray, cnt: np.ndarray, p: "HNSWParams",
-                      dist_b) -> np.ndarray:
+                      dist_b, visited: np.ndarray | None = None,
+                      epoch: int = 0) -> np.ndarray:
     """Neighbor selection for one insert: paper Alg. 3 (simple nearest-M)
     or Alg. 4 (heuristic) per ``p.heuristic`` — the reference's
     SelectHeuristic/ExpandBestSelection pair (Program.cs:135-137).
@@ -185,12 +186,26 @@ def _select_neighbors(x: np.ndarray, cands: list[tuple[float, int]], m: int,
             rows = nbr[ids]                                   # (k, cap)
             ext = rows[np.arange(rows.shape[1]) < counts[:, None]]
             ext = np.unique(ext)
-            ext = ext[~np.isin(ext, ids)]
+            if visited is not None:
+                # membership via the caller's epoch-stamp scratch — O(k+|ext|)
+                # instead of np.isin's sort-based lookup per insert
+                visited[ids] = epoch
+                ext = ext[visited[ext] != epoch]
+            else:
+                ext = ext[~np.isin(ext, ids)]
             if len(ext):
                 ids = np.concatenate([ids, ext])
                 dq = np.concatenate([dq, dist_b(ext)])
     cap = max(p.ef_construction, 2 * m)
-    order = np.argsort(dq, kind="stable")[:cap]
+    if len(dq) > cap:
+        # argpartition + sort of the cap head beats a full stable argsort of
+        # the extended set (ties across the partition boundary can pick a
+        # different equal-distance candidate — distances are floats, exact
+        # ties are measure-zero, recall is gated in tests either way)
+        part = np.argpartition(dq, cap - 1)[:cap]
+        order = part[np.argsort(dq[part], kind="stable")]
+    else:
+        order = np.argsort(dq, kind="stable")
     ids, dq = ids[order], dq[order]
 
     # pairwise distances among the (capped) candidates — ONE matmul
@@ -265,8 +280,9 @@ def _build_graph(x: np.ndarray, p: HNSWParams) -> list[dict[int, np.ndarray]]:
             found = _search_layer(dist_b, dist_s, nbrs[lvl], cnts[lvl], ep,
                                   p.ef_construction, visited, epoch)
             m = p.M if lvl > 0 else 2 * p.M  # layer-0 degree 2M (paper §4)
+            epoch += 1
             sel = _select_neighbors(x, found, m, nbrs[lvl], cnts[lvl], p,
-                                    dist_b)
+                                    dist_b, visited, epoch)
             nbrs[lvl][i, :len(sel)] = sel
             cnts[lvl][i] = len(sel)
             ndists[lvl][i, :len(sel)] = dq[sel]
