@@ -527,3 +527,25 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register("xml_roundtrip", """
+    SELECT doc_id, lang, source, n_chars FROM documents
+""")
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4's built-in xml format) with an
+    explicit read schema — the third text interchange format beside
+    CSV/JSON (SURVEY §2.1 X), the one enterprise feeds still arrive in.
+    Ints and short strings survive element text exactly (the writer
+    escapes markup), so this is oracle-checkable; the oracle reads the
+    original parquet — equality proves the trip was lossless."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    xml_dir = tempfile.mkdtemp(prefix="documents_xml_") + "/docs"
+    (d.write.mode("overwrite").format("xml")
+     .option("rootTag", "documents").option("rowTag", "doc").save(xml_dir))
+    return (
+        spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .format("xml").option("rowTag", "doc").load(xml_dir)
+    )

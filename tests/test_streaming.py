@@ -139,3 +139,35 @@ def test_streaming_ivf_ingest_serves_after_append(spark):
     # the query vector itself is odd ⇒ arrived via the stream ⇒ must be its
     # own nearest neighbor at full probe depth
     assert hits[0].vec_id == 1
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The RocksDB state store provider (the 100 TB answer for streaming
+    state that outgrows executor heap: state lives off-heap on local SSD
+    with changelog checkpointing) must produce the same aggregates as the
+    default HDFS-backed provider."""
+    from parquetaivectorsearch_spark.queries_streaming import (
+        _staged_stream,
+    )
+    from parquetaivectorsearch_spark.streaming.events import (
+        run_available_now,
+        tumbling_counts,
+    )
+
+    def run():
+        out = run_available_now(
+            tumbling_counts(_staged_stream(spark, SF_SMOKE)), "update")
+        return {tuple(r) for r in out.collect()}
+
+    base = run()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        rocks = run()
+    finally:
+        spark.conf.set(key, old)
+    assert rocks == base and len(base) > 0
