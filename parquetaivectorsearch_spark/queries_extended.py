@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquetaivectorsearch_spark.functions import text as TX
 from parquetaivectorsearch_spark.operators import joins as J
 from parquetaivectorsearch_spark.queries import register, _t
 
@@ -365,4 +366,90 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
+    )
+
+
+@register("ewma_revenue", """
+    WITH s AS (
+      SELECT o_custkey,
+             list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS xs
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(len(xs) AS BIGINT) AS n_orders,
+           ROUND(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+             AS ewma_price
+    FROM s
+""")
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of order totals per customer
+    (α = 0.25, s₀ = x₀): the canonical RECURSIVE per-key statistic that no
+    window frame can express (each state depends on the previous state,
+    not a fixed row range) — implemented as an ordered collect + one
+    ``aggregate`` fold per key. Bounded state: the collected list is one
+    customer's order history (a per-key skew guard at 100 TB would cap or
+    pre-aggregate per day). Both engines fold the identical double
+    sequence left-to-right; α = 0.25 so both smoothing constants are EXACT
+    binary fractions (0.3/0.7 decimal literals convert through different
+    literal types per engine and flipped a 6-dp rounding boundary by one
+    ulp); rounded 6 dp belt-and-braces."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_totalprice"))
+        ).alias("rows"))
+    xs = F.transform(F.col("rows"), lambda r: r["o_totalprice"])
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return s.select(
+        "o_custkey",
+        F.size(xs).cast("bigint").alias("n_orders"),
+        F.round(ewma, 6).alias("ewma_price"),
+    )
+
+
+@register("typo_pairs", """
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS c,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rn
+      FROM w GROUP BY word
+    ),
+    top AS (SELECT word, c FROM vocab WHERE rn <= 200)
+    SELECT a.word AS w1, b.word AS w2, a.c AS c1, b.c AS c2
+    FROM top a JOIN top b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+""")
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant candidate mining: edit-distance-≤2 pairs within the
+    frequency-top-200 vocabulary (the fixture dictionary is ~31 words of
+    4-6 chars with no distance-1 neighbors, so the demo threshold is 2;
+    real corpora run distance 1) — the spelling-normalization probe of a
+    corpus-cleaning pipeline (real pipelines weight by frequency ratio:
+    a rare word one edit from a frequent one is the typo). Vocabulary via
+    explode + hash-agg + TakeOrdered; the candidate join is a bounded
+    200×200 broadcast self-join, never corpus-sized. Identical levenshtein
+    definition in both engines; ties in the top-200 cut break on the
+    word."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    vocab = (
+        d.select(F.explode(TX.words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("c"), "word")))
+        .filter(F.col("rn") <= 200).drop("rn")
+    )
+    a = vocab.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    b = vocab.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        a.join(F.broadcast(b), F.col("w1") < F.col("w2"))
+        .filter(F.levenshtein("w1", "w2") <= 2)
+        .select("w1", "w2", "c1", "c2")
     )
