@@ -122,3 +122,67 @@ def test_driver_window_covers_all_suites():
     weak = {m for m, names in by_module.items()
             if m not in rows_only_ok and not any(n in ors for n in names)}
     assert not weak, f"suites with only rows-only window queries: {weak}"
+
+
+_vecs = st.lists(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                       allow_nan=False, width=32),
+             min_size=64, max_size=64),
+    min_size=1, max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(_vecs)
+def test_binary_quantize_hamming_properties(spark, vecs):
+    """Sign-bit codes on arbitrary vectors: hamming(self) = 0, symmetry,
+    and every code word equals the plain-Python bit loop."""
+    from parquetaivectorsearch_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    bq = binary_quantize(df)
+    got = {r.vec_id: list(r.bcode) for r in bq.collect()}
+    import numpy as np
+    for i, v in enumerate(vecs):
+        f32 = np.array(v, dtype=np.float32)
+        code = 0
+        for j, x in enumerate(f32):
+            if x > 0:
+                code |= 1 << j
+        code = code - (1 << 64) if code >= (1 << 63) else code
+        assert got[i] == [code], i
+    pairs = (bq.alias("a").join(bq.alias("b"))
+             .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+                     hamming_distance("a.bcode", "b.bcode").alias("h")))
+    h = {(r.ia, r.ib): r.h for r in pairs.collect()}
+    for i in range(len(vecs)):
+        assert h[(i, i)] == 0
+        for j in range(len(vecs)):
+            assert h[(i, j)] == h[(j, i)]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                          width=32), min_size=4, max_size=64))
+def test_int8_quantize_error_bound(spark, vec):
+    """Dequantized int8 values must sit within scale/2 of the input (the
+    round-half-up invariant) on arbitrary vectors, not just fixtures."""
+    from parquetaivectorsearch_spark.functions.vector import int8_quantize
+
+    df = spark.createDataFrame([(0, [float(x) for x in vec])],
+                               "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    r = int8_quantize(df).first()
+    import numpy as np
+    f32 = np.array(vec, dtype=np.float32)
+    if r.scale == 0:
+        assert all(q == 0 for q in r.qvec)
+    else:
+        deq = np.array(r.qvec, dtype=np.float64) * r.scale
+        assert np.all(np.abs(deq - f32) <= r.scale / 2 + 1e-12)
