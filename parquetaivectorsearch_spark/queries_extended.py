@@ -185,11 +185,20 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("approx_percentile_agg")  # rows-only: t-digest sketch, engine-specific
 def q_approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based percentile for 100 TB (single pass, bounded memory,
-    mergeable partials) — approximate, so no value oracle."""
+    mergeable partials) — approximate, so no value oracle. The quartiles are
+    projected as scalar columns (p25/p50/p75), not an array: the driver's
+    canonicalizer cannot hash array cells (CORRECTNESS_r06 ERR trio)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-        .alias("approx_pcts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+             .alias("approx_pcts"))
+        .select(
+            "l_returnflag",
+            F.col("approx_pcts")[0].alias("p25"),
+            F.col("approx_pcts")[1].alias("p50"),
+            F.col("approx_pcts")[2].alias("p75"),
+        )
     )
 
 

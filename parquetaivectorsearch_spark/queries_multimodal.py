@@ -55,7 +55,17 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("image_features")  # rows-only: numpy pixel math
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.image_features(_media(spark, sf_dir))
+    """Driver-facing projection serializes the array features as JSON
+    strings: the driver's canonicalizer cannot hash list cells
+    (CORRECTNESS_r06 ERR — `unhashable type: 'list'`). The operator API
+    (operators/multimodal.image_features) still returns real arrays."""
+    f = MM.image_features(_media(spark, sf_dir))
+    return f.select(
+        "media_id",
+        F.to_json("mean_px").alias("mean_px_json"),
+        F.to_json("std_px").alias("std_px_json"),
+        F.to_json("histogram").alias("histogram_json"),
+    )
 
 
 @register("image_resize")  # rows-only: binary payload output
@@ -74,4 +84,10 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("audio_features")  # rows-only: numpy sample math
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.audio_features(_media(spark, sf_dir))
+    """rms_envelope rides as a JSON string for the driver canonicalizer
+    (see q_image_features); the operator API keeps the real array."""
+    f = MM.audio_features(_media(spark, sf_dir))
+    return f.select(
+        "media_id", "n_samples", "rms", "zero_crossing_rate",
+        F.to_json("rms_envelope").alias("rms_envelope_json"),
+    )

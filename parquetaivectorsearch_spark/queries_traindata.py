@@ -240,7 +240,8 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS qvec
       FROM s
     )
-    SELECT vec_id, scale, qvec,
+    SELECT vec_id, scale,
+           array_to_string(qvec, ',') AS qvec_csv,
            list_max(list_transform(list_zip(qvec, embedding),
              p -> abs(p[1] * scale - CAST(p[2] AS DOUBLE)))) AS max_abs_err
     FROM q
@@ -256,6 +257,12 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, a judgeable invariant). Shared quantizer:
     functions/vector.int8_quantize (also the artifact builder for
     knn_topk_int8's serve tier).
+
+    The driver-facing projection serializes qvec as a CSV string
+    (integer elements → representation-stable in both engines): the
+    driver's canonicalizer crashes on array cells (CORRECTNESS_r06 ERR).
+    The operator API (int8_quantize) still returns the real
+    array<tinyint> column.
     """
     from parquetaivectorsearch_spark.functions.vector import int8_quantize
 
@@ -264,4 +271,8 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("qvec", "embedding",
                    lambda qi, x: F.abs(qi * F.col("scale") - x.cast("double")))
     )
-    return q.select("vec_id", "scale", "qvec", err.alias("max_abs_err"))
+    return q.select(
+        "vec_id", "scale",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+        err.alias("max_abs_err"),
+    )

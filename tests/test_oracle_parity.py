@@ -46,6 +46,24 @@ def _assert_no_decimal(schema: T.StructType, name: str) -> None:
     )
 
 
+def _assert_driver_hashable(schema: T.StructType, name: str) -> None:
+    """The driver's canonicalizer crashes on non-scalar cells
+    (CORRECTNESS_r06: `unhashable type: 'list'` for the three array-output
+    queries). No registered query may emit ARRAY/MAP/STRUCT/BINARY in its
+    FINAL schema — serialize arrays (to_json / concat_ws CSV) or project
+    scalar elements. Operator APIs may still return complex types; only the
+    driver-facing registered projection is constrained."""
+    offenders = [
+        f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields
+        if isinstance(f.dataType,
+                      (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    assert not offenders, (
+        f"{name}: non-scalar driver-facing output {offenders} — the driver "
+        "canonicalizer cannot hash these; to_json()/concat_ws() them"
+    )
+
+
 def _cell(v) -> str:
     """Canonical cell repr: width-insensitive for ints, exact for floats,
     repr for everything else (a Decimal object deliberately differs from
@@ -108,6 +126,7 @@ def test_oracle_match(spark, duck, name):
     register_views(duck, SF_CORRECT)
     sdf = QUERIES[name](spark, SF_CORRECT)
     _assert_no_decimal(sdf.schema, name)
+    _assert_driver_hashable(sdf.schema, name)
     _assert_plan_hygiene(sdf, name)
     got = sdf.toPandas()
     want = duck.execute(ORACLES[name]).df()
@@ -127,6 +146,7 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF_CORRECT)
     _assert_no_decimal(df.schema, name)
+    _assert_driver_hashable(df.schema, name)
     _assert_plan_hygiene(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

@@ -95,10 +95,28 @@ def test_chunking_reconstructs_text(spark, text, size, overlap):
     assert last.chunk_id * stride + len(last.chunk_text) == len(text)
 
 
+def _driver_sampled() -> set:
+    """Names with driver evidence from any committed CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen = set()
+    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            seen.update(json.load(fh))
+    return seen
+
+
 def test_driver_window_covers_all_suites():
-    """The first 50 registered queries (the driver's correctness-check
-    window) must include at least one oracle-backed representative of every
-    queries_* module, and every _DRIVER_WINDOW name must actually exist."""
+    """The first 50 registered queries are the driver's correctness-check
+    window. Invariants: every _DRIVER_WINDOW name exists, the window is
+    exactly 50 wide (the driver samples no more), every queries_* module
+    has driver evidence — from a committed CORRECTNESS_r*.json round or
+    scheduled in the current window — and at least one oracle-backed
+    (hash-checked, not rows-only) member per module except the by-design
+    rows-only suites."""
     import collections
 
     from parquetaivectorsearch_spark import queries as Q
@@ -106,22 +124,26 @@ def test_driver_window_covers_all_suites():
     qs, ors = Q.all_queries(), Q.all_oracles()
     missing = [n for n in Q._DRIVER_WINDOW if n not in qs]
     assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
+    assert len(Q._DRIVER_WINDOW) == 50, (
+        f"window is {len(Q._DRIVER_WINDOW)} wide; the driver samples exactly "
+        "the first 50 — fewer wastes slots, more silently drops the tail"
+    )
 
-    window = list(qs)[:50]
+    evidence = set(list(qs)[:50]) | (_driver_sampled() & set(qs))
     by_module = collections.defaultdict(list)
-    for name in window:
+    for name in evidence:
         by_module[qs[name].__module__.split(".")[-1]].append(name)
 
     all_modules = {fn.__module__.split(".")[-1] for fn in qs.values()}
     uncovered = all_modules - set(by_module)
-    assert not uncovered, f"suites with no driver-window query: {uncovered}"
+    assert not uncovered, f"suites with no driver evidence: {uncovered}"
 
-    # every module except the by-design rows-only ones contributes an
-    # oracle-backed (hash-checkable) query to the window
+    # every module except the by-design rows-only ones has an oracle-backed
+    # (hash-checkable) query in the evidence set
     rows_only_ok = {"queries_ann", "queries_streaming"}
     weak = {m for m, names in by_module.items()
             if m not in rows_only_ok and not any(n in ors for n in names)}
-    assert not weak, f"suites with only rows-only window queries: {weak}"
+    assert not weak, f"suites with only rows-only driver evidence: {weak}"
 
 
 _vecs = st.lists(
