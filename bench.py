@@ -326,8 +326,15 @@ def main() -> None:
     # comparison robust (VERDICT r5 #7) while `queries` keeps the
     # per-query contract: it reports the run whose headline total IS the
     # median.
+    # The warm pass is itself timed into extras.cold_pass_total so both
+    # regimes stay visible (ADVICE r6: r1-r3 rounds were measured WITHOUT
+    # a warm pass, so cross-round comparisons must be able to separate
+    # methodology from code — cold ≈ the old protocol, median-of-3 = the
+    # steady state).
+    t0 = time.monotonic()
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    extras["cold_pass_total"] = round(time.monotonic() - t0, 3)
     runs: list[dict[str, float]] = []
     for _ in range(3):
         t: dict[str, float] = {}

@@ -104,7 +104,11 @@ def binary_quantize(df, vec_col: ColumnOrName = "embedding",
     distance is monotone in the angle for ~zero-mean vectors, so it serves
     as a shortlist scorer, never a final ranking. Pure Catalyst fold — a
     shuffle-free narrow map; shiftleft(1L, 63) wrapping to the sign bit is
-    two's-complement-intended."""
+    two's-complement-intended. The word count is clamped to ≥1: on an empty
+    vector, sequence(0, ceil(0/64)-1) = sequence(0,-1) is DESCENDING in
+    Spark ([0,-1] — two garbage words), so an empty embedding would hash to
+    a 2-word code and NULL out hamming_distance via zip-pad; clamped, it
+    yields one zero word, comparable with any same-dim code."""
     vec, vid = _col(vec_col), _col(id_col)
     word = (
         "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + "
@@ -112,7 +116,7 @@ def binary_quantize(df, vec_col: ColumnOrName = "embedding",
         "THEN shiftleft(1L, j) ELSE 0L END)"
     )
     bcode = F.expr(
-        "transform(sequence(0, int(ceil(size(__v) / 64.0)) - 1), "
+        "transform(sequence(0, greatest(int(ceil(size(__v) / 64.0)), 1) - 1), "
         f"w -> {word})"
     )
     return (df.select(vid.alias("vec_id"), vec.alias("__v"))

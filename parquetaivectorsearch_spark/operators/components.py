@@ -94,6 +94,22 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     recursive CTE.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Enforce the documented precondition instead of silently mis-ranking:
+    # a dst-only node would leak rank mass (receives but never redistributes)
+    # and skew n; a src-only node would vanish from `ranks` after round 1
+    # (inner contribution join). One cheap job, runs once, not per round.
+    srcs = e.select(F.col("src").alias("node"))
+    dsts = e.select(F.col("dst").alias("node"))
+    asymmetric = (
+        dsts.join(srcs, "node", "left_anti")
+        .union(srcs.join(dsts, "node", "left_anti"))
+        .count()
+    )
+    if asymmetric:
+        raise ValueError(
+            "pagerank: edge list references nodes with no out-edges or no "
+            "in-edges; symmetrize the graph (add reverse edges) first"
+        )
     deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
     ew = e.join(deg, "src").localCheckpoint(eager=False)
     nodes = deg.select(F.col("src").alias("node"))

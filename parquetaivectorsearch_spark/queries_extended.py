@@ -301,21 +301,39 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The merge hint pins SortMergeJoin so the bucket layout, not a
     broadcast, carries the join; tests/test_plans.py asserts the no-
     Exchange-below-join invariant. Result is identical to the plain join,
-    so the oracle is the plain join."""
+    so the oracle is the plain join.
+
+    The bucketed tables are built AT MOST ONCE per session: the database
+    location is keyed off the db name (stable path, reused by CREATE
+    DATABASE IF NOT EXISTS — no mkdtemp leak per call) and the ingest
+    shuffle is skipped when the catalog tables already exist, which is the
+    pay-the-shuffle-once-at-ingest contract the query demonstrates."""
+    import os
     import tempfile
     import zlib
 
     from parquetaivectorsearch_spark.operators.skew import write_bucketed
 
     db = f"bucketq_{zlib.crc32(sf_dir.encode()):08x}"
-    loc = tempfile.mkdtemp(prefix=f"{db}_")
+    loc = os.path.join(tempfile.gettempdir(), "pavs_bucket_dbs", db)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
-    )
-    write_bucketed(li, f"{db}.lineitem_b", "l_orderkey", 8)
-    write_bucketed(o, f"{db}.orders_b", "l_orderkey", 8)
+    if not (spark.catalog.tableExists(f"{db}.lineitem_b")
+            and spark.catalog.tableExists(f"{db}.orders_b")):
+        # A fresh process has a fresh in-memory catalog but may inherit a
+        # previous process's table dirs at this stable location; saveAsTable
+        # refuses to CREATE a managed table over an existing path, so clear
+        # the stale dirs before the (once-per-session) rebuild.
+        import shutil
+
+        for t in ("lineitem_b", "orders_b"):
+            shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                  "l_extendedprice")
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        write_bucketed(li, f"{db}.lineitem_b", "l_orderkey", 8)
+        write_bucketed(o, f"{db}.orders_b", "l_orderkey", 8)
     j = spark.table(f"{db}.lineitem_b").hint("merge").join(
         spark.table(f"{db}.orders_b"), "l_orderkey"
     )

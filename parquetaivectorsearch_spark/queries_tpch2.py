@@ -582,10 +582,15 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q11/Q20: the two partsupp-inventory shapes. The fixtures ship no partsupp
-# table, so one is DERIVED deterministically from part × supplier with pure
-# integer arithmetic (no engine-specific hashing) — both engines construct
-# the identical table, so the query shapes become fully oracle-checkable:
-#   eligibility:     (p_partkey + s_suppkey) % 3 = 0   (~1/3 of suppliers/part)
+# table, so one is DERIVED deterministically with pure integer arithmetic
+# (no engine-specific hashing) — both engines construct the identical table,
+# so the query shapes become fully oracle-checkable. TPC-H's own partsupp
+# has exactly 4 suppliers per part, so the derivation mirrors that shape:
+# each part expands to 4 pseudo-random supplier candidates
+# (p_partkey*13 + i*97) % |supplier| + 1, i ∈ 0..3, equi-joined back to
+# supplier — LINEAR in SF. (The r1-r6 derivation was part CROSS JOIN
+# supplier with a %3 eligibility filter: fine at sf0.01 where it planned as
+# a broadcast-NLJ, but quadratic in SF — VERDICT r6 "what's wrong" #3.)
 #   ps_availqty:     (p_partkey*31 + s_suppkey*17) % 9999 + 1
 #   ps_supplycost¢:  (p_partkey*7  + s_suppkey*13) % 100000 + 100  (integer cents)
 # Costs stay INTEGER CENTS through every aggregate and comparison so the
@@ -593,12 +598,18 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PARTSUPP_SQL = """
+    ps_cand AS (
+      SELECT DISTINCT p_partkey,
+             (p_partkey * 13 + i * 97) % ns + 1 AS cand_suppkey
+      FROM part
+      CROSS JOIN (SELECT COUNT(*) AS ns FROM supplier)
+      CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i)
+    ),
     partsupp AS (
       SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey, s_nationkey,
              (p_partkey * 31 + s_suppkey * 17) % 9999 + 1 AS ps_availqty,
              (p_partkey * 7 + s_suppkey * 13) % 100000 + 100 AS ps_cost_cents
-      FROM part CROSS JOIN supplier
-      WHERE (p_partkey + s_suppkey) % 3 = 0
+      FROM ps_cand JOIN supplier ON s_suppkey = cand_suppkey
     )
 """
 
@@ -606,7 +617,22 @@ _PARTSUPP_SQL = """
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    ps = p.crossJoin(s).filter((F.col("p_partkey") + F.col("s_suppkey")) % 3 == 0)
+    ns = s.agg(F.count("*").alias("ns"))
+    cand = (
+        p.join(F.broadcast(ns))  # single-row broadcast, not a cartesian
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+            "ns",
+        )
+        .select(
+            "p_partkey",
+            ((F.col("p_partkey") * 13 + F.col("i") * 97) % F.col("ns") + 1)
+            .alias("cand_suppkey"),
+        )
+        .distinct()  # two i's can collide mod small |supplier|
+    )
+    ps = cand.join(s, cand.cand_suppkey == s.s_suppkey)
     return ps.select(
         F.col("p_partkey").alias("ps_partkey"),
         F.col("s_suppkey").alias("ps_suppkey"),

@@ -190,6 +190,28 @@ def test_binary_quantize_hamming_properties(spark, vecs):
             assert h[(i, j)] == h[(j, i)]
 
 
+def test_binary_quantize_empty_vector(spark):
+    """An empty embedding must code to ONE zero word, not two garbage words
+    (sequence(0, -1) is descending in Spark — ADVICE r6 #2): hamming against
+    any 64-dim code stays defined instead of NULLing out via zip-pad."""
+    from parquetaivectorsearch_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [1.0] * 64)], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    bq = binary_quantize(df)
+    got = {r.vec_id: list(r.bcode) for r in bq.collect()}
+    assert got[0] == [0]
+    h = (bq.alias("a").join(bq.alias("b"))
+         .filter(F.col("a.vec_id") == 0)
+         .select(hamming_distance("a.bcode", "b.bcode").alias("h"))
+         .collect())
+    assert all(r.h is not None for r in h)
+
+
 @settings(**_SETTINGS)
 @given(st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
                           width=32), min_size=4, max_size=64))
