@@ -280,6 +280,54 @@ def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_graph(corpus: DataFrame, k: int = 3, nlist: int = 8, nprobe: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              metric: str = "ip", seed: int = 42,
+              index: IVFIndex | None = None) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus → (src, dst, distance,
+    rank): every vector is simultaneously a query and a candidate.
+
+    The serve path (ivf_search) broadcasts its query batch — correct for a
+    bounded batch, impossible when the query side IS the corpus. Here both
+    sides meet in a co-partitioned shuffle join on list_id: the query side
+    fans out to its nprobe nearest lists, the candidate side sits in its
+    one assigned list, so candidate work is bounded to within-list pairs
+    (Σ_i |list_i| × probes into i) — never all-pairs. This is the scale
+    path for graph-signal curation (pagerank over the similarity graph):
+    at 100 TB the graph build is nlist-bounded blocks with AQE handling
+    hot-list skew, not an O(N²) θ-join. nprobe = nlist degenerates to the
+    exact graph (every query scans every list) — used by the recall tests.
+
+    Each candidate lives in exactly one list, so a (src, dst) pair is
+    scored at most once — no dedup pass needed before the top-k window.
+    """
+    from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
+
+    if index is None:
+        index = IVFIndex.build(corpus, nlist=nlist, vec_col=vec_col,
+                               metric=metric, seed=seed)
+    q = corpus.select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("query_vec"))
+    probed = probe_lists(q, index, nprobe)
+    scored = (
+        index.lists.select(F.col(id_col), F.col(vec_col), "list_id")
+        .join(probed, "list_id")  # co-partitioned shuffle join, NOT broadcast
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col),
+            (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))
+             ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias("src"), F.col(id_col).alias("dst"),
+                "distance", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (north-star dedup variant)
 # ---------------------------------------------------------------------------

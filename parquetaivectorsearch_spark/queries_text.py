@@ -699,6 +699,31 @@ def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pagerank_simgraph_full")  # rows-only: ANN-built edge set
+def q_pagerank_simgraph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus similarity-graph PageRank (VERDICT r6 item 6): the 3-NN
+    edges come from operators/ann.knn_graph — an IVF-blocked co-partitioned
+    join (within-list candidates only, no broadcast of the query side) —
+    instead of pagerank_simgraph's vec_id < 200 all-pairs θ-join. This is
+    the shape that survives 100 TB: graph build cost is Σ per-list blocks,
+    pagerank itself is the same 2-shuffle-per-round loop. The edge set is
+    approximate (recall vs the exact graph is pinned in tests/test_ann.py)
+    → rows-only. Symmetrizing the kNN edges also discharges pagerank's
+    no-dangling-node precondition by construction."""
+    from parquetaivectorsearch_spark.operators import ann as ANN
+    from parquetaivectorsearch_spark.operators.components import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = ANN.knn_graph(emb, k=3, nlist=8, nprobe=4).select("src", "dst")
+    edges = g.union(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, n_iter=10, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
 @register("bpe_merge_step", """
     WITH w AS (
       SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),

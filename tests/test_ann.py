@@ -168,3 +168,51 @@ def test_knn_topk_int8_serves_from_artifact(spark):
     plan = q_knn_topk_int8(spark, SF_CORRECT) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "pavs_int8_" in plan, "phase 1 must read the persisted artifact"
+
+
+def test_knn_graph_exact_when_probing_all_lists(spark):
+    """nprobe = nlist degenerates knn_graph to the exact 3-NN graph: every
+    query scans every list, so the edge set must EQUAL a driver-side numpy
+    top-3 (same dot metric, same dst tie-break)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 200)
+    got = {
+        (r.src, r.dst)
+        for r in ANN.knn_graph(emb, k=3, nlist=4, nprobe=4).collect()
+    }
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32).astype(np.float64)
+    dots = x @ x.T
+    want = set()
+    for i in range(len(ids)):
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (1.0 - dots[i, j], ids[j]),
+        )[:3]
+        want.update((int(ids[i]), int(ids[j])) for j in order)
+    assert got == want
+
+
+def test_knn_graph_pruned_recall(spark):
+    """Probing half the lists on the ~uniform fixtures must still recover a
+    healthy fraction of true edges (structure-free data lower-bounds ANN
+    recall at ~nprobe/nlist; clustered real corpora do far better), and
+    every node keeps its k out-edges so the symmetrized pagerank graph
+    stays well-formed."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 200)
+    exact = {
+        (r.src, r.dst)
+        for r in ANN.knn_graph(emb, k=3, nlist=4, nprobe=4).collect()
+    }
+    pruned = ANN.knn_graph(emb, k=3, nlist=4, nprobe=2).collect()
+    got = {(r.src, r.dst) for r in pruned}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    from collections import Counter
+
+    per_src = Counter(r.src for r in pruned)
+    assert all(v == 3 for v in per_src.values())
+    assert len(per_src) == 200
