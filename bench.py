@@ -26,6 +26,10 @@ runs before something timed:
            it is NOT part of the 23-query headline suite, so it is kept out
            of "queries"/total to stay comparable with r1-r3); plus machine
            build throughput on a 10×-replicated corpus, one partition/core
+  phase 3.5: wide-vector tier (VERDICT r6 missing #2) — 50k × 1536-dim
+           corpus (the reference's regime, Program.cs:29-30): Catalyst
+           fold vs Arrow matmul vs bulk join vs PQ serve, timed into
+           "extras.wide_*"
   phase 4: all recall work (exact-KNN oracle, HNSW search, PQ train/encode/
            search/rerank) — untimed, dead last, can't poison anything.
 """
@@ -150,11 +154,25 @@ def _bench_ivf_timed(spark, timings: dict, extras: dict):
     from parquetaivectorsearch_spark.operators import ann as ANN
 
     corpus, queries = _planted(spark)
-    path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
-    t0 = time.monotonic()
-    index = ANN.IVFIndex.build(corpus, nlist=IVF_NLIST)
-    index.save(spark, path)
-    timings["ann_build"] = round(time.monotonic() - t0, 3)
+    # Three interleaved build reps (VERDICT r6 item 5): ann_build was the
+    # one r6 regression (1.19×) and the suspected cause is hypervisor
+    # steal, not code — reps in ONE process separate the two. The FIRST
+    # rep stays the headline ann_build (comparable with r1-r6 single-shot
+    # numbers); reps + median go to extras.
+    reps = []
+    path = None
+    index = None
+    for _ in range(3):
+        p = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
+        t0 = time.monotonic()
+        index = ANN.IVFIndex.build(corpus, nlist=IVF_NLIST)
+        index.save(spark, p)
+        reps.append(round(time.monotonic() - t0, 3))
+        if path is None:
+            path = p
+    timings["ann_build"] = reps[0]
+    extras["ann_build_reps"] = reps
+    extras["ann_build_median"] = sorted(reps)[1]
     t0 = time.monotonic()
     loaded = ANN.IVFIndex.load(spark, path)
     ivf_rows = ANN.ivf_search(loaded, queries, k=20, nprobe=IVF_NPROBE).collect()
@@ -208,6 +226,80 @@ def _bench_hnsw_build(spark, extras: dict):
     extras["hnsw_build_corpus"] = n_vecs * copies
     extras["hnsw_build_vecs_per_sec"] = round(n_vecs * copies / dt, 1)
     return graph
+
+
+WIDE_N, WIDE_DIM = 50_000, 1536
+
+
+def _bench_wide(spark, extras: dict) -> None:
+    """Phase 3.5 — serve paths at the reference's ACTUAL vector width
+    (Program.cs:29-30: 1536-dim OpenAI embeddings, vs the 64-dim fixtures;
+    VERDICT r6 missing #2). At 64 dims the JVM Catalyst fold wins on fixed
+    overhead; at 1536 the per-element expression fold pays ~dim× while the
+    Arrow paths pay one BLAS matmul per RecordBatch — this tier records
+    both so the crossover is measured, not asserted. Corpus generation and
+    PQ train/encode are untimed setup (index-build analog); the timed
+    numbers are serve paths a user waits on. Runs before phase 4 so no
+    untimed recall work precedes a timed measurement."""
+    import numpy as np
+    import pandas as pd
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators import knn as KNN
+    from parquetaivectorsearch_spark.operators import pq as PQ
+
+    dim = WIDE_DIM
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                rng = np.random.RandomState(int(i) % (2 ** 31))
+                v = rng.randn(dim).astype(np.float32)
+                vecs.append(v / np.linalg.norm(v))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    base = tempfile.mkdtemp(prefix="bench_wide_")
+    (spark.range(WIDE_N, numPartitions=int(CPUS))
+     .mapInPandas(gen, "vec_id LONG, embedding ARRAY<FLOAT>")
+     .write.mode("overwrite").parquet(f"{base}/corpus"))
+    corpus = spark.read.parquet(f"{base}/corpus")
+    query = KNN.query_vector_df(corpus, 0)
+    extras["wide_n"], extras["wide_dim"] = WIDE_N, WIDE_DIM
+
+    t0 = time.monotonic()
+    KNN.knn_topk(corpus, query, k=20) \
+        .write.format("noop").mode("overwrite").save()
+    extras["wide_knn_fold"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    KNN.knn_topk_arrow(corpus, query, k=20) \
+        .write.format("noop").mode("overwrite").save()
+    extras["wide_knn_arrow"] = round(time.monotonic() - t0, 3)
+
+    queries8 = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    t0 = time.monotonic()
+    KNN.knn_join_bulk(corpus, queries8, k=20) \
+        .write.format("noop").mode("overwrite").save()
+    extras["wide_knn_bulk_8q"] = round(time.monotonic() - t0, 3)
+
+    # PQ serve tier: 1536/16 = 96-dim subspaces, 16-byte codes (384×
+    # smaller than float32); train/encode untimed, ADC scan + exact
+    # rerank timed.
+    books = PQ.train_pq(corpus, m=16, k=16, sample_cap=8192)
+    PQ.pq_encode(corpus, books).write.mode("overwrite").parquet(f"{base}/codes")
+    codes = spark.read.parquet(f"{base}/codes")
+    t0 = time.monotonic()
+    short = PQ.pq_adc_search(codes, books, queries8, shortlist=500)
+    PQ.pq_rerank(short, corpus, queries8, k=20) \
+        .write.format("noop").mode("overwrite").save()
+    extras["wide_pq_serve_8q"] = round(time.monotonic() - t0, 3)
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def _bench_recall(spark, recall: dict, ivf_rows, ivf_corpus, ivf_queries,
@@ -347,9 +439,11 @@ def main() -> None:
     samples = [round(sum(r.values()), 3) for r in runs]
     timings = dict(runs[sorted(range(3), key=samples.__getitem__)[1]])
 
-    # Phase 2-4: ANN build/serve timed, then everything untimed dead last.
+    # Phase 2-4: ANN build/serve timed, wide-vector tier timed, then
+    # everything untimed dead last.
     ivf_rows, ivf_corpus, ivf_queries = _bench_ivf_timed(spark, timings, extras)
     graph = _bench_hnsw_build(spark, extras)
+    _bench_wide(spark, extras)
     _bench_recall(spark, recall, ivf_rows, ivf_corpus, ivf_queries, graph)
 
     total = round(sum(timings.values()), 3)
