@@ -12,11 +12,14 @@ Two payload tiers:
   video: F frames of H×W×C) and int16 PCM (audio). Decode, resize,
   frame-sample, and feature extraction are REAL numpy implementations —
   no image/audio libraries needed.
-- **compressed codecs** ("jpeg", "png", "mp3", …): decoding needs codec
-  libraries this container does not ship, so `decode_media` raises
+- **png** (format "png"): REAL decode (and a test-facing encoder) via
+  stdlib zlib + numpy unfiltering — no codec libraries needed; see the
+  PNG codec section below.
+- **other compressed codecs** ("jpeg", "mp3", video…): decoding needs
+  codec libraries this container does not ship, so decode raises
   NotImplementedError for them (clearly-marked stub per the build plan);
   the Spark-side plumbing (schema, batching, partitioning) is identical
-  and fully exercised by the raw tier.
+  and fully exercised by the raw and png tiers.
 
 Scale posture (100 TB of media): payloads never leave executors; all
 per-row outputs are bounded (features, thumbnails, sampled frames);
@@ -93,14 +96,164 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PNG codec — stdlib zlib + numpy, no image libraries (VERDICT r6 item 8:
+# PNG is deflate + per-row byte filters, RFC 2083 §6 / PNG spec 3rd ed. §9,
+# so one real compressed format is decodable in this container; the codec
+# stub below now covers only jpeg/video).
+# Scope: bit depth 8, color types 0/2/4/6 (gray/RGB/±alpha), no interlace,
+# no palette — the shapes a training-data lake actually stores.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CT_TO_C = {0: 1, 4: 2, 2: 3, 6: 4}  # color type → channels
+_PNG_C_TO_CT = {v: k for k, v in _PNG_CT_TO_C.items()}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(row: np.ndarray, prev: np.ndarray, bpp: int,
+                    ftype: int) -> bytes:
+    """Apply scanline filter `ftype` (encode side). row/prev are the RECON
+    bytes of this and the previous scanline."""
+    r = row.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]]) if len(r) >= bpp \
+        else np.zeros_like(r)
+    up = prev.astype(np.int32)
+    upleft = np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]]) if len(r) >= bpp \
+        else np.zeros_like(r)
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    elif ftype == 4:
+        pred = np.fromiter(
+            (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, upleft)),
+            dtype=np.int32, count=len(r))
+        out = r - pred
+    else:
+        raise ValueError(f"PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8).tobytes()
+
+
+def _png_unfilter_row(filt: np.ndarray, prev: np.ndarray, bpp: int,
+                      ftype: int) -> np.ndarray:
+    """Reconstruct one scanline (decode side)."""
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return (filt.astype(np.int32) + prev).astype(np.uint8)
+    out = np.empty_like(filt)
+    n = len(filt)
+    for i in range(n):
+        a = int(out[i - bpp]) if i >= bpp else 0
+        if ftype == 1:
+            v = filt[i] + a
+        elif ftype == 3:
+            v = filt[i] + (a + int(prev[i])) // 2
+        elif ftype == 4:
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            v = filt[i] + _paeth(a, int(prev[i]), c)
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[i] = v % 256
+    return out
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal standards-conformant 8-bit PNG writer (one IDAT, every
+    scanline filtered with `filter_type`). Exists so fixtures/tests can
+    produce REAL PNG payloads for png_decode without codec libraries;
+    exposing filter_type makes the decoder's unfiltering of all 5 types
+    testable."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ct = _PNG_C_TO_CT[c]
+    bpp = c
+    prev = np.zeros(w * c, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        row = np.ascontiguousarray(img[y], dtype=np.uint8).reshape(-1)
+        lines.append(bytes([filter_type])
+                     + _png_filter_row(row, prev, bpp, filter_type))
+        prev = row
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """8-bit PNG → (H, W, C) uint8: parse chunks, inflate the IDAT stream,
+    undo the per-scanline filter (types 0-4). Vectorized for filters
+    none/up; sub/average/paeth reconstruct sequentially (they depend on the
+    just-reconstructed left neighbor — inherent to the format)."""
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat = 8, []
+    w = h = ct = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = bytes(payload[pos + 4:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ct, _comp, _filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ct not in _PNG_CT_TO_C or inter:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {ct} / interlace "
+                    f"{inter}: only 8-bit non-interlaced gray/RGB(±alpha)")
+        elif tag == b"IDAT":
+            idat.append(bytes(data))
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    c = _PNG_CT_TO_C[ct]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        out[y] = _png_unfilter_row(line, prev, c, ftype)
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
 
 def _require_raw(fmt: str) -> None:
     if fmt not in RAW_FORMATS:
-        # STUB: compressed-codec decode needs PIL/ffmpeg-class libraries not
-        # shipped in this container. The raw-tier path below is the real,
-        # tested implementation of everything downstream of decode.
+        # STUB: jpeg/video codec decode needs PIL/ffmpeg-class libraries not
+        # shipped in this container (png IS implemented — stdlib zlib path
+        # above). The raw-tier path below is the real, tested implementation
+        # of everything downstream of decode.
         raise NotImplementedError(
             f"decode for compressed format {fmt!r} requires codec libraries "
             "(PIL/libav) not available in this environment"
@@ -108,7 +261,10 @@ def _require_raw(fmt: str) -> None:
 
 
 def decode_image_batch(payload: bytes, meta) -> np.ndarray:
-    """binary → (H, W, C) uint8 array. Real for format='raw'."""
+    """binary → (H, W, C) uint8 array. Real for format='raw' AND
+    format='png' (stdlib decoder above); jpeg remains the documented stub."""
+    if meta["format"] == "png":
+        return png_decode(payload)
     _require_raw(meta["format"])
     h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
     return np.frombuffer(payload, dtype=np.uint8, count=h * w * c).reshape(h, w, c)

@@ -96,3 +96,52 @@ def test_compressed_decode_is_stubbed(spark):
     ])
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         MM.image_features(media).collect()
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """png_decode must invert png_encode bit-exactly for every scanline
+    filter type (0-4) and gray/gray+alpha/RGB/RGBA — exercising the full
+    unfilter matrix of RFC 2083 §6."""
+    rng = np.random.RandomState(11)
+    for c in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(9, 7, c), dtype=np.uint8)
+        for ftype in range(5):
+            payload = MM.png_encode(img, filter_type=ftype)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            got = MM.png_decode(payload)
+            assert got.shape == img.shape, (c, ftype)
+            assert (got == img).all(), (c, ftype)
+
+
+def test_png_decode_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        MM.png_decode(b"not a png at all----")
+
+
+def test_image_features_over_png_payloads(spark):
+    """image_features over format='png' payloads must equal the raw-tier
+    features of the same pixels (VERDICT r6 item 8: the codec stub now
+    covers only jpeg/video)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    media = _manual_media(spark, [
+        (1, "image", img.tobytes(), ("raw", 10, 12, 3, None, None)),
+        (2, "image", MM.png_encode(img), ("png", 10, 12, 3, None, None)),
+    ])
+    feats = {r.media_id: r for r in MM.image_features(media).collect()}
+    raw, png = feats[1], feats[2]
+    assert list(png.mean_px) == list(raw.mean_px)
+    assert list(png.std_px) == list(raw.std_px)
+    assert list(png.histogram) == list(raw.histogram)
+
+
+def test_resize_over_png_payloads(spark):
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16, 1)
+    media = _manual_media(spark, [
+        (3, "image", MM.png_encode(img, filter_type=4),
+         ("png", 16, 16, 1, None, None)),
+    ])
+    out = MM.resize_images(media, out_w=4, out_h=4).collect()[0]
+    want = img[::4, ::4]
+    assert np.frombuffer(out.payload, dtype=np.uint8).reshape(4, 4, 1).tolist() \
+        == want.tolist()
