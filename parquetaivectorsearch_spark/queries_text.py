@@ -724,6 +724,90 @@ def q_pagerank_simgraph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pretokenize_pieces", """
+    WITH p AS (
+      SELECT unnest(regexp_extract_all(text,
+        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\\sA-Za-z0-9]+|\\s+'
+      )) AS piece
+      FROM documents
+    )
+    SELECT piece, COUNT(*) AS n
+    FROM p GROUP BY piece ORDER BY n DESC, piece LIMIT 50
+""")
+def q_pretokenize_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cl100k-style pre-tokenization piece frequencies (the regex stage in
+    front of BPE — tiktoken's public pattern family, the same pattern
+    functions/text._BPE_ISH and the BPE trainer use). Runs fully JVM-side
+    via regexp_extract_all, so unlike the BPE merge loop this stage is
+    HASH-CHECKED against the oracle (Java regex and DuckDB's RE2 agree on
+    this alternation's leftmost-first semantics). Plan: narrow extract →
+    explode → partial-agg → one |vocab|-keyed shuffle → TakeOrdered."""
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+|\s+"
+    d = _t(spark, sf_dir, "documents", spread=True)
+    p = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(pat), 0)).alias("piece"))
+    return (
+        p.groupBy("piece").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "piece").limit(50)
+    )
+
+
+@register("dedup_substring", """
+    WITH w AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 32) AS win
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 31, 1), 16)) AS t(i)
+      WHERE length(text) >= 32
+    ),
+    keep AS (
+      SELECT win FROM w GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 10
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM w a
+    JOIN keep k ON a.win = k.win
+    JOIN w b ON b.win = a.win AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+""")
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": exact overlapping spans, not token-set
+    similarity): 32-char windows at stride 16 per doc → window-content
+    hash-join → doc pairs with their shared-window counts. Completes the
+    dedup family ladder (exact doc / MinHash / SimHash / embedding /
+    n-gram-jaccard / exact substring).
+
+    Scale shape: the window stage is a narrow map (no shuffle); the only
+    heavy op is one shuffle keyed on window content. The suffix-array of
+    the paper is a single-machine structure — windowed hashing is its
+    standard distributed substitute (same recall for spans ≥ window+stride
+    − 1 chars). The HAVING ≤ 10 stop-window cap bounds join fan-out on
+    boilerplate windows (the skew guard: a window in ten-thousand docs is
+    template noise, and each such key would otherwise explode
+    quadratically). At 100 TB, ship xxhash64(win) instead of the 32-char
+    string — identical plan, 4× narrower shuffle; the string rides here
+    for oracle parity."""
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.length("text") >= 32)
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 31, 1), 16),"
+                   " i -> substring(text, i, 32))")
+        ).alias("win"),
+    ).distinct()
+    keep = (wins.groupBy("win").agg(F.count("*").alias("n_docs"))
+            .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= 10))
+            .select("win"))
+    b = wins.select("win", F.col("doc_id").alias("doc_b"))
+    return (
+        wins.join(keep, "win")
+        .join(b, "win")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 @register("bpe_merge_step", """
     WITH w AS (
       SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
