@@ -93,7 +93,13 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     keeps the operator deterministic and oracle-expressible as a bounded
     recursive CTE.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Lazily checkpoint the edge list FIRST: the precondition check below is
+    # the first action over it, so the (possibly expensive — e.g. a kNN
+    # θ-join) upstream pipeline materializes exactly once and the check,
+    # degree agg, and iteration loop all reuse the materialized partitions
+    # instead of re-deriving the edges per consumer.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
+        .localCheckpoint(eager=False)
     # Enforce the documented precondition instead of silently mis-ranking:
     # a dst-only node would leak rank mass (receives but never redistributes)
     # and skew n; a src-only node would vanish from `ranks` after round 1
