@@ -159,10 +159,17 @@ def pq_rerank(shortlist_df: DataFrame, corpus: DataFrame, queries: DataFrame,
     bit-deterministic Catalyst dot fold, keep top-k per query.
 
     Output: (query_id, vec_id, distance, rank) — same schema family as the
-    exact knn_join, distances comparable to the canonical oracle."""
+    exact knn_join, distances comparable to the canonical oracle.
+
+    The shortlist side is explicitly broadcast: it is bounded at
+    |query batch| × shortlist rows of (id, id) pairs, while the corpus side
+    is the 100 TB table — without the hint Spark has no size stats for the
+    UDF-produced shortlist and sort-merge-joins, shuffling the ENTIRE wide
+    corpus to rerank a few thousand candidates (measured: the dominant cost
+    of the dim-1536 bench tier)."""
     from parquetaivectorsearch_spark.functions import vector as V
 
-    cand = shortlist_df.select("query_id", id_col).join(
+    cand = F.broadcast(shortlist_df.select("query_id", id_col)).join(
         corpus.select(id_col, vec_col), id_col)
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id", id_col,

@@ -248,7 +248,9 @@ def q_knn_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # phase 2: exact rerank of the shortlist on full-precision vectors
     exact = (
-        shortlist.join(emb, "vec_id")
+        # broadcast: the shortlist is a bounded (query x depth) id list; the
+        # corpus side must stream past it, not shuffle (cf. pq_rerank)
+        F.broadcast(shortlist).join(emb, "vec_id")
         .join(F.broadcast(queries.withColumnRenamed("query_id", "qid")),
               F.col("query_id") == F.col("qid"))
         .select("query_id", "vec_id",
@@ -329,7 +331,9 @@ def q_knn_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     exact = (
-        shortlist.join(emb, "vec_id")
+        # broadcast: the shortlist is a bounded (query x depth) id list; the
+        # corpus side must stream past it, not shuffle (cf. pq_rerank)
+        F.broadcast(shortlist).join(emb, "vec_id")
         .join(F.broadcast(queries.withColumnRenamed("query_id", "qid")),
               F.col("query_id") == F.col("qid"))
         .select("query_id", "vec_id",
