@@ -788,13 +788,24 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     string — identical plan, 4× narrower shuffle; the string rides here
     for oracle parity."""
     d = _t(spark, sf_dir, "documents", spread=True).filter(F.length("text") >= 32)
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, greatest(length(text) - 31, 1), 16),"
-                   " i -> substring(text, i, 32))")
-        ).alias("win"),
-    ).distinct()
+    # One explicit repartition on the window content, then checkpoint: the
+    # win-hash partitioning satisfies the distinct, the stop-window agg,
+    # AND both self-join sides (clustering on a join/grouping key subset),
+    # so the whole query pays ONE shuffle of the window table plus the
+    # final pair agg — instead of re-scanning documents and re-shuffling
+    # the windows for each of its three consumers.
+    wins = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, greatest(length(text) - 31, 1), 16),"
+                       " i -> substring(text, i, 32))")
+            ).alias("win"),
+        )
+        .repartition("win")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     keep = (wins.groupBy("win").agg(F.count("*").alias("n_docs"))
             .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= 10))
             .select("win"))
