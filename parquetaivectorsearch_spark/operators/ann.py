@@ -280,7 +280,8 @@ def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def knn_graph(corpus: DataFrame, k: int = 3, nlist: int = 8, nprobe: int = 2,
+def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
+              nprobe: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding",
               metric: str = "ip", seed: int = 42,
               index: IVFIndex | None = None) -> DataFrame:
@@ -304,6 +305,13 @@ def knn_graph(corpus: DataFrame, k: int = 3, nlist: int = 8, nprobe: int = 2,
     from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
 
     if index is None:
+        if nlist is None:
+            # same corpus-adaptive sizing as embedding_dedup: lists must
+            # grow with N or the within-list work turns quadratic at scale
+            from parquetaivectorsearch_spark.sources import approx_num_rows
+
+            n = approx_num_rows(corpus)
+            nlist = adaptive_nlist(n if n is not None else corpus.count())
         index = IVFIndex.build(corpus, nlist=nlist, vec_col=vec_col,
                                metric=metric, seed=seed)
     q = corpus.select(F.col(id_col).alias("query_id"),

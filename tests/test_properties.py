@@ -230,3 +230,54 @@ def test_int8_quantize_error_bound(spark, vec):
     else:
         deq = np.array(r.qvec, dtype=np.float64) * r.scale
         assert np.all(np.abs(deq - f32) <= r.scale / 2 + 1e-12)
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_bpe_encode_invariants(spark, texts):
+    """Trained-BPE encoder on arbitrary printable corpora: tokens
+    concatenate back to the pre-tokenizer pieces (lossless), counts are
+    positive for non-empty text, and every token is either a single char
+    or the concatenation of a learned merge."""
+    from parquetaivectorsearch_spark.functions import bpe as B
+    from parquetaivectorsearch_spark.functions.text import _BPE_ISH
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING")
+    merges = B.train_merges(df, n_merges=20)
+    products = {a + b for a, b in merges}
+    rows = df.select(
+        "doc_id", "text",
+        B.bpe_encode("text", merges).alias("toks"),
+        B.bpe_token_count("text", merges).alias("n"),
+    ).collect()
+    for r in rows:
+        assert len(r.toks) == r.n
+        assert "".join(r.toks) == "".join(_BPE_ISH.findall(r.text or ""))
+        for tok in r.toks:
+            assert len(tok) == 1 or tok in products, tok
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_pretokenizer_matches_jvm_regex(spark, texts):
+    """The Python `re` pre-tokenizer (BPE trainer/encoder side) and the JVM
+    regexp_extract_all (pretokenize_pieces query side) must split
+    identically on arbitrary printable text — the cross-engine contract
+    behind hash-checking the pre-tokenization stage."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.functions.text import _BPE_ISH
+
+    pat = _BPE_ISH.pattern
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: list(r.pieces)
+        for r in df.select(
+            "doc_id",
+            F.regexp_extract_all("text", F.lit(pat), 0).alias("pieces"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _BPE_ISH.findall(t), t
