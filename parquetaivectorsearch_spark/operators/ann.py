@@ -280,6 +280,119 @@ def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def compact_hot_lists(spark: SparkSession, index_path: str,
+                      hot_ratio: float = 4.0, seed: int = 42,
+                      sample_cap: int = 65536) -> dict:
+    """Partition-scoped IVF maintenance: binary-split oversized inverted
+    lists in a PERSISTED index (the follow-up to streaming ingestion —
+    streaming/vectors.py appends are additive, so under skewed arrivals a
+    few lists grow hot, which both skews probe tasks and breaks the
+    "probe cost ≈ nprobe × avg list" serving contract).
+
+    For every list larger than hot_ratio × mean size:
+      1. train 2 sub-centroids by seeded 2-means on a bounded sample of
+         that list's members (driver work is O(sample), never O(list)),
+      2. re-assign the list's members between them (one Arrow matmul over
+         a partition-pruned scan of JUST that list),
+      3. rewrite ONLY the affected parquet partitions via dynamic
+         partition overwrite — sub-list 0 keeps the old list_id (centroid
+         row replaced), sub-list 1 gets a fresh id appended at the end, so
+         list ids stay contiguous = row index into the centroid matrix,
+      4. rewrite the (tiny) centroid artifact.
+
+    100 TB posture: touched bytes = hot lists only; every other partition
+    dir is untouched, so concurrent partition-pruned readers stay
+    consistent. Exhaustive search (nprobe = nlist) returns IDENTICAL
+    results before and after — compaction moves members between cells, it
+    never adds/drops/mutates them (pinned in tests/test_ann.py). Repeated
+    passes halve the max list each time → convergence in log rounds.
+
+    Returns a summary dict (hot list ids, nlist before/after, max list
+    size before/after).
+    """
+    idx = IVFIndex.load(spark, index_path)
+    sizes = idx.lists.groupBy("list_id").count().toPandas()  # nlist rows
+    mean = float(sizes["count"].mean())
+    hot = sorted(int(i) for i in
+                 sizes[sizes["count"] > hot_ratio * mean]["list_id"])
+    summary = {
+        "hot": hot,
+        "nlist_before": len(idx.centroids),
+        "max_size_before": int(sizes["count"].max()),
+    }
+    if not hot:
+        summary.update(nlist_after=len(idx.centroids),
+                       max_size_after=int(sizes["count"].max()))
+        return summary
+
+    cents = [c for c in idx.centroids]
+    metric, max_norm = idx.metric, idx.max_norm
+    rng = np.random.RandomState(seed)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        for h in hot:
+            # fresh read (earlier splits rewrote sibling partitions), pruned
+            # to this list's directory, then EAGERLY checkpointed: the
+            # rewrite below overwrites the very partition being read, so
+            # the read must be materialized (bounded: one hot list, spilled
+            # to executor disk if large) before the write job starts.
+            members = (spark.read.parquet(f"{index_path}/lists")
+                       .filter(F.col("list_id") == h)
+                       .localCheckpoint(eager=True))
+            n_members = int(sizes.loc[sizes["list_id"] == h, "count"].iloc[0])
+            frac = min(1.0, (sample_cap * 1.05) / max(n_members, 1))
+            sample = (members.sample(fraction=frac, seed=seed)
+                      .limit(sample_cap).select("embedding").toPandas())
+            x = _pre_corpus(np.stack(sample["embedding"].to_numpy())
+                            .astype(np.float32), metric, max_norm)
+            # seeded 2-means (same Lloyd loop shape as train_centroids)
+            sub = x[rng.choice(len(x), size=2, replace=False)].copy()
+            for _ in range(10):
+                assign = _nearest(x, sub)
+                for i in range(2):
+                    m = x[assign == i]
+                    if len(m):
+                        sub[i] = m.mean(axis=0)
+            new_id = len(cents)
+            cents[h] = sub[0]
+            cents.append(sub[1])
+            pair = np.stack(sub).astype(np.float32)
+
+            @F.pandas_udf(T.IntegerType())
+            def which(vecs: pd.Series) -> pd.Series:
+                v = _pre_corpus(np.stack(vecs.to_numpy()).astype(np.float32),
+                                metric, max_norm)
+                half = _nearest(v, pair)
+                return pd.Series(np.where(half == 0, h, new_id).astype(np.int32))
+
+            (members.drop("list_id")
+             .withColumn("list_id", which(F.col("embedding")))
+             .repartition("list_id")
+             .write.mode("overwrite").partitionBy("list_id")
+             .parquet(f"{index_path}/lists"))
+    finally:
+        spark.conf.set(mode_key, old_mode)
+
+    new_cents = np.stack(cents).astype(np.float32)
+    pdf = pd.DataFrame({
+        "list_id": np.arange(len(new_cents), dtype=np.int32),
+        "centroid": [[float(v) for v in c] for c in new_cents],
+        "metric": metric,
+        "max_norm": float(max_norm),
+    })
+    spark.createDataFrame(
+        pdf, "list_id INT, centroid ARRAY<FLOAT>, metric STRING, max_norm DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    after = (spark.read.parquet(f"{index_path}/lists")
+             .groupBy("list_id").count().toPandas())
+    summary.update(nlist_after=len(new_cents),
+                   max_size_after=int(after["count"].max()))
+    return summary
+
+
 def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
               nprobe: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding",

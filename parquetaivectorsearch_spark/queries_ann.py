@@ -66,6 +66,41 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_search(index, queries, k=5, nprobe=3)
 
 
+@register("ivf_compact_maintenance")  # rows-only: maintenance summary row
+def q_ivf_compact_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance flow end-to-end (the operational story the
+    reference's rebuild-from-scratch lacks): build an IVF index over a
+    skew-planted corpus (1,500 jittered copies of vector 0 — the shape a
+    streaming ingest with a hot key leaves behind), persist it, run
+    operators/ann.compact_hot_lists, and return the one-row maintenance
+    summary. Invariants (membership untouched, exhaustive-search equality,
+    id contiguity) are pinned in tests/test_ann.py; this query gives the
+    flow itself driver evidence."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    one = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("base"))
+    clump = (
+        spark.range(1500).join(F.broadcast(one))
+        .select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                "base",
+                lambda x: x * (F.lit(1.0) + (F.col("id") % 97) / F.lit(10000.0)),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    corpus = emb.union(clump)
+    path = tempfile.mkdtemp(prefix="ivf_maint_") + "/index"
+    ANN.IVFIndex.build(corpus, nlist=4).save(spark, path)
+    s = ANN.compact_hot_lists(spark, path, hot_ratio=2.0)
+    return spark.createDataFrame(
+        [(len(s["hot"]), s["nlist_before"], s["nlist_after"],
+          s["max_size_before"], s["max_size_after"])],
+        "n_hot INT, nlist_before INT, nlist_after INT, "
+        "max_size_before INT, max_size_after INT",
+    )
+
+
 @register("similarity_join_lsh")  # rows-only: LSH bucketing is approximate
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH similarity self-join via stock spark.ml

@@ -216,3 +216,64 @@ def test_knn_graph_pruned_recall(spark):
     per_src = Counter(r.src for r in pruned)
     assert all(v == 3 for v in per_src.values())
     assert len(per_src) == 200
+
+
+def test_compact_hot_lists_splits_skew_and_preserves_results(spark):
+    """IVF maintenance: plant a heavily skewed corpus (one cell holds half
+    the vectors), persist, compact. The hot list must split (max size
+    drops, nlist grows), ids stay contiguous with the centroid matrix, the
+    member multiset is untouched, and exhaustive search (nprobe = nlist)
+    returns IDENTICAL ids before and after — compaction moves members
+    between cells, never changes them."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # tight clump of 300 near one direction + 300 spread vectors
+    base = rng.randn(64).astype(np.float32)
+    base /= np.linalg.norm(base)
+    for i in range(300):
+        v = base + 0.01 * rng.randn(64).astype(np.float32)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    for i in range(300, 600):
+        v = rng.randn(64).astype(np.float32)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    index = ANN.IVFIndex.build(corpus, nlist=4)
+    path = tempfile.mkdtemp(prefix="ivf_compact_") + "/index"
+    index.save(spark, path)
+
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    before_idx = ANN.IVFIndex.load(spark, path)
+    before = {(r.query_id, r.vec_id)
+              for r in ANN.ivf_search(before_idx, queries, k=10,
+                                      nprobe=len(before_idx.centroids)).collect()}
+    before_ids = sorted(r.vec_id for r in before_idx.lists.select("vec_id").collect())
+
+    summary = ANN.compact_hot_lists(spark, path, hot_ratio=1.5)
+    assert summary["hot"], summary  # the clump cell must be flagged
+    assert summary["nlist_after"] == summary["nlist_before"] + len(summary["hot"])
+    assert summary["max_size_after"] < summary["max_size_before"], summary
+
+    after_idx = ANN.IVFIndex.load(spark, path)
+    assert len(after_idx.centroids) == summary["nlist_after"]
+    after_ids = sorted(r.vec_id for r in after_idx.lists.select("vec_id").collect())
+    assert after_ids == before_ids  # membership untouched
+    lids = {r.list_id for r in after_idx.lists.select("list_id").distinct().collect()}
+    assert lids <= set(range(len(after_idx.centroids)))  # contiguous id space
+    after = {(r.query_id, r.vec_id)
+             for r in ANN.ivf_search(after_idx, queries, k=10,
+                                     nprobe=len(after_idx.centroids)).collect()}
+    assert after == before
+
+
+def test_compact_hot_lists_noop_on_balanced_index(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=8)
+    path = tempfile.mkdtemp(prefix="ivf_noop_") + "/index"
+    index.save(spark, path)
+    summary = ANN.compact_hot_lists(spark, path, hot_ratio=6.0)
+    assert summary["hot"] == []
+    assert summary["nlist_after"] == summary["nlist_before"]
