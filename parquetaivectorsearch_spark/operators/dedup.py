@@ -417,3 +417,47 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
+                        max_docs_per_window: int = 10,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hashed: bool = True) -> DataFrame:
+    """Exact-substring dedup pairs (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — exact overlapping spans): fixed
+    windows at a stride per doc, grouped on window content, doc pairs with
+    shared-window counts → (doc_a, doc_b, n_shared_windows), a < b. The
+    windowed-hash distributed substitute for the paper's (single-machine)
+    suffix array: spans ≥ window + stride − 1 chars are always caught.
+
+    ``hashed=True`` (the 100 TB default) shuffles ``xxhash64(win)`` —
+    8 bytes/key instead of `window` chars — and is what a real corpus run
+    should use; ``hashed=False`` keys on the raw window string so a SQL
+    oracle can replay it (the registered ``dedup_substring`` query).
+    tests/test_dedup.py pins hashed ≡ unhashed pair sets on fixtures.
+
+    Plan: ONE shuffle of the window table (explicit repartition on the key
+    satisfies the distinct, the stop-window agg, and both self-join sides;
+    lazily checkpointed so its three consumers reuse the materialization)
+    plus the final pair agg. The ``max_docs_per_window`` stop-window cap
+    bounds join fan-out on boilerplate windows — the skew guard."""
+    d = docs.filter(F.length(text_col) >= window)
+    win = F.explode(F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1),"
+        f" {stride}), i -> substring({text_col}, i, {window}))")).alias("win")
+    wins = d.select(F.col(id_col).alias("doc_id"), win)
+    if hashed:
+        wins = wins.select("doc_id", F.xxhash64("win").alias("win"))
+    wins = wins.repartition("win").distinct().localCheckpoint(eager=False)
+    keep = (wins.groupBy("win").agg(F.count("*").alias("n_docs"))
+            .filter((F.col("n_docs") >= 2)
+                    & (F.col("n_docs") <= max_docs_per_window))
+            .select("win"))
+    b = wins.select("win", F.col("doc_id").alias("doc_b"))
+    return (
+        wins.join(keep, "win")
+        .join(b, "win")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )

@@ -787,36 +787,14 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically). At 100 TB, ship xxhash64(win) instead of the 32-char
     string — identical plan, 4× narrower shuffle; the string rides here
     for oracle parity."""
-    d = _t(spark, sf_dir, "documents", spread=True).filter(F.length("text") >= 32)
-    # One explicit repartition on the window content, then checkpoint: the
-    # win-hash partitioning satisfies the distinct, the stop-window agg,
-    # AND both self-join sides (clustering on a join/grouping key subset),
-    # so the whole query pays ONE shuffle of the window table plus the
-    # final pair agg — instead of re-scanning documents and re-shuffling
-    # the windows for each of its three consumers.
-    wins = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, greatest(length(text) - 31, 1), 16),"
-                       " i -> substring(text, i, 32))")
-            ).alias("win"),
-        )
-        .repartition("win")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    keep = (wins.groupBy("win").agg(F.count("*").alias("n_docs"))
-            .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= 10))
-            .select("win"))
-    b = wins.select("win", F.col("doc_id").alias("doc_b"))
-    return (
-        wins.join(keep, "win")
-        .join(b, "win")
-        .filter(F.col("doc_id") < F.col("doc_b"))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count("*").alias("n_shared_windows"))
-    )
+    from parquetaivectorsearch_spark.operators.dedup import substring_dup_pairs
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    # hashed=False: raw window strings so DuckDB can replay the grouping;
+    # production corpora run the hashed=True twin (8-byte shuffle keys) —
+    # pair-set equality of the two is pinned in tests/test_dedup.py.
+    return substring_dup_pairs(d, window=32, stride=16,
+                               max_docs_per_window=10, hashed=False)
 
 
 @register("bpe_merge_step", """

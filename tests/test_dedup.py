@@ -108,3 +108,21 @@ def test_simhash_self_consistency(spark):
     expected = {(r.doc_id, r.doc_id + 1_000_000) for r in docs.collect()}
     assert expected <= clones
     assert all(r.doc_a != r.doc_b for r in pairs)
+
+
+def test_substring_dup_pairs_hashed_equals_string_keys(spark):
+    """The hashed (scale) and raw-string (oracle) substring-dedup twins must
+    produce identical pair sets and shared-window counts on the fixtures —
+    xxhash64 collisions at fixture scale would be a miracle; the test pins
+    that the hashing changes the shuffle width, not the semantics."""
+    from parquetaivectorsearch_spark.operators.dedup import substring_dup_pairs
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = {(r.doc_a, r.doc_b): r.n_shared_windows
+           for r in substring_dup_pairs(docs, hashed=False).collect()}
+    fast = {(r.doc_a, r.doc_b): r.n_shared_windows
+            for r in substring_dup_pairs(docs, hashed=True).collect()}
+    assert raw == fast
+    assert raw  # fixtures contain duplicate docs → must find pairs
