@@ -77,6 +77,10 @@ HEADLINE = [
     "repetition_score",    # corpus-quality narrow map (zero-shuffle fold)
     "unigram_logprob",     # vocab agg + broadcast re-join
     "pagerank_simgraph",   # iterative graph loop (10 join+agg rounds)
+    # r7 additions:
+    "dedup_substring",     # exact-window dedup (one win-keyed shuffle)
+    "token_count",         # TRUE BPE: train merges + Arrow apply-merges encode
+    "pretokenize_pieces",  # JVM-regex piece frequencies (BPE front stage)
 ]
 
 
