@@ -27,7 +27,9 @@ def _with_recall(result: DataFrame, emb: DataFrame, queries: DataFrame,
     registered-query invocation (bounded: fixture-scale corpus, ≤8 queries)."""
     exact = knn.knn_join(emb, queries, k=k).select("query_id", "vec_id")
     rec = (
-        result.join(exact, ["query_id", "vec_id"], "left_semi")
+        # broadcast: exact is k×|queries| rows; without the hint the semi
+        # join SMJ-shuffles both sides of two bounded frames
+        result.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.round(F.count("*") / F.lit(k), 4).alias("recall"))
     )
