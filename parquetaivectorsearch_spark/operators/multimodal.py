@@ -244,6 +244,30 @@ def png_decode(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+def encode_png_tier(media: DataFrame) -> DataFrame:
+    """Re-encode the raw-tier images as real PNG payloads (per-row filter
+    type cycles through 0-4, so decode exercises every unfilter path in a
+    distributed run). Non-image rows pass through untouched. The media-lake
+    ingest analog: compressed payloads with typed meta, opaque to Spark."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image" or meta["format"] != "raw":
+                    out.append((int(mid), kind, payload, meta))
+                    continue
+                img = decode_image_batch(payload, meta)
+                png = png_encode(img, filter_type=int(mid) % 5)
+                out.append((int(mid), kind, png,
+                            ("png", int(meta["width"]), int(meta["height"]),
+                             int(meta["channels"]), None, None)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
+
+    return media.mapInPandas(enc, schema=MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

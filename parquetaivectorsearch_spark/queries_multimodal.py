@@ -82,6 +82,25 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.octet_length("payload").alias("n_bytes"))
 
 
+@register("image_features_png")  # rows-only: stdlib PNG codec tier
+def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-image pipeline end-to-end: re-encode the synthetic
+    raw images as REAL PNGs (stdlib-zlib writer) in one mapInPandas stage,
+    then run the standard feature extractor over the format='png' payloads
+    — exercising distributed PNG decode (operators/multimodal.png_decode,
+    all scanline filters) on every executor, not just in tests. Features
+    are bit-identical to the raw tier's (pinned in tests/test_multimodal);
+    compressed payload bytes stay opaque to Spark throughout."""
+    m = MM.encode_png_tier(_media(spark, sf_dir))
+    f = MM.image_features(m)
+    return f.select(
+        "media_id",
+        F.to_json("mean_px").alias("mean_px_json"),
+        F.to_json("std_px").alias("std_px_json"),
+        F.to_json("histogram").alias("histogram_json"),
+    )
+
+
 @register("audio_features")  # rows-only: numpy sample math
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rms_envelope rides as a JSON string for the driver canonicalizer

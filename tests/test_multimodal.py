@@ -145,3 +145,20 @@ def test_resize_over_png_payloads(spark):
     want = img[::4, ::4]
     assert np.frombuffer(out.payload, dtype=np.uint8).reshape(4, 4, 1).tolist() \
         == want.tolist()
+
+
+def test_png_tier_features_match_raw_tier(spark):
+    """The registered PNG pipeline (encode_png_tier → image_features) must
+    produce bit-identical features to the raw tier for every synthetic
+    image — distributed decode across all five filter types."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = MM.synth_media(docs)
+    raw = {r.media_id: (list(r.mean_px), list(r.std_px), list(r.histogram))
+           for r in MM.image_features(media).collect()}
+    png_media = MM.encode_png_tier(media)
+    kinds = {r.media_id: r.meta["format"]
+             for r in png_media.filter(F.col("kind") == "image").collect()}
+    assert kinds and all(v == "png" for v in kinds.values())
+    png = {r.media_id: (list(r.mean_px), list(r.std_px), list(r.histogram))
+           for r in MM.image_features(png_media).collect()}
+    assert png == raw
