@@ -171,3 +171,63 @@ def test_rocksdb_state_store_matches_default(spark):
     finally:
         spark.conf.set(key, old)
     assert rocks == base and len(base) > 0
+
+
+def test_stream_ingest_then_compact_cycle(spark):
+    """The full index-maintenance loop: streamed appends around one hot key
+    skew a list; compact_hot_lists restores the size contract without
+    touching membership. Ties streaming/vectors.py to
+    operators/ann.compact_hot_lists — the two halves the module docstrings
+    promise compose."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.ann import (
+        IVFIndex,
+        compact_hot_lists,
+        ivf_search,
+    )
+    from parquetaivectorsearch_spark.sources import load_table
+    from parquetaivectorsearch_spark.streaming.vectors import stream_ingest_ivf
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    work = tempfile.mkdtemp(prefix="ivf_cycle_")
+    index = IVFIndex.build(emb, nlist=4)
+    index.save(spark, f"{work}/index")
+
+    # stage a hot-key clump: 600 jittered copies of vector 0 → one cell
+    base_vec = np.array(emb.filter(F.col("vec_id") == 0)
+                        .first()["embedding"], dtype=np.float32)
+    rng = np.random.RandomState(9)
+    rows = [(int(1_000_000 + i),
+             [float(x) for x in base_vec + 0.005 * rng.randn(len(base_vec))
+              .astype(np.float32)], 0)
+            for i in range(600)]
+    clump = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    staged = f"{work}/staged"
+    clump.repartition(3).write.mode("overwrite").parquet(staged)
+    stream_ingest_ivf(spark, staged, f"{work}/index", index.centroids,
+                      index.metric, index.max_norm)
+
+    loaded = IVFIndex.load(spark, f"{work}/index")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    before = {(r.query_id, r.vec_id)
+              for r in ivf_search(loaded, queries, k=10,
+                                  nprobe=len(loaded.centroids)).collect()}
+    n_before = loaded.lists.count()
+
+    summary = compact_hot_lists(spark, f"{work}/index", hot_ratio=2.0)
+    assert summary["hot"], summary  # the clump cell must be flagged hot
+    assert summary["max_size_after"] < summary["max_size_before"]
+
+    after_idx = IVFIndex.load(spark, f"{work}/index")
+    assert after_idx.lists.count() == n_before  # membership untouched
+    after = {(r.query_id, r.vec_id)
+             for r in ivf_search(after_idx, queries, k=10,
+                                 nprobe=len(after_idx.centroids)).collect()}
+    assert after == before
