@@ -168,20 +168,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
-    """LSH banding: split each signature into `bands` rows, bucket by
-    (band_id, band_key), self-join buckets → candidate pairs (a < b). In
-    minhash_dedup both sides derive from the same localCheckpoint'ed
-    signature frame, so the banding pipeline is computed once (the
-    explicit repartition below makes the self-join reuse one exchange).
-
-    band_key is `xxhash64` of the signature slice — ONE bigint per band
-    instead of a concat_ws string of k/bands decimal bigints (~8 bytes vs
-    ~100: a ~5× smaller self-join shuffle, VERDICT r5 #5). A 2^64
-    structural hash collision can only MERGE buckets (adding candidate
-    pairs that exact-jaccard verification then rejects), never split one,
-    so recall is unaffected."""
-    exploded = signatures.select(
+def _band_explode(signatures: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key): one row per signature band, keyed by
+    xxhash64 of the slice (see minhash_candidates for why a hash key)."""
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -196,6 +186,22 @@ def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
+
+
+def minhash_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into `bands` rows, bucket by
+    (band_id, band_key), self-join buckets → candidate pairs (a < b). In
+    minhash_dedup both sides derive from the same localCheckpoint'ed
+    signature frame, so the banding pipeline is computed once (the
+    explicit repartition below makes the self-join reuse one exchange).
+
+    band_key is `xxhash64` of the signature slice — ONE bigint per band
+    instead of a concat_ws string of k/bands decimal bigints (~8 bytes vs
+    ~100: a ~5× smaller self-join shuffle, VERDICT r5 #5). A 2^64
+    structural hash collision can only MERGE buckets (adding candidate
+    pairs that exact-jaccard verification then rejects), never split one,
+    so recall is unaffected."""
+    exploded = _band_explode(signatures, bands)
     # Repartition on the join key so both self-join sides reference the SAME
     # shuffle stage (ReusedExchange / AQE stage reuse). Without it, AQE
     # broadcasts one side and the whole signature pipeline — the dominant
@@ -461,3 +467,84 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").alias("n_shared_windows"))
     )
+
+
+def minhash_dedup_incremental(new_docs: DataFrame, store_path: str,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              k: int = 40, bands: int = 8, shingle_n: int = 5,
+                              threshold: float = 0.6,
+                              seed: int = 42) -> DataFrame:
+    """Incremental MinHash dedup: compare ONLY an arriving batch against the
+    persisted corpus state (plus itself), then append the batch to the
+    store — the dedup analog of streaming IVF ingestion. A 100 TB corpus
+    is deduped ONCE; after that every arrival batch must not re-pair the
+    world: here banding joins the (small) new side against the stored band
+    keys — broadcastable when the batch is — so per-batch cost is
+    O(batch × collisions), never O(corpus²) again.
+
+    Store layout at ``store_path``: parquet (doc_id, hashes, signature) —
+    the same shingle-hash/signature artifacts the batch pipeline
+    checkpoints, made durable. Appends are additive files (same
+    consistent-reader posture as streaming/vectors.py). Same seeds ⇒
+    incremental runs compose EXACTLY to the batch result: pairs from
+    (batch₁ ∪ batch₂ ∪ …) equal minhash_dedup over the union, pinned in
+    tests/test_dedup.py.
+
+    Returns (doc_a, doc_b, jaccard ≥ threshold) where ≥1 side is new.
+    """
+    spark = new_docs.sparkSession
+    hashes = shingle_hash_arrays(_spread(new_docs, id_col), text_col, id_col,
+                                 shingle_n).localCheckpoint(eager=False)
+    sigs = hashes.select(
+        "doc_id",
+        _minhash_sig_udf(_perm_seeds(k, seed))("hashes").alias("signature"))
+    new_state = hashes.join(sigs, "doc_id").localCheckpoint(eager=False)
+
+    try:
+        old_state = spark.read.parquet(store_path)
+        have_old = True
+    except Exception:  # first batch: no store yet
+        old_state = None
+        have_old = False
+
+    new_bands = _band_explode(new_state.select("doc_id", "signature"), bands)
+    # new-vs-new (small self-join, same shape as the batch pipeline)
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+    )
+    grams_src = new_state.select("doc_id", F.col("hashes").alias("g"))
+    if have_old:
+        old_bands = _band_explode(old_state.select("doc_id", "signature"), bands)
+        o, n = old_bands.alias("o"), F.broadcast(new_bands).alias("n")
+        # the corpus-sized side streams; the batch-sized band table rides
+        # the broadcast — no shuffle of the store
+        cross = (
+            o.join(n, (F.col("o.band_id") == F.col("n.band_id"))
+                   & (F.col("o.band_key") == F.col("n.band_key"))
+                   & (F.col("o.doc_id") != F.col("n.doc_id")))
+            .select(F.least("o.doc_id", "n.doc_id").alias("doc_a"),
+                    F.greatest("o.doc_id", "n.doc_id").alias("doc_b"))
+        )
+        cands = cands.union(cross)
+        grams_src = grams_src.union(
+            old_state.select("doc_id", F.col("hashes").alias("g")))
+    cands = cands.distinct().repartition(
+        spark.sparkContext.defaultParallelism)
+
+    pairs = (
+        cands.join(grams_src.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("g").alias("ga")), "doc_a")
+        .join(grams_src.select(F.col("doc_id").alias("doc_b"),
+                               F.col("g").alias("gb")), "doc_b")
+        .select("doc_a", "doc_b",
+                _jaccard_udf()(F.col("ga"), F.col("gb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)  # materialize BEFORE the store mutates
+    )
+    new_state.write.mode("append").parquet(store_path)
+    return pairs

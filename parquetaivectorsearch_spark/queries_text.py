@@ -724,6 +724,30 @@ def q_pagerank_simgraph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_minhash_incremental")  # rows-only: xxhash64 minhash is Spark-specific
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup over two arrival batches (even doc_ids seed the
+    signature store, odd doc_ids arrive second): each call pairs ONLY the
+    arriving batch against the persisted corpus state — the O(batch)
+    per-arrival cost a 100 TB pipeline needs instead of re-running the
+    full O(corpus) LSH join. Same seeds ⇒ the two calls' pairs compose
+    EXACTLY to the batch pipeline's (pinned in tests/test_dedup.py)."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="mh_store_") + "/state"
+    p1 = minhash_dedup_incremental(d.filter(F.col("doc_id") % 2 == 0), store,
+                                   threshold=0.6)
+    p2 = minhash_dedup_incremental(d.filter(F.col("doc_id") % 2 == 1), store,
+                                   threshold=0.6)
+    return p1.union(p2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @register("pretokenize_pieces", """
     WITH p AS (
       SELECT unnest(regexp_extract_all(text,

@@ -126,3 +126,30 @@ def test_substring_dup_pairs_hashed_equals_string_keys(spark):
             for r in substring_dup_pairs(docs, hashed=True).collect()}
     assert raw == fast
     assert raw  # fixtures contain duplicate docs → must find pairs
+
+
+def test_minhash_dedup_incremental_composes_to_batch(spark):
+    """Two incremental arrival batches must produce EXACTLY the batch
+    pipeline's pair set (same seeds ⇒ same signatures ⇒ same band
+    collisions; union of even-even + odd-vs-all = all pairs)."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+    )
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+             for r in minhash_dedup(docs, threshold=0.5).collect()}
+    store = tempfile.mkdtemp(prefix="mh_inc_") + "/state"
+    inc = {}
+    for parity in (0, 1):
+        part = docs.filter(F.col("doc_id") % 2 == parity)
+        for r in minhash_dedup_incremental(part, store, threshold=0.5).collect():
+            inc[(r.doc_a, r.doc_b)] = round(r.jaccard, 9)
+    assert inc == batch
+    assert batch  # fixtures contain near-dups → non-vacuous
