@@ -68,6 +68,27 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_search(index, queries, k=5, nprobe=3)
 
 
+@register("pca_project_embeddings")  # rows-only: eigenvector sign is engine-specific
+def q_pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): one mergeable-moments pass over
+    the corpus, driver-side eigh of the d×d covariance (corpus-size-
+    independent), Arrow-matmul projection to 4 dims — the dim-reduction
+    stage in front of index build for the reference's 1536-dim regime.
+    Eigenvector sign/rotation is engine-specific → rows-only; invariants
+    (numpy parity, orthonormality, structure recovery, partitioning
+    determinism) are pinned in tests/test_pca.py."""
+    from parquetaivectorsearch_spark.operators.pca import fit_pca, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=4)
+    out = pca_project(emb, model)
+    return out.select(
+        "vec_id",
+        *[F.round(F.element_at("pvec", i + 1).cast("double"), 6).alias(f"p{i + 1}")
+          for i in range(4)],
+    )
+
+
 @register("ivf_compact_maintenance")  # rows-only: maintenance summary row
 def q_ivf_compact_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-maintenance flow end-to-end (the operational story the
