@@ -277,10 +277,16 @@ def _bench_wide(spark, extras: dict) -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     extras["wide_n"], extras["wide_dim"] = WIDE_N, WIDE_DIM
 
-    # PQ setup (train/encode = index build, untimed like the corpus gen).
+    # PQ + int8 setup (train/encode/quantize = index build, untimed like
+    # the corpus gen).
     books = PQ.train_pq(corpus, m=16, k=16, sample_cap=8192)
     PQ.pq_encode(corpus, books).write.mode("overwrite").parquet(f"{base}/codes")
     codes = spark.read.parquet(f"{base}/codes")
+    from parquetaivectorsearch_spark.functions.vector import int8_quantize
+
+    int8_quantize(corpus).select("vec_id", "scale", "qvec") \
+        .write.mode("overwrite").parquet(f"{base}/int8")
+    quant = spark.read.parquet(f"{base}/int8")
 
     def fold():
         KNN.knn_topk(corpus, query, k=20) \
@@ -299,14 +305,19 @@ def _bench_wide(spark, extras: dict) -> None:
         PQ.pq_rerank(short, corpus, queries8, k=20) \
             .write.format("noop").mode("overwrite").save()
 
+    def int8_serve():
+        KNN.int8_knn_join_bulk(quant, corpus, queries8, k=20, shortlist=500) \
+            .write.format("noop").mode("overwrite").save()
+
     # Same steady-state discipline as phase 1: one untimed warm pass per
     # path (first-touch page cache on the freshly written 300 MB corpus +
     # per-path codegen/Arrow-codec warmup skewed the cold one-shots by up
     # to 3×), then the timed pass.
-    for fn in (fold, arrow, bulk, pq_serve):
+    for fn in (fold, arrow, bulk, pq_serve, int8_serve):
         fn()
     for name, fn in (("wide_knn_fold", fold), ("wide_knn_arrow", arrow),
-                     ("wide_knn_bulk_8q", bulk), ("wide_pq_serve_8q", pq_serve)):
+                     ("wide_knn_bulk_8q", bulk), ("wide_pq_serve_8q", pq_serve),
+                     ("wide_knn_int8_8q", int8_serve)):
         t0 = time.monotonic()
         fn()
         extras[name] = round(time.monotonic() - t0, 3)

@@ -295,3 +295,73 @@ def knn_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
     partials = qj.mapInArrow(
         score_batches, f"query_id long, {id_col} long, distance double")
     return partials.orderBy("distance", id_col).limit(k)
+
+
+def int8_knn_join_bulk(quantized: DataFrame, corpus: DataFrame,
+                       queries: DataFrame, k: int = 20, shortlist: int = 200,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantized (int8) bulk serve, Arrow-native: phase 1 scans the
+    4×-smaller quantized table — `quantized` = (vec_id, scale,
+    qvec array<tinyint>) from functions/vector.int8_quantize — scoring
+    approx distance 1 − scale·(q·qvec) with one numpy matmul per Arrow
+    batch and keeping per-partition top-`shortlist` heaps; phase 2
+    exact-reranks the broadcast shortlist against the full-precision
+    vectors. At the reference's width (1536 dims) BOTH the scan bytes AND
+    the Python-worker Arrow transfer shrink 4× vs the float corpus — the
+    transfer is the measured bottleneck of the wide serve paths
+    (BENCH_NOTES r7), which is what makes this tier pay there.
+
+    Output: (query_id, vec_id, distance, rank) — exact distances after
+    rerank, same schema family as knn_join_bulk. Same tie-breaks."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
+
+    q_pdf = queries.toPandas()  # bounded: the query batch
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.stack(q_pdf["query_vec"].to_numpy()).astype(np.float32)
+
+    def partial(batches):
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in q_ids}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            scale = pdf["scale"].to_numpy().astype(np.float32)
+            qv = np.stack(pdf["qvec"].to_numpy()).astype(np.float32)
+            # (batch, nq): 1 - scale_i * (qvec_i · q_j)
+            dist = 1.0 - scale[:, None] * (qv @ q_mat.T)
+            take = min(shortlist, len(ids))
+            for j, qid in enumerate(q_ids):
+                dj = dist[:, j]
+                cand = np.argpartition(dj, take - 1)[:take] if take < len(dj) \
+                    else np.arange(len(dj))
+                heap = best[int(qid)]
+                for i in cand:
+                    item = (-float(dj[i]), -int(ids[i]))
+                    if len(heap) < shortlist:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        rows = [(qid, -negvid) for qid, heap in best.items()
+                for _negd, negvid in heap]
+        yield pd.DataFrame(rows, columns=["query_id", "vec_id"])
+
+    short = quantized.select(id_col, "scale", "qvec").mapInPandas(
+        partial, "query_id BIGINT, vec_id BIGINT")
+    # phase 2: exact rerank — shortlist broadcast, corpus never shuffles
+    exact = (
+        F.broadcast(short.distinct()).join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.withColumnRenamed("query_id", "qid")),
+              F.col("query_id") == F.col("qid"))
+        .select("query_id", id_col,
+                (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))
+                 ).alias("distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

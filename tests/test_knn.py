@@ -102,3 +102,30 @@ def test_binary_quantize_matches_numpy_bits(spark):
                     code |= 1 << j
             words.append(code - (1 << 64) if code >= (1 << 63) else code)
         assert got[r.vec_id] == words, r.vec_id
+
+
+def test_int8_knn_join_bulk_matches_exact_after_rerank(spark):
+    """int8 shortlist (Arrow matmul over the quantized table) + exact
+    rerank must return the exact twin's ids: quantization error may
+    reorder the shortlist interior but a 10×k depth keeps every true
+    neighbor inside it on the fixtures."""
+    from parquetaivectorsearch_spark.functions.vector import int8_quantize
+    from parquetaivectorsearch_spark.operators.knn import (
+        int8_knn_join_bulk,
+        knn_join,
+    )
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    quant = int8_quantize(emb).select("vec_id", "scale", "qvec")
+    got = {}
+    for r in int8_knn_join_bulk(quant, emb, queries, k=10, shortlist=100).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    want = {}
+    for r in knn_join(emb, queries, k=10).collect():
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+    assert got == want
