@@ -68,6 +68,23 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_search(index, queries, k=5, nprobe=3)
 
 
+@register("knn_join_int8_bulk")  # rows-only: int8 shortlist + einsum rerank
+def q_knn_join_int8_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk int8 serve, Arrow-native (operators/knn.int8_knn_join_bulk):
+    phase-1 shortlist via one numpy matmul per Arrow batch over the
+    PERSISTED 4×-smaller quantized artifact (both scan bytes and the
+    Python-worker transfer shrink 4× — the measured bottleneck of wide
+    serve, BENCH_NOTES r7), phase-2 exact rerank of the broadcast
+    shortlist. The Arrow twin of knn_topk_int8's Catalyst-fold form;
+    id-parity with the exact join is tested in tests/test_knn.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    quant = int8_artifact(spark, sf_dir)
+    return knn.int8_knn_join_bulk(quant, emb, queries, k=20,
+                                  shortlist=_INT8_SHORTLIST)
+
+
 @register("pca_project_embeddings")  # rows-only: eigenvector sign is engine-specific
 def q_pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): one mergeable-moments pass over
