@@ -396,7 +396,11 @@ def build_hnsw(corpus: DataFrame, n_partitions: int = 8,
             out, columns=["part_id", "vec_id", "embedding", "neighbors"])
 
     prepared = corpus.select(
-        F.pmod(F.col(id_col), F.lit(n_partitions)).cast("int").alias("__part"),
+        # hash, not raw modulo: pmod(vec_id, P) degenerates under
+        # correlated id patterns (an even-id-only batch with P=2 lands
+        # entirely in one graph); xxhash64 spreads any id distribution
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_partitions))
+        .cast("int").alias("__part"),
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__vec"),
     )
@@ -427,6 +431,30 @@ def read_hnsw(spark, path: str) -> DataFrame:
     default vector-carrying layout no re-binding is needed; a
     topology-only graph re-binds via ``hnsw_search(corpus=...)``."""
     return spark.read.parquet(path)
+
+
+def hnsw_append(spark, path: str, new_vecs: DataFrame, n_partitions: int = 1,
+                params: HNSWParams | None = None, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> None:
+    """Segment-based HNSW maintenance (the Lucene-HNSW posture): build
+    independent per-partition graphs for an ARRIVAL batch and append them
+    under fresh part_id directories. ``hnsw_search`` already fans every
+    query out over all partition graphs and merges a global top-k, so
+    appended vectors are immediately servable — no rebuild, no
+    read-modify-write of existing segments, concurrent readers stay
+    consistent (the same additive posture as streaming IVF ingestion).
+    The reference's single in-memory graph can only be rebuilt from
+    scratch to add vectors (Program.cs:125-204).
+
+    Trade-off: each append adds segments and a query pays one beam search
+    per segment; periodic re-build into fewer partitions is the merge/
+    compaction analog (cf. operators/ann.compact_hot_lists for IVF)."""
+    base = spark.read.parquet(path).agg(F.max("part_id")).first()[0] + 1
+    g = build_hnsw(new_vecs, n_partitions=n_partitions, params=params,
+                   id_col=id_col, vec_col=vec_col)
+    (g.withColumn("part_id", (F.col("part_id") + F.lit(base)).cast("int"))
+     .repartition("part_id").write.mode("append")
+     .partitionBy("part_id").parquet(path))
 
 
 MAX_QUERY_BATCH = 10_000

@@ -158,3 +158,48 @@ def test_hnsw_results_are_global_topk_shape(spark):
         assert len({r.vec_id for r in rs}) == 10
         ds = [r.distance for r in rs]
         assert ds == sorted(ds)
+
+
+def test_hnsw_append_serves_new_vectors_without_rebuild(spark):
+    """Segment-based append: new vectors land as fresh part_id graphs and
+    are immediately servable through the same fan-out search; recall over
+    the COMBINED corpus stays at the exact-oracle gate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators import hnsw as H
+    from parquetaivectorsearch_spark.operators import knn
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="hnsw_append_") + "/graph"
+    H.write_hnsw(H.build_hnsw(first, n_partitions=2), path)
+    H.hnsw_append(spark, path, second, n_partitions=2)
+
+    loaded = H.read_hnsw(spark, path)
+    got_ids = sorted(r.vec_id for r in loaded.select("vec_id").collect())
+    want_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert got_ids == want_ids
+    old_max = (H.read_hnsw(spark, path).filter(F.col("vec_id") % 2 == 0)
+               .agg(F.max("part_id")).first()[0])
+    new_parts = {r.part_id for r in loaded.filter(F.col("vec_id") % 2 == 1)
+                 .select("part_id").distinct().collect()}
+    assert all(p > old_max for p in new_parts)  # appended = fresh segments
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    exact = {}
+    for r in knn.knn_join(emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in H.hnsw_search(loaded, queries, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.9, recall
+    # odd (appended) ids must actually appear in results — both halves serve
+    assert any(i % 2 == 1 for s in got.values() for i in s)
