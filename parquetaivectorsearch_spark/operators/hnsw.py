@@ -59,7 +59,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["HNSWParams", "build_hnsw", "write_hnsw", "read_hnsw", "hnsw_search"]
+__all__ = ["HNSWParams", "build_hnsw", "write_hnsw", "read_hnsw",
+           "hnsw_search", "hnsw_append", "hnsw_compact"]
 
 
 class HNSWParams:
@@ -541,3 +542,28 @@ def hnsw_search(graph: DataFrame, queries: DataFrame, k: int = 20,
         .filter(F.col("rank") <= k).drop("rank")
         .orderBy("query_id", "distance", "vec_id")
     )
+
+
+def hnsw_compact(spark, path: str, n_partitions: int = 8,
+                 params: HNSWParams | None = None) -> dict:
+    """Segment merge (the compaction half of the append story): rebuild
+    the persisted graph's vectors into `n_partitions` fresh segments and
+    atomically swap the artifact. Appends keep serve cost growing — one
+    beam search per segment per query — so periodic compaction restores
+    it; the vector-carrying layout (write_hnsw default) makes the rebuild
+    a self-contained scan of the artifact, never of the source corpus.
+    Returns {"segments_before", "segments_after", "n_vecs"}."""
+    import shutil as _shutil
+
+    g = read_hnsw(spark, path)
+    before = g.select("part_id").distinct().count()
+    vecs = g.select("vec_id", "embedding").localCheckpoint(eager=True)
+    n = vecs.count()
+    rebuilt = build_hnsw(vecs, n_partitions=n_partitions, params=params)
+    tmp = f"{path}__compact_tmp"
+    write_hnsw(rebuilt, tmp)
+    _shutil.rmtree(path, ignore_errors=True)
+    _shutil.move(tmp, path)
+    after = read_hnsw(spark, path).select("part_id").distinct().count()
+    return {"segments_before": int(before), "segments_after": int(after),
+            "n_vecs": int(n)}

@@ -250,3 +250,47 @@ def q_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+@register("streaming_hnsw_ingest")  # rows-only: graph build is engine-specific
+def q_streaming_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingestion into a persisted HNSW graph
+    (streaming/vectors.stream_ingest_hnsw): graph built on the even-vec_id
+    half, odd half streamed in 4 micro-batches, each appended as a fresh
+    SEGMENT (operators/hnsw.hnsw_append — the Lucene posture; the
+    reference's single graph can only rebuild, Program.cs:125-204), then
+    one hnsw_compact folds the segments back down. Output: per-segment
+    node counts + streamed share after compaction; recall and
+    segment-count invariants are in tests/test_hnsw.py and
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.hnsw import (
+        build_hnsw,
+        hnsw_compact,
+        read_hnsw,
+        write_hnsw,
+    )
+    from parquetaivectorsearch_spark.sources import load_table
+    from parquetaivectorsearch_spark.streaming.vectors import stream_ingest_hnsw
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="hnsw_stream_")
+    path = f"{work}/graph"
+    write_hnsw(build_hnsw(emb.filter(F.col("vec_id") % 2 == 0),
+                          n_partitions=2), path)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    (rest.select(F.col("vec_id").cast("long"),
+                 F.col("embedding").cast("array<float>"),
+                 F.col("label").cast("int"))
+     .repartition(4).write.mode("overwrite").parquet(f"{work}/staged"))
+    stream_ingest_hnsw(spark, f"{work}/staged", path, segment_partitions=1)
+    hnsw_compact(spark, path, n_partitions=4)
+    g = read_hnsw(spark, path)
+    return (
+        g.groupBy("part_id")
+        .agg(F.count("*").alias("n_nodes"),
+             F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+              .cast("bigint").alias("n_streamed"))
+        .orderBy("part_id")
+    )

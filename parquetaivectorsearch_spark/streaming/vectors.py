@@ -98,3 +98,39 @@ def build_then_stream_rest(spark: SparkSession, emb: DataFrame,
     stream_ingest_ivf(spark, staged, f"{work_dir}/index", index.centroids,
                       index.metric, index.max_norm)
     return IVFIndex.load(spark, f"{work_dir}/index")
+
+
+def stream_ingest_hnsw(spark: SparkSession, staged_dir: str, graph_path: str,
+                       segment_partitions: int = 1,
+                       max_files_per_trigger: int = 1) -> None:
+    """Drive a file-source vector stream into a persisted HNSW graph via
+    segment appends (operators/hnsw.hnsw_append): each micro-batch builds
+    its own per-partition graph(s) under fresh part_id directories — the
+    Lucene-segment maintenance posture, vs the reference's full rebuild
+    (Program.cs:125-204). The fan-out search serves every segment, so
+    streamed vectors are queryable from the moment their batch commits;
+    periodic hnsw_compact folds accumulated segments back down."""
+    from parquetaivectorsearch_spark.operators.hnsw import hnsw_append
+
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hnsw_append(spark, graph_path, batch_df.drop("label"),
+                    n_partitions=segment_partitions)
+
+    ckpt = _ephemeral_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

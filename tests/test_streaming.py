@@ -231,3 +231,55 @@ def test_stream_ingest_then_compact_cycle(spark):
              for r in ivf_search(after_idx, queries, k=10,
                                  nprobe=len(after_idx.centroids)).collect()}
     assert after == before
+
+
+def test_stream_hnsw_ingest_then_compact(spark):
+    """Segment lifecycle under streaming: 4 micro-batch appends create 4
+    new segments; compact folds everything to the target count; all ids
+    survive; streamed vectors are served (recall gate vs exact)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators import hnsw as H
+    from parquetaivectorsearch_spark.operators import knn
+    from parquetaivectorsearch_spark.sources import load_table
+    from parquetaivectorsearch_spark.streaming.vectors import stream_ingest_hnsw
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    work = tempfile.mkdtemp(prefix="hnsw_cycle_")
+    path = f"{work}/graph"
+    H.write_hnsw(H.build_hnsw(emb.filter(F.col("vec_id") % 2 == 0),
+                              n_partitions=2), path)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    (rest.select(F.col("vec_id").cast("long"),
+                 F.col("embedding").cast("array<float>"),
+                 F.col("label").cast("int"))
+     .repartition(4).write.mode("overwrite").parquet(f"{work}/staged"))
+    stream_ingest_hnsw(spark, f"{work}/staged", path, segment_partitions=1)
+
+    g = H.read_hnsw(spark, path)
+    segs = g.select("part_id").distinct().count()
+    assert segs >= 5  # ≥2 base (hash split) impossible to be <1... 2 base + 4 appended
+    all_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert sorted(r.vec_id for r in g.select("vec_id").collect()) == all_ids
+
+    summary = H.hnsw_compact(spark, path, n_partitions=4)
+    assert summary["segments_before"] == segs
+    assert summary["segments_after"] <= 4
+    assert summary["n_vecs"] == len(all_ids)
+    g2 = H.read_hnsw(spark, path)
+    assert sorted(r.vec_id for r in g2.select("vec_id").collect()) == all_ids
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    exact = {}
+    for r in knn.knn_join(emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in H.hnsw_search(g2, queries, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = (sum(len(exact[q] & got.get(q, set())) for q in exact)
+              / sum(len(v) for v in exact.values()))
+    assert recall >= 0.9, recall
