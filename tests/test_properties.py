@@ -128,6 +128,10 @@ def test_driver_window_covers_all_suites():
         f"window is {len(Q._DRIVER_WINDOW)} wide; the driver samples exactly "
         "the first 50 — fewer wastes slots, more silently drops the tail"
     )
+    assert list(qs)[:50] == list(Q._DRIVER_WINDOW), (
+        "registration order does not lead with _DRIVER_WINDOW — the driver "
+        "would sample the wrong queries"
+    )
 
     evidence = set(list(qs)[:50]) | (_driver_sampled() & set(qs))
     by_module = collections.defaultdict(list)
