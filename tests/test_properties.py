@@ -285,3 +285,41 @@ def test_pretokenizer_matches_jvm_regex(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _BPE_ISH.findall(t), t
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.text(st.sampled_from("abcd "), min_size=0, max_size=120),
+    min_size=2, max_size=8,
+))
+def test_substring_dup_pairs_matches_python(spark, texts):
+    """Windowed substring dedup on arbitrary small-alphabet corpora (tiny
+    alphabet forces real window collisions) must equal a pure-Python
+    reference of the same definition: distinct 8-char stride-4 windows per
+    doc, pairs sharing ≥1 kept window with shared-window counts."""
+    from parquetaivectorsearch_spark.operators.dedup import substring_dup_pairs
+
+    W, S, CAP = 8, 4, 10
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING")
+    got = {(r.doc_a, r.doc_b): r.n_shared_windows
+           for r in substring_dup_pairs(
+               docs, window=W, stride=S, max_docs_per_window=CAP,
+               hashed=False).collect()}
+
+    def wins(t):
+        if len(t) < W:
+            return set()
+        return {t[i:i + W] for i in range(0, len(t) - W + 1, S)}
+
+    per_doc = {i: wins(t) for i, t in enumerate(texts)}
+    from collections import Counter
+    freq = Counter(w for ws in per_doc.values() for w in ws)
+    keep = {w for w, c in freq.items() if 2 <= c <= CAP}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            n = len(per_doc[a] & per_doc[b] & keep)
+            if n:
+                want[(a, b)] = n
+    assert got == want, (texts, got, want)
