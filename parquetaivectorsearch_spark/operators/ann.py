@@ -196,8 +196,10 @@ class IVFIndex:
 
     @classmethod
     def build(cls, corpus: DataFrame, nlist: int, vec_col: str = "embedding",
-              metric: str = "ip", seed: int = 42) -> "IVFIndex":
-        cents, mn = train_centroids(corpus, nlist, vec_col, metric=metric, seed=seed)
+              metric: str = "ip", seed: int = 42,
+              sample_cap: int = 65536) -> "IVFIndex":
+        cents, mn = train_centroids(corpus, nlist, vec_col, metric=metric,
+                                    seed=seed, sample_cap=sample_cap)
         # Deliberately NOT cached: materializing array<float> columns into
         # the block store costs ~10× more than re-running the one-matmul
         # assignment UDF, so multi-action consumers are better off
