@@ -87,3 +87,41 @@ def test_pca_projection_preserves_neighborhoods(spark):
     # planted cluster.
     for q in range(8):
         assert all(i % 5 == q % 5 for i in topk(proj, q)), q
+
+
+def test_pca_reduced_ivf_pipeline(spark):
+    """The OPQ-style composition the operators exist for: coarse-quantize
+    in the 16-dim PCA space (4× cheaper k-means + assignment + probe),
+    shortlist there, exact-rerank on the full 64-dim vectors. Recall@10 vs
+    the full-space exact oracle must clear the ANN gate on clustered
+    data."""
+    from parquetaivectorsearch_spark.operators import pq as PQ
+    from parquetaivectorsearch_spark.operators.ann import IVFIndex, ivf_search
+    from parquetaivectorsearch_spark.operators.knn import knn_join
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(5, 64).astype(np.float64) * 3
+    rows = []
+    for i in range(500):
+        c = centers[i % 5]
+        rows.append((i, [float(v) for v in c + rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    m = fit_pca(df, k=16)
+    proj = pca_project(df, m)  # vec_id, embedding, pvec
+    index = IVFIndex.build(proj, nlist=5, vec_col="pvec", metric="l2")
+    queries = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("pvec").alias("query_vec"))
+    short = ivf_search(index, queries, k=50, nprobe=2, vec_col="pvec") \
+        .select("query_id", "vec_id")
+    full_queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got = {}
+    for r in PQ.pq_rerank(short, df, full_queries, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    exact = {}
+    for r in knn_join(df, full_queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.9, recall
