@@ -286,7 +286,7 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(DISTINCT event_type) AS n_types,
            COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
-           MAX(event_type = 'error') AS has_error
+           CAST(MAX(event_type = 'error') AS INTEGER) AS has_error
     FROM events GROUP BY user_id
 """)
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +308,10 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("m").cast("long").alias("n_types"),
         F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
-        F.map_contains_key("m", "error").alias("has_error"),
+        # int, not boolean: the driver hash's boolean representation
+        # behavior is unverified (this query's first sampling is r7) —
+        # 0/1 is representation-proof in both engines
+        F.map_contains_key("m", "error").cast("int").alias("has_error"),
     )
 
 
