@@ -479,5 +479,6 @@ def _load_extended() -> None:
     import parquetaivectorsearch_spark.queries_tpch  # noqa: F401
     import parquetaivectorsearch_spark.queries_tpch2  # noqa: F401
     import parquetaivectorsearch_spark.queries_traindata  # noqa: F401
+    import parquetaivectorsearch_spark.queries_vector  # noqa: F401
     import parquetaivectorsearch_spark.queries_text  # noqa: F401
     import parquetaivectorsearch_spark.queries_warehouse  # noqa: F401
