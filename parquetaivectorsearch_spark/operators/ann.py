@@ -282,6 +282,31 @@ def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_range_search(index: IVFIndex, queries: DataFrame, radius: float,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ANN radius query (Milvus-style range search): every vector in the
+    probed lists with dot-product distance < ``radius``.
+
+    Strictly cheaper than ``ivf_search``: same broadcast probe join, but the
+    radius predicate is row-local, so there is NO per-query window and NO
+    shuffle after the scan — the missing-neighbor risk is only list pruning
+    (vectors in un-probed lists), identical to top-k's. Output:
+    (query_id, vec_id, distance)."""
+    from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
+
+    probed = probe_lists(queries, index, nprobe)
+    return (
+        index.lists.join(F.broadcast(probed), "list_id")
+        .select(
+            "query_id", F.col(id_col),
+            (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))
+             ).alias("distance"),
+        )
+        .filter(F.col("distance") < F.lit(radius))
+    )
+
+
 def compact_hot_lists(spark: SparkSession, index_path: str,
                       hot_ratio: float = 4.0, seed: int = 42,
                       sample_cap: int = 65536) -> dict:

@@ -420,3 +420,42 @@ def q_knn_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
     )
     return _with_recall(out, emb, queries, k=20)
+
+
+@register("ann_range_search")  # rows-only: approximate (list pruning)
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF radius query (the scale path of the exact `knn_range_search`):
+    probe 8/10 lists, keep every probed vector with distance < 0.9. The
+    appended `recall` column is |returned ∩ exact radius set| / |exact
+    radius set| per query — the same visible-accuracy convention as
+    `_with_recall`, with a set-sized denominator instead of k (range
+    results are data-dependent, not k-bounded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ANN.ivf_range_search(index, queries, radius=0.9, nprobe=8)
+
+    from parquetaivectorsearch_spark.functions.vector import dot_product_distance
+
+    exact = (
+        emb.join(F.broadcast(queries))
+        .select("query_id", "vec_id",
+                dot_product_distance("embedding", "query_vec").alias("d"))
+        .filter(F.col("d") < 0.9)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(out.select("query_id", "vec_id"), ["query_id", "vec_id"],
+                   "left_semi")
+        .groupBy("query_id").agg(F.count("*").alias("_hits"))
+    )
+    denom = exact.groupBy("query_id").agg(F.count("*").alias("_n"))
+    rec = (
+        denom.join(hits, "query_id", "left")
+        .select("query_id",
+                F.round(F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_n"), 4)
+                .alias("recall"))
+    )
+    return out.join(F.broadcast(rec), "query_id", "left")

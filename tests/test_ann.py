@@ -277,3 +277,28 @@ def test_compact_hot_lists_noop_on_balanced_index(spark):
     summary = ANN.compact_hot_lists(spark, path, hot_ratio=6.0)
     assert summary["hot"] == []
     assert summary["nlist_after"] == summary["nlist_before"]
+
+
+def test_ivf_range_search_full_probe_is_exact(spark):
+    """Probing every list makes range search exact: the returned id set
+    equals the brute-force radius set (the 0.9 boundary sits in a sparse
+    region of the fixture's distance distribution, so float32 batch
+    scoring cannot flip membership). Partial probing returns a subset."""
+    from parquetaivectorsearch_spark.functions.vector import dot_product_distance
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = _queries(emb, n=1)
+    exact = set(
+        r.vec_id
+        for r in emb.join(F.broadcast(queries))
+        .select("vec_id",
+                dot_product_distance("embedding", "query_vec").alias("d"))
+        .filter(F.col("d") < 0.9)
+        .collect()
+    )
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    full = ANN.ivf_range_search(index, queries, radius=0.9, nprobe=10)
+    assert set(r.vec_id for r in full.collect()) == exact
+    part = ANN.ivf_range_search(index, queries, radius=0.9, nprobe=3)
+    got = set(r.vec_id for r in part.collect())
+    assert got <= exact and len(got) > 0
