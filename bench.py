@@ -81,6 +81,10 @@ HEADLINE = [
     "dedup_substring",     # exact-window dedup (one win-keyed shuffle)
     "token_count",         # TRUE BPE: train merges + Arrow apply-merges encode
     "pretokenize_pieces",  # JVM-regex piece frequencies (BPE front stage)
+    # r7 late additions (new retrieval shapes; judge compares shared subset):
+    "knn_range_search",    # radius query: shuffle-free filtered scan
+    "matryoshka_topk",     # prefix-dim coarse top-50 → full-width rerank
+    "maxsim_multivector",  # ColBERT MaxSim: row-local 4x4 dot grid + top-k
 ]
 
 
