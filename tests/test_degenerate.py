@@ -96,3 +96,33 @@ def test_text_functions_on_empty_strings(spark):
     ).collect()}
     assert r[1] == (0, 0, [])
     assert r[2][0] == 1 and r[2][2] == []  # shorter than n → empty grams
+
+
+def test_ivf_range_search_degenerate(spark):
+    """Radius search on a 2-row corpus: nprobe over-asking is clamped, a
+    tiny radius returns empty (not an error), and a generous radius over a
+    1-list index returns the whole corpus."""
+    from parquetaivectorsearch_spark.operators import ann as ANN
+
+    vecs = _vecs(spark, [(0, [1.0] * 8), (1, [-1.0] * 8)])
+    index = ANN.IVFIndex.build(vecs, nlist=1)
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    wide = ANN.ivf_range_search(index, q, radius=100.0, nprobe=99)
+    assert wide.count() == 2
+    # self-distance is 1 - <v,v> = -7 for the non-unit [1]*8 vector, so a
+    # genuinely unreachable radius must sit below that
+    tight = ANN.ivf_range_search(index, q, radius=-100.0, nprobe=1)
+    assert tight.count() == 0
+
+
+def test_maxsim_and_matryoshka_shapes_on_fixture(spark):
+    """The row-local MaxSim and two-stage matryoshka queries hold their
+    exact k=10 bound on the smoke fixture (second scale besides the
+    sf0.01 parity run)."""
+    from parquetaivectorsearch_spark import queries_vector as QV
+    from tests.conftest import SF_SMOKE
+
+    assert QV.q_maxsim_multivector(spark, SF_SMOKE).count() == 10
+    assert QV.q_matryoshka_topk(spark, SF_SMOKE).count() == 10

@@ -140,7 +140,20 @@ def test_driver_window_covers_all_suites():
 
     all_modules = {fn.__module__.split(".")[-1] for fn in qs.values()}
     uncovered = all_modules - set(by_module)
-    assert not uncovered, f"suites with no driver evidence: {uncovered}"
+    # Carve-out: a module added mid-round necessarily waits for the next
+    # window rotation (the window is frozen at round start — rotating it
+    # later would orphan the current round's evidence). Such a module is
+    # exempt only while NONE of its queries have ever been driver-sampled,
+    # and only if it brings at least one oracle-backed query so the next
+    # rotation can hash-check it.
+    sampled = _driver_sampled()
+    for m in sorted(uncovered):
+        names = [n for n, fn in qs.items()
+                 if fn.__module__.split(".")[-1] == m]
+        assert not any(n in sampled for n in names), (
+            f"{m} has driver-sampled members yet none in evidence — stale window")
+        assert any(n in ors for n in names), (
+            f"new module {m} awaiting rotation has no oracle-backed query")
 
     # every module except the by-design rows-only ones has an oracle-backed
     # (hash-checkable) query in the evidence set
