@@ -257,7 +257,7 @@ def probe_lists(queries: DataFrame, index: IVFIndex, nprobe: int,
 
 def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
                nprobe: int = 4, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", where=None) -> DataFrame:
     """ANN top-k per query by dot-product distance (the reference's metric).
     `queries` is (query_id, query_vec), small enough to broadcast (the
     serving fan-out shape).
@@ -266,12 +266,19 @@ def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
     Catalyst pushes the list_id filter into the partitioned scan when
     `index.lists` comes from a partitioned artifact — → numpy batch scoring
     → per-query top-k. Output: (query_id, vec_id, distance, rank).
+
+    ``where``: optional metadata predicate (a Column) applied to the lists
+    BEFORE scoring — pre-filtered vector search. The inverted lists keep
+    every corpus column, so the predicate composes with partition pruning:
+    the scan reads nprobe list directories and pushes the predicate into
+    them, rather than post-filtering an oversampled top-k' result.
     """
     from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
 
+    lists = index.lists if where is None else index.lists.filter(where)
     probed = probe_lists(queries, index, nprobe)
     scored = (
-        index.lists.join(F.broadcast(probed), "list_id")
+        lists.join(F.broadcast(probed), "list_id")
         .select(
             "query_id", F.col(id_col),
             (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))
@@ -284,7 +291,7 @@ def ivf_search(index: IVFIndex, queries: DataFrame, k: int = 20,
 
 def ivf_range_search(index: IVFIndex, queries: DataFrame, radius: float,
                      nprobe: int = 4, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding", where=None) -> DataFrame:
     """ANN radius query (Milvus-style range search): every vector in the
     probed lists with dot-product distance < ``radius``.
 
@@ -295,9 +302,10 @@ def ivf_range_search(index: IVFIndex, queries: DataFrame, radius: float,
     (query_id, vec_id, distance)."""
     from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
 
+    lists = index.lists if where is None else index.lists.filter(where)
     probed = probe_lists(queries, index, nprobe)
     return (
-        index.lists.join(F.broadcast(probed), "list_id")
+        lists.join(F.broadcast(probed), "list_id")
         .select(
             "query_id", F.col(id_col),
             (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))

@@ -459,3 +459,27 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("recall"))
     )
     return out.join(F.broadcast(rec), "query_id", "left")
+
+
+@register("ann_filtered_topk")  # rows-only: approximate (list pruning)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered IVF search (the ANN twin of the exact `knn_filtered`):
+    top-10 under `label = 3`, with the predicate applied to the inverted
+    lists BEFORE scoring — it composes with list pruning in the pruned
+    scan, instead of post-filtering an oversampled unfiltered top-k'. The
+    appended recall column compares against the exact filtered top-10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ANN.ivf_search(index, queries, k=10, nprobe=8,
+                         where=F.col("label") == 3)
+    exact = knn.knn_join(emb.filter(F.col("label") == 3), queries,
+                         k=10).select("query_id", "vec_id")
+    rec = (
+        out.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.round(F.count("*") / F.lit(10), 4).alias("recall"))
+    )
+    return out.join(F.broadcast(rec), "query_id", "left")

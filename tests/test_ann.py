@@ -302,3 +302,20 @@ def test_ivf_range_search_full_probe_is_exact(spark):
     part = ANN.ivf_range_search(index, queries, radius=0.9, nprobe=3)
     got = set(r.vec_id for r in part.collect())
     assert got <= exact and len(got) > 0
+
+
+def test_ivf_filtered_search_full_probe_equals_exact_filtered(spark):
+    """With every list probed, pre-filtered IVF top-k returns exactly the
+    ids of the exact filtered KNN (the predicate only removes candidates,
+    never reorders survivors)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = _queries(emb, n=1)
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    got = ANN.ivf_search(index, queries, k=10, nprobe=10,
+                         where=F.col("label") == 3)
+    exact = knn.knn_join(emb.filter(F.col("label") == 3), queries, k=10)
+    assert (set(r.vec_id for r in got.collect())
+            == set(r.vec_id for r in exact.collect()))
+    # every returned row satisfies the predicate
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r.vec_id] == 3 for r in got.collect())
