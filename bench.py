@@ -292,6 +292,12 @@ def _bench_wide(spark, extras: dict) -> None:
         .write.mode("overwrite").parquet(f"{base}/int8")
     quant = spark.read.parquet(f"{base}/int8")
 
+    # matryoshka prefix artifact: first 256 of 1536 dims as its own table —
+    # the coarse pass reads (and Arrow-transfers) 1/6 of the vector bytes
+    corpus.select("vec_id", F.slice("embedding", 1, 256).alias("embedding")) \
+        .write.mode("overwrite").parquet(f"{base}/prefix256")
+    prefix256 = spark.read.parquet(f"{base}/prefix256")
+
     def fold():
         KNN.knn_topk(corpus, query, k=20) \
             .write.format("noop").mode("overwrite").save()
@@ -313,6 +319,11 @@ def _bench_wide(spark, extras: dict) -> None:
         KNN.int8_knn_join_bulk(quant, corpus, queries8, k=20, shortlist=500) \
             .write.format("noop").mode("overwrite").save()
 
+    def matryoshka():
+        KNN.prefix_rerank_topk(prefix256, corpus, query, k=20,
+                               shortlist=500, prefix_dim=256) \
+            .write.format("noop").mode("overwrite").save()
+
     # Same steady-state discipline as phase 1: one untimed warm pass per
     # path (first-touch page cache on the freshly written 300 MB corpus +
     # per-path codegen/Arrow-codec warmup skewed the cold one-shots by up
@@ -320,11 +331,12 @@ def _bench_wide(spark, extras: dict) -> None:
     # ~60 MB Arrow batches through every worker, and a one-off worker
     # respawn or steal burst was observed inflating a single warmed rep
     # 10× (26.6s vs 2.3s steady); min-of-2 damps exactly that.
-    for fn in (fold, arrow, bulk, pq_serve, int8_serve):
+    for fn in (fold, arrow, bulk, pq_serve, int8_serve, matryoshka):
         fn()
     for name, fn in (("wide_knn_fold", fold), ("wide_knn_arrow", arrow),
                      ("wide_knn_bulk_8q", bulk), ("wide_pq_serve_8q", pq_serve),
-                     ("wide_knn_int8_8q", int8_serve)):
+                     ("wide_knn_int8_8q", int8_serve),
+                     ("wide_matryoshka_1q", matryoshka)):
         reps = []
         for _ in range(2):
             t0 = time.monotonic()

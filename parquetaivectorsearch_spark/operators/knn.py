@@ -365,3 +365,48 @@ def int8_knn_join_bulk(quantized: DataFrame, corpus: DataFrame,
     w = Window.partitionBy("query_id").orderBy("distance", id_col)
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def prefix_rerank_topk(prefix_corpus: DataFrame, corpus: DataFrame,
+                       query: DataFrame, k: int = 20, shortlist: int = 200,
+                       prefix_dim: int | None = None, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka serve against a PERSISTED prefix artifact (Kusupati et
+    al. 2022): coarse top-`shortlist` over `prefix_corpus` — a narrow
+    (vec_id, first-d-dims) table, so the corpus-wide pass reads and
+    Arrow-transfers prefix_dim/dim of the vector bytes — then an exact
+    full-width rerank of the broadcast shortlist.
+
+    The artifact is the along-dims analog of the int8/PQ tiers' quantized
+    tables (same maintenance posture: rewrite with the corpus). Phase 2
+    streams the full corpus past the broadcast id list once, scoring only
+    the `shortlist` joined rows JVM-side — no Python transfer at full
+    width. `prefix_dim` defaults to the artifact's own width; pass it when
+    `query` vectors are full-width and must be sliced to match.
+
+    Output: (query_id, vec_id, distance) — distance is the exact
+    sequential-fold double over all dims. Id-parity with the two-stage
+    definition is tested in tests/test_knn.py.
+
+    Measured crossover (BENCH_NOTES, 50k x 1536): 0.77s vs 0.65s for the
+    full-width Arrow scan — the rerank's corpus re-scan dominates at a
+    size where the full matvec is already cheap. The tier pays off when
+    the coarse pass is the bottleneck (transfer-bound corpora much larger
+    than memory) or when the full-vector fetch can prune (id-clustered
+    layout + runtime filter); measured, not asserted, per the repo's
+    wide-tier posture.
+    """
+    qpre = query
+    if prefix_dim is not None:
+        qpre = query.select(
+            "query_id", F.slice("query_vec", 1, prefix_dim).alias("query_vec"))
+    short = knn_topk_arrow(prefix_corpus, qpre, k=shortlist,
+                           id_col=id_col, vec_col=vec_col)
+    dist = dot_product_distance(vec_col, "query_vec")
+    return (
+        corpus.join(F.broadcast(short.select(id_col)), id_col)
+        .join(F.broadcast(query))
+        .select("query_id", F.col(id_col), dist.alias("distance"))
+        .orderBy("distance", id_col)
+        .limit(k)
+    )

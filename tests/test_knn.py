@@ -129,3 +129,44 @@ def test_int8_knn_join_bulk_matches_exact_after_rerank(spark):
     for r in knn_join(emb, queries, k=10).collect():
         want.setdefault(r.query_id, set()).add(r.vec_id)
     assert got == want
+
+
+def test_prefix_rerank_topk_matches_two_stage_definition(spark):
+    """Matryoshka artifact serve: (a) with a full-width 'prefix' and a
+    corpus-sized shortlist it degenerates to exact knn_topk; (b) with a
+    16-dim prefix it returns exactly the numpy-recomputed two-stage result
+    (coarse float64 top-50 on the prefix, exact rerank)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators import knn
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = knn.query_vector_df(emb, 0)
+
+    full = knn.prefix_rerank_topk(emb.select("vec_id", "embedding"), emb, q,
+                                  k=20, shortlist=10_000)
+    exact = knn.knn_topk(emb, q, k=20)
+    assert [r.vec_id for r in full.collect()] == [r.vec_id for r in exact.collect()]
+
+    prefix = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    got = knn.prefix_rerank_topk(prefix, emb, q, k=10, shortlist=50,
+                                 prefix_dim=16)
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    o = np.argsort(ids)
+    ids, mat = ids[o], mat[o]
+    qv = mat[ids == 0][0]
+    pre = 1.0 - mat[:, :16] @ qv[:16]
+    short = [int(i) for _, i in sorted(zip(pre, ids), key=lambda x: (x[0], x[1]))[:50]]
+    sub = np.isin(ids, short)
+    fulld = 1.0 - mat[sub] @ qv
+    want = [int(i) for _, i in
+            sorted(zip(fulld, ids[sub]), key=lambda x: (x[0], x[1]))[:10]]
+    assert [r.vec_id for r in got.collect()] == want
