@@ -156,3 +156,24 @@ def test_bpe_merge_step_is_take_ordered(spark):
     df = QUERIES["bpe_merge_step"](spark, SF_SMOKE)
     assert P.has_take_ordered(df)
     assert P.has_partial_aggregate(df)
+
+
+def test_knn_range_search_is_shuffle_free(spark):
+    """The radius query is one pass: broadcast 1-row query, row-local
+    rounded-distance filter — NO Exchange anywhere (not even a top-k
+    heap-merge), the plan shape the 100 TB single-pass claim rests on."""
+    df = QUERIES["knn_range_search"](spark, SF_SMOKE)
+    plan = P.executed_plan(df)
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    assert P.has_broadcast_join(df)
+
+
+def test_maxsim_is_row_local_take_ordered(spark):
+    """MaxSim's 4×4 token-interaction grid must stay inside one projection:
+    no HashAggregate (the naive explode→groupBy×2 shape), no generate/
+    explode, just broadcast + TakeOrdered."""
+    df = QUERIES["maxsim_multivector"](spark, SF_SMOKE)
+    plan = P.executed_plan(df)
+    assert "HashAggregate" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert P.has_take_ordered(df)
