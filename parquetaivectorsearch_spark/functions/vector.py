@@ -150,3 +150,29 @@ def vec_dot_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     ma = np.stack(a.to_numpy())
     mb = np.stack(b.to_numpy())
     return pd.Series(np.einsum("ij,ij->i", ma, mb, dtype=np.float64))
+
+
+def maxsim_score(doc_col: ColumnOrName, query_col: ColumnOrName,
+                 n_tok: int, tok_dim: int) -> Column:
+    """ColBERT MaxSim (Khattab & Zaharia 2020) over fixed-geometry token
+    views: both vectors are read as ``n_tok`` consecutive ``tok_dim``-dim
+    sub-vectors; score = Σ over query tokens of the max dot against any doc
+    token.
+
+    Entirely row-local — an ``n_tok × n_tok`` grid of sequential-fold dots
+    combined with ``greatest`` and a fixed left-to-right sum, so the whole
+    expression stays inside one codegen projection and is deterministic
+    (no aggregation-order ambiguity reaches a downstream ROUND)."""
+    def tok(col: ColumnOrName, i: int) -> Column:
+        return F.slice(col, 1 + i * tok_dim, tok_dim)
+
+    per_qi = [
+        F.greatest(*[dot(tok(doc_col, j), tok(query_col, i))
+                     for j in range(n_tok)])
+        if n_tok > 1 else dot(tok(doc_col, 0), tok(query_col, 0))
+        for i in range(n_tok)
+    ]
+    score = per_qi[0]
+    for c in per_qi[1:]:
+        score = score + c
+    return score

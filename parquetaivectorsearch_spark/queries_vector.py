@@ -149,21 +149,11 @@ def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation-order nondeterminism reaches the ROUND). Catalyst keeps it
     inside WholeStageCodegen; the only exchange is the final top-10 heads.
     """
+    from parquetaivectorsearch_spark.functions.vector import maxsim_score
+
     emb = _t(spark, sf_dir, "embeddings")
     q = query_vector_df(emb, 0)
-
-    def tok(col: str, i: int):
-        return F.slice(col, 1 + i * _TOK_DIM, _TOK_DIM)
-
-    # per query token i: max over doc tokens j of dot(doc_tok_j, query_tok_i)
-    per_qi = [
-        F.greatest(*[dot(tok("embedding", j), tok("query_vec", i))
-                     for j in range(_N_TOK)])
-        for i in range(_N_TOK)
-    ]
-    score = per_qi[0]
-    for c in per_qi[1:]:
-        score = score + c
+    score = maxsim_score("embedding", "query_vec", _N_TOK, _TOK_DIM)
     return (
         emb.join(F.broadcast(q))
         .select("vec_id", (F.round(score, 6) + F.lit(0.0)).alias("maxsim"))

@@ -336,3 +336,30 @@ def test_substring_dup_pairs_matches_python(spark, texts):
             if n:
                 want[(a, b)] = n
     assert got == want, (texts, got, want)
+
+
+@settings(**_SETTINGS)
+@given(_vecs, _vecs)
+def test_maxsim_score_matches_numpy(spark, docs, qs_):
+    """maxsim_score on arbitrary 64-dim vectors (4×16 token views) equals
+    the direct numpy Σ-max-dot recompute for every (doc, query) pair —
+    the row-local expression grid implements the published MaxSim
+    definition, not just the fixture's happy path."""
+    import numpy as np
+
+    from parquetaivectorsearch_spark.functions.vector import maxsim_score
+    from pyspark.sql import functions as F
+
+    q = [float(x) for x in qs_[0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], q) for i, v in enumerate(docs)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, query_vec ARRAY<FLOAT>",
+    )
+    got = {r.vec_id: r.s for r in df.select(
+        "vec_id", maxsim_score("embedding", "query_vec", 4, 16).alias("s")
+    ).collect()}
+    qv = np.asarray(q, dtype=np.float32).astype(np.float64).reshape(4, 16)
+    for i, v in enumerate(docs):
+        dv = np.asarray(v, dtype=np.float32).astype(np.float64).reshape(4, 16)
+        want = float((dv @ qv.T).max(axis=0).sum())
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
