@@ -483,3 +483,30 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("*") / F.lit(10), 4).alias("recall"))
     )
     return out.join(F.broadcast(rec), "query_id", "left")
+
+
+@register("ann_index_stats")  # rows-only: UDF-assigned lists
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index introspection (FAISS's imbalance_factor analog): per-list
+    sizes plus corpus-level balance metrics — the operational signal that
+    drives `compact_hot_lists` (a hot list = a partition whose scan
+    dominates probe latency). One groupBy over the assigned lists; the
+    summary joins back as columns so the driver's rows-only check pins
+    both the per-list rows and the invariant total."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    sizes = index.lists.groupBy("list_id").agg(F.count("*").alias("n_vectors"))
+    summary = sizes.agg(
+        F.sum("n_vectors").alias("total_vectors"),
+        F.count("*").alias("n_lists"),
+        # imbalance factor: nlist * sum(n_i^2) / total^2 — 1.0 = perfectly
+        # balanced, grows as lists skew (FAISS's definition)
+        F.round(F.count("*") * F.sum(F.col("n_vectors") * F.col("n_vectors"))
+                / (F.sum("n_vectors") * F.sum("n_vectors")), 4)
+        .alias("imbalance"),
+    )
+    return (
+        sizes.join(F.broadcast(summary))
+        .select("list_id", "n_vectors", "total_vectors", "n_lists", "imbalance")
+        .orderBy("list_id")
+    )

@@ -319,3 +319,19 @@ def test_ivf_filtered_search_full_probe_equals_exact_filtered(spark):
     # every returned row satisfies the predicate
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     assert all(labels[r.vec_id] == 3 for r in got.collect())
+
+
+def test_ivf_index_stats_invariants(spark):
+    """Index stats: list sizes sum to the corpus size, every list is
+    non-empty (build re-seeds empty cells), and the imbalance factor is
+    ≥ 1 (=1 iff perfectly balanced)."""
+    from parquetaivectorsearch_spark.queries_ann import q_ann_index_stats
+    from tests.conftest import SF_SMOKE
+
+    rows = q_ann_index_stats(spark, SF_SMOKE).collect()
+    emb_n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == emb_n
+    assert all(r.total_vectors == emb_n for r in rows)
+    assert rows[0].n_lists == len(rows)
+    assert all(r.n_vectors > 0 for r in rows)
+    assert rows[0].imbalance >= 1.0
