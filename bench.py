@@ -324,6 +324,10 @@ def _bench_wide(spark, extras: dict) -> None:
                                shortlist=500, prefix_dim=256) \
             .write.format("noop").mode("overwrite").save()
 
+    def maxsim_arrow():
+        KNN.maxsim_topk_arrow(corpus, query, k=20, n_tok=4) \
+            .write.format("noop").mode("overwrite").save()
+
     # Same steady-state discipline as phase 1: one untimed warm pass per
     # path (first-touch page cache on the freshly written 300 MB corpus +
     # per-path codegen/Arrow-codec warmup skewed the cold one-shots by up
@@ -331,12 +335,14 @@ def _bench_wide(spark, extras: dict) -> None:
     # ~60 MB Arrow batches through every worker, and a one-off worker
     # respawn or steal burst was observed inflating a single warmed rep
     # 10× (26.6s vs 2.3s steady); min-of-2 damps exactly that.
-    for fn in (fold, arrow, bulk, pq_serve, int8_serve, matryoshka):
+    for fn in (fold, arrow, bulk, pq_serve, int8_serve, matryoshka,
+               maxsim_arrow):
         fn()
     for name, fn in (("wide_knn_fold", fold), ("wide_knn_arrow", arrow),
                      ("wide_knn_bulk_8q", bulk), ("wide_pq_serve_8q", pq_serve),
                      ("wide_knn_int8_8q", int8_serve),
-                     ("wide_matryoshka_1q", matryoshka)):
+                     ("wide_matryoshka_1q", matryoshka),
+                     ("wide_maxsim_1q", maxsim_arrow)):
         reps = []
         for _ in range(2):
             t0 = time.monotonic()

@@ -410,3 +410,55 @@ def prefix_rerank_topk(prefix_corpus: DataFrame, corpus: DataFrame,
         .orderBy("distance", id_col)
         .limit(k)
     )
+
+
+def maxsim_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
+                      n_tok: int = 4, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ColBERT MaxSim top-k via mapInArrow — the wide-regime twin of
+    functions/vector.maxsim_score (which is the right form at fixture
+    width: one codegen projection). At the reference's 1536 dims the
+    expression form pays n_tok² sequential folds per row; here each Arrow
+    batch is one einsum over the (rows, n_tok, tok_dim) token view plus a
+    max/sum reduction, and each batch emits only its k best rows.
+
+    float64 accumulation differs from the sequential fold in the last ulp
+    → rows-only by contract; id-parity with the expression form is tested
+    in tests/test_knn.py. Output: (query_id, vec_id, maxsim) descending.
+    """
+    import pyarrow as pa
+
+    qj = corpus.join(F.broadcast(query))
+
+    def score_batches(batches):
+        import numpy as np
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
+            emb = flat.reshape(batch.num_rows, -1)
+            dim = emb.shape[1]
+            tok_dim = dim // n_tok
+            qv = np.asarray(batch.column("query_vec")[0].as_py(),
+                            dtype=np.float64).reshape(n_tok, tok_dim)
+            qid = batch.column("query_id")[0].as_py()
+            d = emb.astype(np.float64).reshape(len(ids), n_tok, tok_dim)
+            # (rows, q_tok, d_tok) interaction grid → max over doc tokens,
+            # sum over query tokens
+            grid = np.einsum("ntd,md->nmt", d, qv)
+            score = grid.max(axis=2).sum(axis=1)
+            take = min(k, len(score))
+            part = (np.argpartition(-score, take - 1)[:take]
+                    if take < len(score) else np.arange(len(score)))
+            top = part[np.argsort(-score[part], kind="stable")]
+            yield pa.RecordBatch.from_pydict({
+                "query_id": pa.array(np.full(take, qid), pa.int64()),
+                id_col: pa.array(ids[top].astype(np.int64), pa.int64()),
+                "maxsim": pa.array(score[top], pa.float64()),
+            })
+
+    partials = qj.mapInArrow(
+        score_batches, f"query_id long, {id_col} long, maxsim double")
+    return partials.orderBy(F.desc("maxsim"), id_col).limit(k)

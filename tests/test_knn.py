@@ -170,3 +170,28 @@ def test_prefix_rerank_topk_matches_two_stage_definition(spark):
     want = [int(i) for _, i in
             sorted(zip(fulld, ids[sub]), key=lambda x: (x[0], x[1]))[:10]]
     assert [r.vec_id for r in got.collect()] == want
+
+
+def test_maxsim_arrow_matches_expression_form(spark):
+    """The Arrow einsum MaxSim returns the same ids in the same order as
+    the codegen expression form (functions/vector.maxsim_score) on the
+    fixture — the two forms implement one definition at different widths."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.functions.vector import maxsim_score
+    from parquetaivectorsearch_spark.operators import knn
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = knn.query_vector_df(emb, 0)
+    arrow = knn.maxsim_topk_arrow(emb, q, k=10, n_tok=4)
+    expr = (
+        emb.join(F.broadcast(q))
+        .select("vec_id", maxsim_score("embedding", "query_vec", 4, 16)
+                .alias("maxsim"))
+        .orderBy(F.desc("maxsim"), "vec_id")
+        .limit(10)
+    )
+    assert ([r.vec_id for r in arrow.collect()]
+            == [r.vec_id for r in expr.collect()])
