@@ -118,7 +118,9 @@ def _duck_tok(col: str, i: int) -> str:
     return f"{col}[{lo}:{hi}]"
 
 
-def _maxsim_oracle() -> str:
+def _maxsim_score_sql() -> str:
+    """The GREATEST-grid MaxSim score as a DuckDB expression over aliases
+    e (doc) and q (query) — shared by the single-query and join oracles."""
     per_qi = []
     for i in range(_N_TOK):
         dots = ", ".join(
@@ -127,7 +129,11 @@ def _maxsim_oracle() -> str:
             for j in range(_N_TOK)
         )
         per_qi.append(f"GREATEST({dots})")
-    score = " + ".join(per_qi)
+    return " + ".join(per_qi)
+
+
+def _maxsim_oracle() -> str:
+    score = _maxsim_score_sql()
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id = 0)
@@ -159,4 +165,47 @@ def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (F.round(score, 6) + F.lit(0.0)).alias("maxsim"))
         .orderBy(F.desc("maxsim"), "vec_id")
         .limit(10)
+    )
+
+
+
+@register("maxsim_join", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({{score}}, 6) + 0.0 AS maxsim
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, maxsim, rank FROM r WHERE rank <= 5
+""".replace("{score}", _maxsim_score_sql()))
+def q_maxsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MaxSim retrieval: top-5 per query for 4 query documents —
+    the late-interaction analog of `knn_join`. The interaction grid stays
+    row-local per (doc, query) pair; the only exchange is the per-query
+    rank window over |corpus|×4 scored rows (same shuffle budget as
+    knn_join; the bulk path for large query sets would mirror
+    knn_join_bulk with maxsim_topk_arrow's einsum)."""
+    from pyspark.sql.window import Window
+
+    from parquetaivectorsearch_spark.functions.vector import maxsim_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q4 = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    score = F.round(maxsim_score("embedding", "query_vec", _N_TOK, _TOK_DIM),
+                    6) + F.lit(0.0)
+    scored = (
+        emb.join(F.broadcast(q4))
+        .select("query_id", "vec_id", score.alias("maxsim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )
