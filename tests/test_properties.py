@@ -363,3 +363,20 @@ def test_maxsim_score_matches_numpy(spark, docs, qs_):
         dv = np.asarray(v, dtype=np.float32).astype(np.float64).reshape(4, 16)
         want = float((dv @ qv.T).max(axis=0).sum())
         assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+def test_bench_headline_names_registered():
+    """Every bench HEADLINE entry must resolve in the registry (a rename
+    would make bench.py crash in the driver's hands) and be unique."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import HEADLINE
+
+    from parquetaivectorsearch_spark import queries as Q
+
+    qs = Q.all_queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not registered: {missing}"
+    assert len(set(HEADLINE)) == len(HEADLINE), "duplicate HEADLINE entries"
