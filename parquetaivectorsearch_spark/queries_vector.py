@@ -209,3 +209,41 @@ def q_maxsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register("retrieve_docs", f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0),
+    topk AS (
+      SELECT q.query_id, e.vec_id, ROUND(1.0 - {_DOT}, 6) + 0.0 AS distance
+      FROM embeddings e, q
+      ORDER BY distance, e.vec_id
+      LIMIT 10
+    )
+    SELECT t.query_id, t.vec_id AS doc_id, t.distance,
+           d.source, d.lang, substr(d.text, 1, 48) AS snippet
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+""")
+def q_retrieve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval, the reference's ACTUAL result shape: KNN hits
+    mapped back to full records (the reference's graph returns item ids
+    that index dataSetDbPedias — Title/Text ride along, Program.cs:106-107,
+    216-224). Top-10 by distance, then the 10-row shortlist broadcasts
+    into the documents join — the big side streams once, no shuffle.
+    Snippet = first 48 chars (fixture text is ASCII; substr semantics are
+    1-based character counts in both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = query_vector_df(emb, 0)
+    d = F.round(F.lit(1.0) - dot("embedding", "query_vec"), 6) + F.lit(0.0)
+    topk = (
+        emb.join(F.broadcast(q))
+        .select("query_id", "vec_id", d.alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(10)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(topk), docs["doc_id"] == topk["vec_id"])
+        .select("query_id", "doc_id", "distance", "source", "lang",
+                F.substring("text", 1, 48).alias("snippet"))
+    )
