@@ -283,9 +283,10 @@ def knn_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
             # variant is rows-only by contract anyway.
             dist = 1.0 - (emb @ qv.astype(emb.dtype)).astype(np.float64)
             take = min(k, len(dist))
-            part = (np.argpartition(dist, take - 1)[:take]
-                    if take < len(dist) else np.arange(len(dist)))
-            top = part[np.argsort(dist[part], kind="stable")]
+            # lexsort, not argpartition: ties at the batch-k boundary must
+            # keep the smallest ids or the global (distance, id) tiebreak
+            # can diverge from the expression form on duplicate vectors
+            top = np.lexsort((ids, dist))[:take]
             yield pa.RecordBatch.from_pydict({
                 "query_id": pa.array(np.full(take, qid), pa.int64()),
                 id_col: pa.array(ids[top].astype(np.int64), pa.int64()),
@@ -422,6 +423,11 @@ def maxsim_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
     batch is one einsum over the (rows, n_tok, tok_dim) token view plus a
     max/sum reduction, and each batch emits only its k best rows.
 
+    ``query`` is a 1-ROW DataFrame (query_id, query_vec), same contract
+    as ``knn_topk_arrow``: each Arrow batch reads the single query vector
+    from its first row, so a multi-row query would mis-attribute scores.
+    Batch the multi-query case like ``knn_join_bulk`` instead.
+
     float64 accumulation differs from the sequential fold in the last ulp
     → rows-only by contract; id-parity with the expression form is tested
     in tests/test_knn.py. Output: (query_id, vec_id, maxsim) descending.
@@ -450,9 +456,9 @@ def maxsim_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
             grid = np.einsum("ntd,md->nmt", d, qv)
             score = grid.max(axis=2).sum(axis=1)
             take = min(k, len(score))
-            part = (np.argpartition(-score, take - 1)[:take]
-                    if take < len(score) else np.arange(len(score)))
-            top = part[np.argsort(-score[part], kind="stable")]
+            # lexsort on (-score, id): tie-safe at the batch-k boundary,
+            # matching the expression form's (maxsim DESC, vec_id) order
+            top = np.lexsort((ids, -score))[:take]
             yield pa.RecordBatch.from_pydict({
                 "query_id": pa.array(np.full(take, qid), pa.int64()),
                 id_col: pa.array(ids[top].astype(np.int64), pa.int64()),

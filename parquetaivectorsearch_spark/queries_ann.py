@@ -475,14 +475,9 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ANN.ivf_search(index, queries, k=10, nprobe=8,
                          where=F.col("label") == 3)
-    exact = knn.knn_join(emb.filter(F.col("label") == 3), queries,
-                         k=10).select("query_id", "vec_id")
-    rec = (
-        out.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.round(F.count("*") / F.lit(10), 4).alias("recall"))
-    )
-    return out.join(F.broadcast(rec), "query_id", "left")
+    # recall vs the exact FILTERED twin: _with_recall's corpus argument is
+    # the same filtered frame the ANN path searched
+    return _with_recall(out, emb.filter(F.col("label") == 3), queries, k=10)
 
 
 @register("ann_index_stats")  # rows-only: UDF-assigned lists

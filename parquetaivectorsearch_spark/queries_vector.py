@@ -42,6 +42,10 @@ _DOT = "list_inner_product(e.embedding::DOUBLE[], q.qv)"
 # MaxSim token geometry: 64-dim fixture embeddings viewed as 4 tokens × 16 dims.
 _N_TOK = 4
 _TOK_DIM = 16
+# Matryoshka coarse-stage prefix width — semantically unrelated to the MaxSim
+# token dim (they are both 16 only by coincidence); interpolated into BOTH the
+# Spark plan and the DuckDB oracle so a retune cannot desynchronize them.
+_PREFIX_DIM = 16
 
 
 @register("knn_range_search", f"""
@@ -73,8 +77,8 @@ def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings WHERE vec_id = 0),
     coarse AS (
       SELECT q.query_id, e.vec_id, e.embedding,
-             ROUND(1.0 - list_inner_product(e.embedding[1:16]::DOUBLE[],
-                                            q.qv[1:16]), 6) + 0.0 AS cdist
+             ROUND(1.0 - list_inner_product(e.embedding[1:{_PREFIX_DIM}]::DOUBLE[],
+                                            q.qv[1:{_PREFIX_DIM}]), 6) + 0.0 AS cdist
       FROM embeddings e, q
       ORDER BY cdist, e.vec_id
       LIMIT 50
@@ -96,8 +100,8 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = query_vector_df(emb, 0)
     cdist = F.round(
-        F.lit(1.0) - dot(F.slice("embedding", 1, _TOK_DIM),
-                         F.slice("query_vec", 1, _TOK_DIM)), 6) + F.lit(0.0)
+        F.lit(1.0) - dot(F.slice("embedding", 1, _PREFIX_DIM),
+                         F.slice("query_vec", 1, _PREFIX_DIM)), 6) + F.lit(0.0)
     coarse = (
         emb.join(F.broadcast(q))
         .select("query_id", "vec_id", "embedding", "query_vec",

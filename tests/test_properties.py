@@ -143,15 +143,13 @@ def test_driver_window_covers_all_suites():
     # Carve-out: a module added mid-round necessarily waits for the next
     # window rotation (the window is frozen at round start — rotating it
     # later would orphan the current round's evidence). Such a module is
-    # exempt only while NONE of its queries have ever been driver-sampled,
-    # and only if it brings at least one oracle-backed query so the next
-    # rotation can hash-check it.
-    sampled = _driver_sampled()
+    # exempt only if it brings at least one oracle-backed query so the next
+    # rotation can hash-check it. (A module with driver-sampled members is
+    # never in `uncovered` — evidence includes every sampled name — so no
+    # stale-window guard is needed here.)
     for m in sorted(uncovered):
         names = [n for n, fn in qs.items()
                  if fn.__module__.split(".")[-1] == m]
-        assert not any(n in sampled for n in names), (
-            f"{m} has driver-sampled members yet none in evidence — stale window")
         assert any(n in ors for n in names), (
             f"new module {m} awaiting rotation has no oracle-backed query")
 
