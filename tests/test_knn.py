@@ -195,3 +195,20 @@ def test_maxsim_arrow_matches_expression_form(spark):
     )
     assert ([r.vec_id for r in arrow.collect()]
             == [r.vec_id for r in expr.collect()])
+
+
+def test_arrow_topk_tie_break_on_duplicate_vectors(spark):
+    """All-identical corpus vectors: every distance ties, so the batch-k
+    selection must keep the SMALLEST ids (lexsort on (score, id)) for the
+    global (distance, id) order to return ids 0..k-1 — the boundary case
+    argpartition-based selection gets wrong."""
+    from parquetaivectorsearch_spark.operators import knn
+
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = knn.query_vector_df(df, 0)
+    got = [r.vec_id for r in knn.knn_topk_arrow(df, q, k=10).collect()]
+    assert got == list(range(10))
+    got2 = [r.vec_id for r in
+            knn.maxsim_topk_arrow(df, q, k=10, n_tok=4).collect()]
+    assert got2 == list(range(10))
