@@ -253,6 +253,9 @@ def knn_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
     Distances use float64 accumulation (numpy pairwise summation), which
     can differ from the sequential fold in the last ulp — so this variant
     is rows-only; tests assert it returns the same ids as the exact fold.
+
+    ``query`` is a 1-ROW DataFrame: each Arrow batch reads the query
+    vector from its first row (multi-query batching = ``knn_join_bulk``).
     """
     import pyarrow as pa
 
@@ -446,6 +449,9 @@ def maxsim_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
             flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
             emb = flat.reshape(batch.num_rows, -1)
             dim = emb.shape[1]
+            if dim % n_tok:
+                raise ValueError(
+                    f"embedding dim {dim} not divisible into {n_tok} tokens")
             tok_dim = dim // n_tok
             qv = np.asarray(batch.column("query_vec")[0].as_py(),
                             dtype=np.float64).reshape(n_tok, tok_dim)
