@@ -294,3 +294,30 @@ def q_streaming_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("bigint").alias("n_streamed"))
         .orderBy("part_id")
     )
+
+
+@register("streaming_enrich_join", """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""")
+def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join (the dimension-lookup shape every
+    event pipeline runs): the event stream joins a broadcast static
+    customer dimension per micro-batch. STATELESS — no watermark, no state
+    store; append mode emits each enriched event exactly once, so the
+    single-batch availableNow run equals the batch join oracle exactly.
+    At scale the static side re-broadcasts per batch (or is a cached
+    snapshot); nothing accumulates."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.queries import _t
+
+    s = _staged_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = (
+        s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
+        .select("event_id", "user_id", "event_type",
+                F.col("c_mktsegment").alias("mktsegment"), "value")
+    )
+    return S.run_available_now(out, "append", state_partitions=None)
