@@ -283,3 +283,29 @@ def test_stream_hnsw_ingest_then_compact(spark):
     recall = (sum(len(exact[q] & got.get(q, set())) for q in exact)
               / sum(len(v) for v in exact.values()))
     assert recall >= 0.9, recall
+
+
+def test_stream_static_enrich_across_batches(spark):
+    """The stateless stream-static enrichment must hold per micro-batch:
+    3 files → 3 batches, and the appended union equals the batch join
+    (every event enriched exactly once, none dropped at batch edges)."""
+    stream = _stage_split(spark, n_files=3)
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment")
+    out = (
+        stream.join(F.broadcast(dim),
+                    stream["user_id"] == dim["c_custkey"])
+        .select("event_id", "user_id",
+                F.col("c_mktsegment").alias("mktsegment"))
+    )
+    got = S.run_available_now(out, "append", state_partitions=None)
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        events.join(dim, events["user_id"] == dim["c_custkey"])
+        .select("event_id", "user_id",
+                F.col("c_mktsegment").alias("mktsegment"))
+    )
+    g = {(r.event_id, r.user_id, r.mktsegment) for r in got.collect()}
+    b = {(r.event_id, r.user_id, r.mktsegment) for r in batch.collect()}
+    assert got.count() == events.count()  # enriched exactly once each
+    assert g == b
