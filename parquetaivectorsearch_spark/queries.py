@@ -427,24 +427,28 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything else follows in registration order. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # repaired CORRECTNESS_r06 ERRs (arrays now serialized driver-safely)
-    "image_features", "audio_features", "embedding_int8_quantize",
-    # never-driver-sampled (47 of 48; streaming_ivf_ingest deferred to r8)
-    "above_avg_orders", "approx_count_distinct", "approx_percentile_agg",
-    "bitwise_functions", "bpe_merge_step", "brand_supplier_count",
-    "conditional_functions", "count_distinct", "datetime_constructors",
-    "disjunctive_preds", "doc_char_entropy", "ewma_revenue",
-    "excess_inventory", "fk_expectations", "histogram_totalprice",
-    "hll_distinct", "idle_customers", "image_resize", "important_stock",
-    "in_subquery", "join_bucketed", "knn_topk_binary", "lang_id",
-    "late_orders_priority", "map_functions", "ngram_jaccard_pairs",
-    "not_exists_subquery", "ntile_bucket", "order_count_distribution",
-    "pagerank_simgraph", "pmi_collocations", "profile_columns",
-    "project_features", "quality_score", "repetition_score", "sample_hash",
-    "sequence_explode", "sessionize_lag", "sliding_window_agg",
-    "small_qty_revenue", "text_chunks", "typo_pairs", "unigram_logprob",
-    "vector_arithmetic", "waiting_suppliers", "window_first_last",
-    "xml_roundtrip",
+    # --- round 8 window ---
+    # (a) the 19 queries with zero driver evidence after r7 (8 oracle-gated)
+    "ann_filtered_topk", "ann_index_stats", "ann_range_search",
+    "dedup_minhash_incremental", "dedup_substring", "image_features_png",
+    "ivf_compact_maintenance", "knn_join_int8_bulk", "knn_range_search",
+    "matryoshka_topk", "maxsim_join", "maxsim_multivector",
+    "pagerank_simgraph_full", "pca_project_embeddings", "pretokenize_pieces",
+    "retrieve_docs", "streaming_enrich_join", "streaming_hnsw_ingest",
+    "streaming_ivf_ingest",
+    # (b) token_count re-sample: its r1 pass predates the true-BPE rewrite
+    "token_count",
+    # (c) canaries whose implementations changed in r7
+    "important_stock", "excess_inventory", "join_bucketed",
+    "pagerank_simgraph", "knn_topk_int8", "embedding_int8_quantize",
+    "image_features", "audio_features", "dedup_minhash",
+    # (d) suite-spread canaries (refresh the oldest r1 evidence)
+    "scan_parquet", "filter_pushdown", "groupby_agg",
+    "join_orders_customer", "join_broadcast_nation", "knn_topk", "knn_join",
+    "dot_product", "vector_norm", "text_stats", "dedup_exact", "set_ops",
+    "window_rank", "json_extract", "date_trunc_agg", "sort_by_id",
+    "cast_embedding", "rollup_agg", "cosine_topk", "token_cost",
+    "similarity_join",
 )
 
 
