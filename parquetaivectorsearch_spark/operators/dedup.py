@@ -430,17 +430,31 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
                         text_col: str = "text", id_col: str = "doc_id",
                         hashed: bool = True) -> DataFrame:
     """Exact-substring dedup pairs (Lee et al. 2022, "Deduplicating Training
-    Data Makes Language Models Better" — exact overlapping spans): fixed
-    windows at a stride per doc, grouped on window content, doc pairs with
-    shared-window counts → (doc_a, doc_b, n_shared_windows), a < b. The
-    windowed-hash distributed substitute for the paper's (single-machine)
-    suffix array: spans ≥ window + stride − 1 chars are always caught.
+    Data Makes Language Models Better" — exact overlapping spans): winnowed
+    windows per doc (Schleimer et al. 2003, "Winnowing: Local Algorithms
+    for Document Fingerprinting"), grouped on window content, doc pairs
+    with shared-window counts → (doc_a, doc_b, n_shared_windows), a < b.
+
+    Selection is CONTENT-DEFINED, not stride-aligned: for every run of
+    ``stride`` consecutive windows, keep the one whose md5 is minimal
+    (ties on md5 — astronomically unlikely — break to the leftmost
+    position). Because the winner depends only on window content, a span
+    shared by two docs selects the same windows in both regardless of
+    where the span starts — the winnowing theorem then gives the real
+    guarantee: shared spans ≥ window + stride − 1 chars are ALWAYS
+    caught, alignment-invariant. (The previous stride-aligned sampler
+    only caught spans whose start offsets agreed mod stride — ~1/stride
+    of random alignments.) Expected density is ~2/(stride+1) of
+    positions, ≈2× the strided sampler — the price of the guarantee.
+    The per-doc O(len × stride) key-comparison scan is a narrow
+    codegen'd map; no shuffle is added.
 
     ``hashed=True`` (the 100 TB default) shuffles ``xxhash64(win)`` —
     8 bytes/key instead of `window` chars — and is what a real corpus run
     should use; ``hashed=False`` keys on the raw window string so a SQL
     oracle can replay it (the registered ``dedup_substring`` query).
-    tests/test_dedup.py pins hashed ≡ unhashed pair sets on fixtures.
+    tests/test_dedup.py pins hashed ≡ unhashed pair sets on fixtures and
+    pins the misaligned-span guarantee the old sampler lacked.
 
     Plan: ONE shuffle of the window table (explicit repartition on the key
     satisfies the distinct, the stop-window agg, and both self-join sides;
@@ -448,10 +462,23 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
     plus the final pair agg. The ``max_docs_per_window`` stop-window cap
     bounds join fan-out on boilerplate windows — the skew guard."""
     d = docs.filter(F.length(text_col) >= window)
-    win = F.explode(F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1),"
-        f" {stride}), i -> substring({text_col}, i, {window}))")).alias("win")
-    wins = d.select(F.col(id_col).alias("doc_id"), win)
+    # per-position sort keys: md5(window) ++ zero-padded position — min =
+    # (min md5, then leftmost). One array per doc, built codegen-side.
+    n_w = f"(length({text_col}) - {window - 1})"
+    keys = (
+        f"transform(sequence(1, {n_w}), i ->"
+        f" concat(md5(substring({text_col}, i, {window})),"
+        f" lpad(cast(i as string), 10, '0')))")
+    # winner of every length-`stride` run (slice clips at the array end,
+    # which only ADDS fingerprints near the doc tail — recall-safe).
+    sel = (f"array_distinct(transform(sequence(1, {n_w}), q ->"
+           f" array_min(slice(__sdp_keys, q, {stride}))))")
+    win = F.expr(
+        f"substring({text_col}, cast(substring(__sdp_wk, 33, 10) as int),"
+        f" {window})").alias("win")
+    wins = (d.withColumn("__sdp_keys", F.expr(keys))
+            .withColumn("__sdp_wk", F.explode(F.expr(sel)))
+            .select(F.col(id_col).alias("doc_id"), win))
     if hashed:
         wins = wins.select("doc_id", F.xxhash64("win").alias("win"))
     wins = wins.repartition("win").distinct().localCheckpoint(eager=False)

@@ -777,11 +777,28 @@ def q_pretokenize_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_substring", """
-    WITH w AS (
-      SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 32) AS win
-      FROM documents,
-           unnest(generate_series(1, greatest(length(text) - 31, 1), 16)) AS t(i)
-      WHERE length(text) >= 32
+    WITH d AS (
+      SELECT doc_id, text, length(text) - 31 AS n_w
+      FROM documents WHERE length(text) >= 32
+    ),
+    k AS (
+      SELECT doc_id, text, n_w,
+             list_transform(generate_series(1, n_w),
+               i -> md5(substring(text, CAST(i AS INTEGER), 32))
+                    || lpad(CAST(i AS VARCHAR), 10, '0')) AS keys
+      FROM d
+    ),
+    sel AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(generate_series(1, n_w),
+               q -> list_min(list_slice(keys, CAST(q AS INTEGER),
+                                        CAST(q + 15 AS INTEGER))))) AS winners
+      FROM k
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             substring(text, CAST(substring(wk, 33, 10) AS INTEGER), 32) AS win
+      FROM sel, unnest(winners) AS t(wk)
     ),
     keep AS (
       SELECT win FROM w GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 10
@@ -789,28 +806,32 @@ def q_pretokenize_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_windows
     FROM w a
-    JOIN keep k ON a.win = k.win
+    JOIN keep k2 ON a.win = k2.win
     JOIN w b ON b.win = a.win AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 """)
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better": exact overlapping spans, not token-set
-    similarity): 32-char windows at stride 16 per doc → window-content
-    hash-join → doc pairs with their shared-window counts. Completes the
-    dedup family ladder (exact doc / MinHash / SimHash / embedding /
-    n-gram-jaccard / exact substring).
+    similarity): winnowed 32-char windows per doc (Schleimer et al. 2003
+    content-defined selection, w=16) → window-content hash-join → doc
+    pairs with their shared-window counts. Completes the dedup family
+    ladder (exact doc / MinHash / SimHash / embedding / n-gram-jaccard /
+    exact substring).
 
-    Scale shape: the window stage is a narrow map (no shuffle); the only
-    heavy op is one shuffle keyed on window content. The suffix-array of
-    the paper is a single-machine structure — windowed hashing is its
-    standard distributed substitute (same recall for spans ≥ window+stride
-    − 1 chars). The HAVING ≤ 10 stop-window cap bounds join fan-out on
-    boilerplate windows (the skew guard: a window in ten-thousand docs is
-    template noise, and each such key would otherwise explode
-    quadratically). At 100 TB, ship xxhash64(win) instead of the 32-char
-    string — identical plan, 4× narrower shuffle; the string rides here
-    for oracle parity."""
+    Scale shape: the window stage is a narrow map (no shuffle; the
+    winnowing min-scan is a per-doc codegen'd array fold); the only heavy
+    op is one shuffle keyed on window content. The suffix-array of the
+    paper is a single-machine structure — winnowed fingerprinting is its
+    standard distributed substitute, and because selection is
+    content-defined (min-md5 per run of 16 windows, NOT stride-aligned
+    sampling) shared spans ≥ 47 chars are caught regardless of their
+    alignment in either doc. The HAVING ≤ 10 stop-window cap bounds join
+    fan-out on boilerplate windows (the skew guard: a window in
+    ten-thousand docs is template noise, and each such key would
+    otherwise explode quadratically). At 100 TB, ship xxhash64(win)
+    instead of the 32-char string — identical plan, 4× narrower shuffle;
+    the string rides here for oracle parity."""
     from parquetaivectorsearch_spark.operators.dedup import substring_dup_pairs
 
     d = _t(spark, sf_dir, "documents", spread=True)

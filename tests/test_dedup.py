@@ -128,6 +128,35 @@ def test_substring_dup_pairs_hashed_equals_string_keys(spark):
     assert raw  # fixtures contain duplicate docs → must find pairs
 
 
+def test_substring_dup_pairs_misaligned_span_caught(spark):
+    """The winnowing guarantee the stride-aligned sampler lacked: a shared
+    span ≥ window + stride − 1 chars must be caught at EVERY relative
+    alignment of the span in the two docs — including the old sampler's
+    counterexample (span at offset 1 in doc A, offset 2 in doc B, which
+    shares no stride-16-aligned window start). Padding is high-entropy and
+    distinct per doc so only the planted span is shared."""
+    import random
+
+    from parquetaivectorsearch_spark.operators.dedup import substring_dup_pairs
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    span = "".join(rng.choice(alpha) for _ in range(47))  # window+stride-1
+    rows = []
+    expected = set()
+    for i, off_b in enumerate(range(16)):  # every alignment class mod stride
+        pad = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+        a_id, b_id = 2 * i, 2 * i + 1
+        rows.append((a_id, pad(1) + span + pad(40)))
+        rows.append((b_id, pad(1 + off_b) + span + pad(40)))
+        expected.add((a_id, b_id))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b)
+           for r in substring_dup_pairs(docs, window=32, stride=16,
+                                        max_docs_per_window=64).collect()}
+    assert expected <= got
+
+
 def test_minhash_dedup_incremental_composes_to_batch(spark):
     """Two incremental arrival batches must produce EXACTLY the batch
     pipeline's pair set (same seeds ⇒ same signatures ⇒ same band
