@@ -342,8 +342,18 @@ def compact_hot_lists(spark: SparkSession, index_path: str,
     never adds/drops/mutates them (pinned in tests/test_ann.py). Repeated
     passes halve the max list each time → convergence in log rounds.
 
-    Returns a summary dict (hot list ids, nlist before/after, max list
-    size before/after).
+    Degenerate-split guard: if the seeded 2-means collapses (every member
+    re-assigned to one side — possible when Lloyd leaves a cluster empty
+    on the sample, e.g. an all-identical list), the split is SKIPPED
+    before any write. Dynamic partition overwrite only rewrites
+    partitions present in the written data, so writing a one-sided
+    assignment would leave the absent partition's old files alive and
+    duplicate the list; the guard materializes the assignment first and
+    checks both halves are non-empty (skipped ids returned in the
+    summary under "skipped").
+
+    Returns a summary dict (hot list ids, skipped list ids, nlist
+    before/after, max list size before/after).
     """
     idx = IVFIndex.load(spark, index_path)
     sizes = idx.lists.groupBy("list_id").count().toPandas()  # nlist rows
@@ -352,6 +362,7 @@ def compact_hot_lists(spark: SparkSession, index_path: str,
                  sizes[sizes["count"] > hot_ratio * mean]["list_id"])
     summary = {
         "hot": hot,
+        "skipped": [],
         "nlist_before": len(idx.centroids),
         "max_size_before": int(sizes["count"].max()),
     }
@@ -391,8 +402,6 @@ def compact_hot_lists(spark: SparkSession, index_path: str,
                     if len(m):
                         sub[i] = m.mean(axis=0)
             new_id = len(cents)
-            cents[h] = sub[0]
-            cents.append(sub[1])
             pair = np.stack(sub).astype(np.float32)
 
             @F.pandas_udf(T.IntegerType())
@@ -402,8 +411,24 @@ def compact_hot_lists(spark: SparkSession, index_path: str,
                 half = _nearest(v, pair)
                 return pd.Series(np.where(half == 0, h, new_id).astype(np.int32))
 
-            (members.drop("list_id")
-             .withColumn("list_id", which(F.col("embedding")))
+            # Materialize the re-assignment BEFORE writing: dynamic
+            # partition overwrite only rewrites partitions PRESENT in the
+            # written data, so a degenerate split (Lloyd on the sample left
+            # one cluster empty → every member lands on one side) would
+            # leave the other partition's old files alive and duplicate the
+            # list. Detect that case up front and skip the split entirely —
+            # the list stays hot but the exhaustive-search invariant holds.
+            assigned = (members.drop("list_id")
+                        .withColumn("list_id", which(F.col("embedding")))
+                        .localCheckpoint(eager=True))
+            halves = {int(r["list_id"]) for r in
+                      assigned.select("list_id").distinct().collect()}
+            if halves != {h, new_id}:
+                summary["skipped"].append(h)
+                continue  # degenerate 2-means: don't mutate cents or files
+            cents[h] = sub[0]
+            cents.append(sub[1])
+            (assigned
              .repartition("list_id")
              .write.mode("overwrite").partitionBy("list_id")
              .parquet(f"{index_path}/lists"))

@@ -548,11 +548,21 @@ def hnsw_compact(spark, path: str, n_partitions: int = 8,
                  params: HNSWParams | None = None) -> dict:
     """Segment merge (the compaction half of the append story): rebuild
     the persisted graph's vectors into `n_partitions` fresh segments and
-    atomically swap the artifact. Appends keep serve cost growing — one
-    beam search per segment per query — so periodic compaction restores
-    it; the vector-carrying layout (write_hnsw default) makes the rebuild
-    a self-contained scan of the artifact, never of the source corpus.
-    Returns {"segments_before", "segments_after", "n_vecs"}."""
+    swap the artifact into place via two directory renames. Appends keep
+    serve cost growing — one beam search per segment per query — so
+    periodic compaction restores it; the vector-carrying layout
+    (write_hnsw default) makes the rebuild a self-contained scan of the
+    artifact, never of the source corpus.
+
+    Swap semantics, honestly: renames are metadata ops, so the
+    reader-visible gap is two syscalls (vs the previous rmtree-then-move,
+    which exposed a missing artifact for the whole delete) — but it is
+    NOT crash-atomic (a crash between the renames leaves `path` absent
+    with the data intact under `path + "__compact_old"`), and os.rename
+    requires a local (or POSIX-rename-capable) filesystem. On an object
+    store, compact into a NEW versioned prefix and flip a pointer
+    instead. Returns {"segments_before", "segments_after", "n_vecs"}."""
+    import os as _os
     import shutil as _shutil
 
     g = read_hnsw(spark, path)
@@ -561,9 +571,12 @@ def hnsw_compact(spark, path: str, n_partitions: int = 8,
     n = vecs.count()
     rebuilt = build_hnsw(vecs, n_partitions=n_partitions, params=params)
     tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
     write_hnsw(rebuilt, tmp)
-    _shutil.rmtree(path, ignore_errors=True)
-    _shutil.move(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)  # leftover of a crashed swap
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)
     after = read_hnsw(spark, path).select("part_id").distinct().count()
     return {"segments_before": int(before), "segments_after": int(after),
             "n_vecs": int(n)}

@@ -250,9 +250,12 @@ def knn_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
     dims) score ~dim× faster through one BLAS matmul per RecordBatch than
     through a per-element codegen fold, and each batch emits only its k
     best rows, so the merge input is k × n_batches instead of the corpus.
-    Distances use float64 accumulation (numpy pairwise summation), which
-    can differ from the sequential fold in the last ulp — so this variant
-    is rows-only; tests assert it returns the same ids as the exact fold.
+    Scoring is a float32 matmul (pairwise summation; the scores alone are
+    upcast to float64) — relative dot error at dim 1536 is ~1e-6..1e-5,
+    so ids at a near-tied top-k boundary can diverge from the exact
+    sequential-fold double. That is why this variant is rows-only by
+    contract; tests assert id-parity with the exact fold on the fixtures,
+    where neighbor gaps dwarf that error.
 
     ``query`` is a 1-ROW DataFrame: each Arrow batch reads the query
     vector from its first row (multi-query batching = ``knn_join_bulk``).
@@ -282,8 +285,9 @@ def knn_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
             qid = batch.column("query_id")[0].as_py()
             # float32 matvec (halves memory traffic — the batch cost is
             # bandwidth, not flops), then one float64 upcast of the scores:
-            # rank-safe on real data (neighbor gaps ≫ 1e-7 rel err) and the
-            # variant is rows-only by contract anyway.
+            # ~1e-6..1e-5 rel dot error at dim 1536, acceptable because
+            # the variant is rows-only by contract and fixtures' neighbor
+            # gaps dwarf it.
             dist = 1.0 - (emb @ qv.astype(emb.dtype)).astype(np.float64)
             take = min(k, len(dist))
             # lexsort, not argpartition: ties at the batch-k boundary must
@@ -353,10 +357,10 @@ def int8_knn_join_bulk(quantized: DataFrame, corpus: DataFrame,
                         heapq.heapreplace(heap, item)
         rows = [(qid, -negvid) for qid, heap in best.items()
                 for _negd, negvid in heap]
-        yield pd.DataFrame(rows, columns=["query_id", "vec_id"])
+        yield pd.DataFrame(rows, columns=["query_id", id_col])
 
     short = quantized.select(id_col, "scale", "qvec").mapInPandas(
-        partial, "query_id BIGINT, vec_id BIGINT")
+        partial, f"query_id BIGINT, {id_col} BIGINT")
     # phase 2: exact rerank — shortlist broadcast, corpus never shuffles
     exact = (
         F.broadcast(short.distinct()).join(corpus.select(id_col, vec_col), id_col)

@@ -254,6 +254,7 @@ def test_compact_hot_lists_splits_skew_and_preserves_results(spark):
 
     summary = ANN.compact_hot_lists(spark, path, hot_ratio=1.5)
     assert summary["hot"], summary  # the clump cell must be flagged
+    assert summary["skipped"] == []  # healthy clumps must actually split
     assert summary["nlist_after"] == summary["nlist_before"] + len(summary["hot"])
     assert summary["max_size_after"] < summary["max_size_before"], summary
 
@@ -266,6 +267,50 @@ def test_compact_hot_lists_splits_skew_and_preserves_results(spark):
     after = {(r.query_id, r.vec_id)
              for r in ANN.ivf_search(after_idx, queries, k=10,
                                      nprobe=len(after_idx.centroids)).collect()}
+    assert after == before
+
+
+def test_compact_hot_lists_skips_degenerate_split(spark):
+    """An all-identical hot list collapses the seeded 2-means (every member
+    re-assigns to one side). Dynamic partition overwrite would then leave
+    the absent partition's old files alive and duplicate the list — the
+    guard must skip the split instead: nlist unchanged, membership
+    untouched, exhaustive search identical before and after."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    v0 = rng.randn(64).astype(np.float32)
+    v0 /= np.linalg.norm(v0)
+    rows = [(i, [float(x) for x in v0]) for i in range(300)]
+    for i in range(300, 360):
+        v = rng.randn(64).astype(np.float32)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    index = ANN.IVFIndex.build(corpus, nlist=4)
+    path = tempfile.mkdtemp(prefix="ivf_degen_") + "/index"
+    index.save(spark, path)
+
+    before_idx = ANN.IVFIndex.load(spark, path)
+    queries = corpus.filter(F.col("vec_id").isin(0, 301)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    # the clump makes huge distance ties → compare distance multisets, not
+    # tie-broken id sets
+    before = sorted((r.query_id, round(r.distance, 5))
+                    for r in ANN.ivf_search(before_idx, queries, k=5,
+                                            nprobe=len(before_idx.centroids)).collect())
+    before_ids = sorted(r.vec_id for r in before_idx.lists.select("vec_id").collect())
+
+    summary = ANN.compact_hot_lists(spark, path, hot_ratio=1.5)
+    assert summary["hot"], summary  # the clump cell is hot
+    assert summary["skipped"] == summary["hot"], summary  # and degenerate
+    assert summary["nlist_after"] == summary["nlist_before"]
+
+    after_idx = ANN.IVFIndex.load(spark, path)
+    after_ids = sorted(r.vec_id for r in after_idx.lists.select("vec_id").collect())
+    assert after_ids == before_ids  # no duplication from stale partitions
+    after = sorted((r.query_id, round(r.distance, 5))
+                   for r in ANN.ivf_search(after_idx, queries, k=5,
+                                           nprobe=len(after_idx.centroids)).collect())
     assert after == before
 
 

@@ -130,6 +130,16 @@ def test_int8_knn_join_bulk_matches_exact_after_rerank(spark):
         want.setdefault(r.query_id, set()).add(r.vec_id)
     assert got == want
 
+    # non-default id_col must thread through BOTH phases (the phase-1
+    # mapInPandas schema used to hardcode vec_id → missing-column crash)
+    emb2 = emb.withColumnRenamed("vec_id", "item_id")
+    quant2 = quant.withColumnRenamed("vec_id", "item_id")
+    got2 = {}
+    for r in int8_knn_join_bulk(quant2, emb2, queries, k=10, shortlist=100,
+                                id_col="item_id").collect():
+        got2.setdefault(r.query_id, set()).add(r.item_id)
+    assert got2 == want
+
 
 def test_prefix_rerank_topk_matches_two_stage_definition(spark):
     """Matryoshka artifact serve: (a) with a full-width 'prefix' and a
