@@ -268,27 +268,61 @@ def encode_png_tier(media: DataFrame) -> DataFrame:
     return media.mapInPandas(enc, schema=MEDIA_SCHEMA)
 
 
+def encode_jpeg_tier(media: DataFrame, quality: int = 95) -> DataFrame:
+    """Re-encode the raw-tier images as baseline JPEG payloads
+    (operators/jpeg.py) — the lossy sibling of encode_png_tier. Same
+    media-lake posture: compressed payloads with typed meta, opaque to
+    Spark; decode is a distributed Arrow-batched map. Features over this
+    tier are NEAR the raw tier's (bounded quantization error), never
+    bit-equal — JPEG is lossy by construction; the tolerance is pinned in
+    tests/test_multimodal.py."""
+    from parquetaivectorsearch_spark.operators.jpeg import jpeg_encode
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image" or meta["format"] != "raw":
+                    out.append((int(mid), kind, payload, meta))
+                    continue
+                img = decode_image_batch(payload, meta)
+                jpg = jpeg_encode(img, quality=quality)
+                out.append((int(mid), kind, jpg,
+                            ("jpeg", int(meta["width"]), int(meta["height"]),
+                             int(meta["channels"]), None, None)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload", "meta"])
+
+    return media.mapInPandas(enc, schema=MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
 
 def _require_raw(fmt: str) -> None:
     if fmt not in RAW_FORMATS:
-        # STUB: jpeg/video codec decode needs PIL/ffmpeg-class libraries not
-        # shipped in this container (png IS implemented — stdlib zlib path
-        # above). The raw-tier path below is the real, tested implementation
-        # of everything downstream of decode.
+        # STUB: video codec decode needs ffmpeg-class libraries not shipped
+        # in this container (png AND baseline jpeg ARE implemented — the
+        # stdlib zlib path above and operators/jpeg.py). The raw-tier path
+        # below is the real, tested implementation of everything downstream
+        # of decode.
         raise NotImplementedError(
             f"decode for compressed format {fmt!r} requires codec libraries "
-            "(PIL/libav) not available in this environment"
+            "(libav/ffmpeg) not available in this environment"
         )
 
 
 def decode_image_batch(payload: bytes, meta) -> np.ndarray:
-    """binary → (H, W, C) uint8 array. Real for format='raw' AND
-    format='png' (stdlib decoder above); jpeg remains the documented stub."""
+    """binary → (H, W, C) uint8 array. Real for format='raw', 'png'
+    (stdlib decoder above) and 'jpeg' (baseline codec, operators/jpeg.py);
+    video frames remain the documented stub."""
     if meta["format"] == "png":
         return png_decode(payload)
+    if meta["format"] == "jpeg":
+        from parquetaivectorsearch_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     _require_raw(meta["format"])
     h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
     return np.frombuffer(payload, dtype=np.uint8, count=h * w * c).reshape(h, w, c)

@@ -706,15 +706,20 @@ def q_pagerank_simgraph_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (within-list candidates only, no broadcast of the query side) —
     instead of pagerank_simgraph's vec_id < 200 all-pairs θ-join. This is
     the shape that survives 100 TB: graph build cost is Σ per-list blocks,
-    pagerank itself is the same 2-shuffle-per-round loop. The edge set is
-    approximate (recall vs the exact graph is pinned in tests/test_ann.py)
-    → rows-only. Symmetrizing the kNN edges also discharges pagerank's
-    no-dangling-node precondition by construction."""
+    pagerank itself is the same 2-shuffle-per-round loop. nlist is
+    corpus-adaptive (knn_graph's default, N / 512): a FIXED list count
+    makes within-list pair work quadratic in corpus size — with adaptive
+    lists and fixed nprobe the scored-pair count stays ~N × nprobe × 512,
+    i.e. linear (measured across a 10× corpus in SCALING.md). The edge
+    set is approximate (recall vs the exact graph is pinned in
+    tests/test_ann.py) → rows-only. Symmetrizing the kNN edges also
+    discharges pagerank's no-dangling-node precondition by
+    construction."""
     from parquetaivectorsearch_spark.operators import ann as ANN
     from parquetaivectorsearch_spark.operators.components import pagerank
 
     emb = _t(spark, sf_dir, "embeddings")
-    g = ANN.knn_graph(emb, k=3, nlist=8, nprobe=4).select("src", "dst")
+    g = ANN.knn_graph(emb, k=3, nprobe=4).select("src", "dst")
     edges = g.union(
         g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -91,11 +91,18 @@ def test_image_features_known_image(spark):
 
 
 def test_compressed_decode_is_stubbed(spark):
+    # video codecs remain the documented stub (png AND jpeg are real now)
     media = _manual_media(spark, [
-        (2, "image", b"\xff\xd8\xff", ("jpeg", 4, 4, 1, None, None)),
+        (2, "image", b"\x00\x00\x01\xb3", ("h264", 4, 4, 1, None, None)),
     ])
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         MM.image_features(media).collect()
+    # a truncated JPEG is a malformed-payload error, not a stub
+    bad = _manual_media(spark, [
+        (3, "image", b"\xff\xd8\xff", ("jpeg", 4, 4, 1, None, None)),
+    ])
+    with pytest.raises(Exception, match="SOF0|SOS|JPEG"):
+        MM.image_features(bad).collect()
 
 
 def test_png_roundtrip_all_filters_and_channels():
@@ -162,3 +169,88 @@ def test_png_tier_features_match_raw_tier(spark):
     png = {r.media_id: (list(r.mean_px), list(r.std_px), list(r.histogram))
            for r in MM.image_features(png_media).collect()}
     assert png == raw
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Baseline JPEG codec (operators/jpeg.py): encode→decode must stay
+    within DCT-quantization error bounds — near-lossless at quality 100,
+    bounded at 90 — for gray and RGB, including odd (non-multiple-of-8)
+    dimensions that exercise edge-replication padding."""
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    yy, xx = np.mgrid[0:41, 0:53]
+    rgb = np.stack([(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    gray = ((yy * 7 + xx * 3) % 256).astype(np.uint8)[:, :, None]
+    for img in (rgb, gray):
+        for q, bound in ((100, 2), (90, 25)):
+            enc = J.jpeg_encode(img, quality=q)
+            assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+            dec = J.jpeg_decode(enc)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.max() <= bound, (img.shape, q, err.max())
+
+
+def test_jpeg_stage_inverses():
+    """Where exactness IS defined, pin it: orthonormal DCT (matrix ×
+    transpose = I, float round trip), amplitude-category coding
+    (EXTEND ∘ bits = id over the int16 coefficient range), and the
+    Huffman code tables (prefix-free, decode table inverts code table)."""
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    assert np.allclose(J._M @ J._M.T, np.eye(8), atol=1e-12)
+    rng = np.random.RandomState(1)
+    b = rng.randn(8, 8)
+    assert np.allclose(J._M.T @ (J._M @ b @ J._M.T) @ J._M, b, atol=1e-10)
+    for v in list(range(-255, 256)) + [-2047, 2047]:
+        cat = J._category(v)
+        assert J._extend(J._amplitude_bits(v, cat), cat) == v, v
+    for spec in (J.DC_LUMA_SPEC, J.DC_CHROMA_SPEC,
+                 J.AC_LUMA_SPEC, J.AC_CHROMA_SPEC):
+        codes = J._build_codes(spec)
+        table = J._decode_tables(spec)
+        assert len(codes) == len(spec[1])
+        for sym, (code, ln) in codes.items():
+            assert table[(ln, code)] == sym
+        # prefix-free: no code is a prefix of a longer one
+        as_bits = {format(c, f"0{ln}b") for c, ln in codes.values()}
+        assert len(as_bits) == len(codes)
+        for a in as_bits:
+            for b2 in as_bits:
+                if a != b2:
+                    assert not b2.startswith(a)
+
+
+def test_jpeg_decode_rejects_unsupported():
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    with pytest.raises(ValueError, match="SOI"):
+        J.jpeg_decode(b"not a jpeg")
+    # progressive (SOF2) must be a scope error, not garbage output
+    prog = bytearray(J.jpeg_encode(np.zeros((8, 8, 1), dtype=np.uint8)))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        J.jpeg_decode(bytes(prog))
+
+
+def test_jpeg_tier_features_near_raw_tier(spark):
+    """The registered JPEG pipeline (encode_jpeg_tier → image_features):
+    distributed entropy-decode + IDCT on executors. Lossy by construction,
+    so features are NEAR the raw tier's — mean/std within 2 px levels at
+    quality 95 — never asserted bit-equal (that is the PNG twin's job)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = MM.synth_media(docs)
+    raw = {r.media_id: (list(r.mean_px), list(r.std_px))
+           for r in MM.image_features(media).collect()}
+    jm = MM.encode_jpeg_tier(media, quality=95)
+    kinds = {r.media_id: r.meta["format"]
+             for r in jm.filter(F.col("kind") == "image").collect()}
+    assert kinds and all(v == "jpeg" for v in kinds.values())
+    jpg = {r.media_id: (list(r.mean_px), list(r.std_px))
+           for r in MM.image_features(jm).collect()}
+    assert set(jpg) == set(raw)
+    for mid in raw:
+        for a, b in zip(raw[mid], jpg[mid]):
+            assert np.allclose(a, b, atol=2.0), (mid, raw[mid], jpg[mid])

@@ -1,0 +1,134 @@
+"""HNSW build-throughput ceiling + compaction-cost measurement
+(VERDICT r7 item 5): ground the "IVF is the scale default" claim with
+numbers at the REFERENCE regime's width (1536 dims, Program.cs:29-30)
+instead of the 64-dim fixture width the per-round bench reports.
+
+Measures, on local[$SPARK_GRAFT_CPUS]:
+  1. build_hnsw vec/s/partition at dim 64 and dim 1536 (same vector
+     count, one partition per core) — the pure-Python graph-build
+     ceiling and how much of it the width eats;
+  2. IVFIndex.build wall time on the SAME corpora — the Arrow-side
+     alternative the repo positions as the 100 TB default;
+  3. hnsw_compact wall time at n segments and 2n segments (segment-merge
+     cost vs segment count — the maintenance half of the append story).
+
+Writes a section into SCALING.md with the cluster-envelope math: hours
+to build the reference's 1M×1536 corpus at 32 / 256 / 1000 partitions.
+
+Usage: python tools/hnsw_ceiling.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+N = 20_000
+DIMS = (64, 1536)
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from parquetaivectorsearch_spark.operators import ann as ANN
+    from parquetaivectorsearch_spark.operators import hnsw as H
+    from parquetaivectorsearch_spark.session import get_spark
+
+    spark = get_spark("pavs-hnsw-ceiling",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+    base = tempfile.mkdtemp(prefix="hnsw_ceiling_")
+
+    rows_out: list[str] = []
+    per_part_1536 = None
+    for dim in DIMS:
+        rng = np.random.RandomState(5)
+        import pandas as pd
+
+        vecs = rng.randn(N, dim).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        pdf = pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64),
+                            "embedding": [v.tolist() for v in vecs]})
+        corpus = (spark.createDataFrame(pdf, "vec_id LONG, embedding ARRAY<FLOAT>")
+                  .repartition(cpus).localCheckpoint(eager=True))
+
+        t0 = time.monotonic()
+        g = H.build_hnsw(corpus, n_partitions=cpus)
+        g.write.format("noop").mode("overwrite").save()
+        t_hnsw = time.monotonic() - t0
+        vps = N / t_hnsw / cpus  # per-partition build throughput
+
+        t0 = time.monotonic()
+        ANN.IVFIndex.build(corpus, nlist=max(2, N // 512))
+        t_ivf = time.monotonic() - t0
+
+        rows_out.append(
+            f"| {dim} | {t_hnsw:.2f} | {vps:,.0f} | {t_ivf:.2f} |")
+        print(rows_out[-1], flush=True)
+        if dim == 1536:
+            per_part_1536 = vps
+
+    # compaction cost vs segment count (64-dim corpus, write once per config)
+    import pandas as pd
+
+    rng = np.random.RandomState(6)
+    vecs = rng.randn(N, 64).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pdf = pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    corpus = (spark.createDataFrame(pdf, "vec_id LONG, embedding ARRAY<FLOAT>")
+              .repartition(cpus).localCheckpoint(eager=True))
+    compact_rows = []
+    for nseg in (cpus, 2 * cpus):
+        path = f"{base}/seg{nseg}"
+        H.write_hnsw(H.build_hnsw(corpus, n_partitions=nseg), path)
+        t0 = time.monotonic()
+        s = H.hnsw_compact(spark, path, n_partitions=cpus)
+        t_c = time.monotonic() - t0
+        compact_rows.append(
+            f"| {nseg} | {s['segments_after']} | {t_c:.2f} |")
+        print(compact_rows[-1], flush=True)
+
+    # cluster envelope for the reference regime (1M × 1536)
+    env = []
+    for parts in (32, 256, 1000):
+        hrs = 1_000_000 / (per_part_1536 * parts) / 3600
+        env.append(f"| {parts} | {hrs:.2f} |")
+
+    md = Path(_REPO) / "SCALING.md"
+    text = md.read_text()
+    marker = "## HNSW build ceiling at reference width"
+    section = (
+        f"\n{marker} (tools/hnsw_ceiling.py)\n\n"
+        f"{N:,} unit vectors, one build partition per core ({cpus}), pure-\n"
+        "Python per-partition graph build (operators/hnsw.py) vs the Arrow-\n"
+        "side IVF build over the SAME corpus:\n\n"
+        "| dim | hnsw build s | hnsw vec/s/partition | ivf build s |\n"
+        "|---|---|---|---|\n" + "\n".join(rows_out) + "\n\n"
+        "Cluster envelope for the reference regime (1M × 1536,\n"
+        "Program.cs:29-30), hours = 1e6 / (vec/s/part × partitions):\n\n"
+        "| partitions | build hours |\n|---|---|\n" + "\n".join(env) + "\n\n"
+        "Segment-merge (hnsw_compact to "
+        f"{cpus} segments) vs input segment count — the rebuild cost is\n"
+        "dominated by the fresh graph build, so it is ~flat in how\n"
+        "fragmented the input was:\n\n"
+        "| input segments | output segments | compact s |\n|---|---|---|\n"
+        + "\n".join(compact_rows) + "\n")
+    if marker in text:
+        text = text[: text.index(marker) - 1]
+    md.write_text(text + section)
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

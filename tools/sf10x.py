@@ -1,0 +1,136 @@
+"""10× scale-factor stress for the curation stack (VERDICT r7 item 4).
+
+The four operators whose 100 TB claims rest on shuffle-shape arguments —
+dedup_minhash, dedup_substring, pagerank_simgraph_full,
+ivf_compact_maintenance — get one measured 10× data point each, turning
+the argument into evidence: run the registered query end-to-end at
+sf0.1 and at a synthetic 10× corpus, report min-of-REPS wall times and
+the log-log exponent alpha (t ~ data^alpha; 1.0 = linear, the scale
+requirement; ≫1 = a shape that will not survive 100 TB).
+
+The 10× corpus derives from sf0.1 (the driver's fixtures are read-only
+and there is no sf1.0 drop), replica r = 0..9:
+- documents: per-replica alphabet ROTATION of the text (identity at
+  r=0). Within a replica the original near-dup structure is preserved
+  exactly; across replicas shingle sets are disjoint — so true pair
+  count scales exactly 10× and no artificial cross-replica dup blowup
+  distorts the LSH buckets.
+- embeddings: deterministic hash-noise perturbation (±5% per coord,
+  keyed on (vec_id, replica, coord)) + renormalization — replicas are
+  near but not identical neighbors, the realistic shape for blocking.
+
+Usage: python tools/sf10x.py   (writes a section into SCALING.md)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BASE = "/root/testdata/sf0.1"
+TENX = "/tmp/sf10x"
+REPS = 3
+QUERIES = ["dedup_minhash", "dedup_substring", "pagerank_simgraph_full",
+           "ivf_compact_maintenance"]
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
+
+def build_10x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if Path(f"{TENX}/_done").exists():
+        return
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for r in range(10):
+        rot_l, rot_u = LOWER[r:] + LOWER[:r], UPPER[r:] + UPPER[:r]
+        parts.append(docs.select(
+            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            F.translate("text", LOWER + UPPER, rot_l + rot_u).alias("text"),
+            "lang", "source", "n_chars"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{TENX}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = []
+    for r in range(10):
+        pert = F.expr(
+            f"transform(embedding, (x, i) -> cast(x as double)"
+            f" + (pmod(xxhash64(vec_id, {r}, i), 2001) - 1000) / 20000.0)")
+        parts.append(emb.select(
+            (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+            pert.alias("p"), "label"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    (out.select("vec_id",
+                F.expr("transform(p, x -> cast(x / sqrt(aggregate(p, 0D,"
+                       " (acc, y) -> acc + y * y)) as float))")
+                .alias("embedding"), "label")
+     .repartition(32).write.mode("overwrite")
+     .parquet(f"{TENX}/embeddings.parquet"))
+    Path(f"{TENX}/_done").touch()
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from parquetaivectorsearch_spark.session import get_spark
+
+    spark = get_spark("pavs-sf10x",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    build_10x(spark)
+    qs = E.queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    for name in QUERIES:  # one full warm pass, untimed
+        run(name, BASE)
+        run(name, TENX)
+    t: dict[str, dict[str, list]] = {n: {BASE: [], TENX: []} for n in QUERIES}
+    for _ in range(REPS):
+        for name in QUERIES:
+            t[name][BASE].append(run(name, BASE))
+            t[name][TENX].append(run(name, TENX))
+
+    lines = []
+    for name in QUERIES:
+        t1, t10 = min(t[name][BASE]), min(t[name][TENX])
+        alpha = math.log(t10 / t1) / math.log(10)
+        lines.append(f"| {name} | {t1:.3f} | {t10:.3f} | {alpha:.2f} |")
+        print(lines[-1])
+
+    md = Path(_REPO) / "SCALING.md"
+    text = md.read_text()
+    marker = "## 10× curation-stack stress"
+    section = (
+        f"\n{marker} (tools/sf10x.py)\n\n"
+        "Synthetic 10× corpus derived from sf0.1 (alphabet-rotated document\n"
+        "replicas / hash-perturbed embedding replicas — see the tool's\n"
+        "docstring for why that preserves workload shape). min-of-3 per\n"
+        "cell after a full warm pass; alpha = log10(t_10x / t_sf0.1),\n"
+        "1.0 = data-linear. These four carry the 100 TB shuffle-shape\n"
+        "claims; sub-linear alphas mean fixed job overhead still floors\n"
+        "part of the cost at this size.\n\n"
+        "| query | sf0.1 s | 10x s | alpha |\n|---|---|---|---|\n"
+        + "\n".join(lines) + "\n")
+    if marker in text:
+        text = text[: text.index(marker) - 1]
+    md.write_text(text + section)
+
+
+if __name__ == "__main__":
+    main()
