@@ -109,6 +109,27 @@ def test_repetition_score_is_shuffle_free(spark):
     assert "HashAggregate" not in plan, plan
 
 
+def test_substring_dedup_single_window_shuffle(spark):
+    """dedup_substring's docstring contract: ONE shuffle of the (winnowed)
+    window table — reused by the distinct, the stop-window agg, and both
+    self-join sides — plus the final pair aggregation. The per-doc
+    winnowing min-scan must stay a narrow map (no exchange of its own):
+    executed adaptive plan shows ≤ 2 distinct Exchanges and ≥ 1 reuse."""
+    from parquetaivectorsearch_spark import plans as P2
+
+    df = QUERIES["dedup_substring"](spark, SF_SMOKE)
+    df.collect()
+    plan = P2.executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    if "== Initial Plan ==" in plan:  # AQE prints final + initial; keep final
+        plan = plan[: plan.index("== Initial Plan ==")]
+    # shuffle exchanges only — AQE may legally convert the tiny keep /
+    # self-join sides to broadcasts at fixture size
+    n_shuffle = plan.count("Exchange hashpartitioning") \
+        - plan.count("ReusedExchange")
+    assert n_shuffle <= 2, plan
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     """Spark's runtime row-level filtering must inject a bloom filter built
     from the selective build side into the probe-side scan of a shuffle
