@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from parquetaivectorsearch_spark.functions.text import char_ngrams, words
 
@@ -494,6 +495,84 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").alias("n_shared_windows"))
     )
+
+
+def substring_span_removal(docs: DataFrame, window: int = 32,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           hashed: bool = True) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 exact-substring dedup (the
+    paper cuts duplicated spans out of the corpus; substring_dup_pairs
+    only reports pairs): mark every position whose `window`-char
+    substring also occurs in another doc, keep the copy in the smallest
+    doc_id holding that window, and cut the merged marked spans from
+    every other doc.
+
+    DENSE windows (one per position), deliberately NOT winnowed: inside
+    a shared span EVERY window is shared, so the union of marked
+    [pos, pos+window-1] intervals covers the span exactly — removal gets
+    full-span semantics with no alignment caveat at all. Cost is one row
+    per character: an O(corpus bytes) shuffle, the same asymptotic bill
+    the paper's suffix array pays, just distributed. No self-join
+    anywhere — duplication is detected by a hash AGGREGATE on window
+    content (min holder + distinct-holder count), so boilerplate windows
+    shared by millions of docs cost one aggregate row, not a quadratic
+    bucket join; `hashed=True` ships xxhash64 keys (8 bytes/char) for
+    the scale run, `hashed=False` raw strings for the SQL oracle.
+
+    Windows repeated only WITHIN one doc are kept (cross-doc dedup, like
+    the pairs operator). Span merging is gaps-and-islands over marked
+    positions; adjacent/overlapping marks coalesce. Returns one row per
+    doc that lost ≥1 span: (doc_id, n_spans, chars_removed, clean_len,
+    clean_md5) — clean_md5 is md5 of the stitched remaining text, so an
+    oracle hash-checks the RECONSTRUCTION, not just the counts."""
+    d = docs.filter(F.length(text_col) >= window)
+    wins = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("len"),
+        F.col(text_col).alias("__t"),
+        F.explode(F.expr(
+            f"sequence(1, length({text_col}) - {window - 1})")).alias("pos"),
+    ).select("doc_id", "len", "pos",
+             F.expr(f"substring(__t, pos, {window})").alias("win"))
+    if hashed:
+        wins = wins.withColumn("win", F.xxhash64("win"))
+    holders = wins.groupBy("win").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count_distinct("doc_id").alias("nd"))
+    marks = (wins.join(holders.filter(F.col("nd") >= 2), "win")
+             .filter(F.col("doc_id") > F.col("keeper"))
+             .select("doc_id", "pos", "len"))
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    isl = (marks
+           .withColumn("pmax", F.max(F.col("pos") + window - 1).over(w_prev))
+           .withColumn("new_isl", F.when(
+               F.col("pmax").isNull()
+               | (F.col("pos") > F.col("pmax") + 1), 1).otherwise(0))
+           .withColumn("isl", F.sum("new_isl").over(w_run)))
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + window - 1).alias("e"),
+        F.first("len").alias("len"))
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    pieces = (spans
+              .withColumn("pe", F.coalesce(F.lag("e").over(w_doc), F.lit(0)))
+              .join(d.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+              .withColumn("piece", F.expr(
+                  f"substring({text_col}, pe + 1, s - pe - 1)")))
+    return (pieces.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("chars_removed"),
+        (F.first("len") - F.sum(F.col("e") - F.col("s") + 1)).alias("clean_len"),
+        F.md5(F.concat(
+            F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "piece"))),
+                lambda x: x["piece"]), ""),
+            F.expr(f"substring(any_value({text_col}), max(e) + 1)"),
+        )).alias("clean_md5"),
+    ))
 
 
 def minhash_dedup_incremental(new_docs: DataFrame, store_path: str,

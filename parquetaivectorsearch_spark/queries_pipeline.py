@@ -342,3 +342,99 @@ def q_fk_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in checks[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register("ranking_metrics", """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nation, c.c_custkey AS cust,
+             c.c_acctbal > 5000 AS rel,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS amt_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT nation, cust, rel,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY amt_c DESC, cust) AS rnk
+      FROM spend
+    ),
+    base AS (
+      SELECT nation,
+             SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel,
+             SUM(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS hits,
+             SUM(CASE WHEN rel AND rnk <= 10
+                      THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg,
+             MIN(CASE WHEN rel THEN rnk END) AS first_rel
+      FROM ranked GROUP BY nation
+    ),
+    idcg AS (
+      SELECT b.nation, SUM(1.0 / log2(t.i + 1)) AS idcg
+      FROM base b
+      JOIN unnest(generate_series(1, 10)) AS t(i)
+        ON t.i <= LEAST(10, b.n_rel)
+      GROUP BY b.nation
+    )
+    SELECT b.nation,
+           ROUND(CAST(b.hits AS DOUBLE) / 10, 6) AS precision_at_10,
+           ROUND(CASE WHEN b.n_rel = 0 THEN 0.0
+                      ELSE b.hits / CAST(b.n_rel AS DOUBLE) END, 6)
+             AS recall_at_10,
+           ROUND(CASE WHEN b.first_rel IS NULL THEN 0.0
+                      ELSE CAST(1 AS DOUBLE) / b.first_rel END, 6) AS mrr,
+           ROUND(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+                      ELSE b.dcg / i.idcg END, 6) AS ndcg_at_10
+    FROM base b LEFT JOIN idcg i ON b.nation = i.nation
+""")
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-evaluation metrics (precision@10 / recall@10 / MRR /
+    binary-gain nDCG@10) computed IN the engine — the eval loop a
+    retrieval or curation pipeline runs at corpus scale instead of
+    collecting ranked lists to a driver script. The "run" per nation
+    ranks its ordering customers by total spend summed in EXACT cents
+    (bigint — float summation order can flip near-ties across engines;
+    unique (amt_c DESC, cust) tiebreak); the relevance labels are independent of the ranking
+    (acctbal > 5000 over the same ordering-customer universe).
+
+    Shape: one grouped agg for the run, one window rank, one grouped agg
+    for the per-group metric sums, and a tiny broadcast series join for
+    the IDCG partial sums — nothing driver-side, so scoring a billion
+    ranked rows is the same plan. All arithmetic is engine-portable
+    (log2, exact int counts, ROUND 6dp above summation-order drift)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"),
+                 F.col("c_custkey").alias("cust"),
+                 (F.col("c_acctbal") > 5000).alias("rel"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("amt_c"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("amt_c"), F.col("cust"))
+    ranked = spend.withColumn("rnk", F.row_number().over(w))
+    rel1 = F.when(F.col("rel"), 1).otherwise(0)
+    base = ranked.groupBy("nation").agg(
+        F.sum(rel1).alias("n_rel"),
+        F.sum(F.when(F.col("rel") & (F.col("rnk") <= 10), 1)
+              .otherwise(0)).alias("hits"),
+        F.sum(F.when(F.col("rel") & (F.col("rnk") <= 10),
+                     F.lit(1.0) / F.log2(F.col("rnk") + 1))
+              .otherwise(F.lit(0.0))).alias("dcg"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+    )
+    series = spark.range(1, 11).select(F.col("id").alias("i"))
+    idcg = (base.join(F.broadcast(series),
+                      F.col("i") <= F.least(F.lit(10), F.col("n_rel")))
+            .groupBy("nation")
+            .agg(F.sum(F.lit(1.0) / F.log2(F.col("i") + 1)).alias("idcg")))
+    return (base.join(idcg, "nation", "left").select(
+        "nation",
+        F.round(F.col("hits") / 10.0, 6).alias("precision_at_10"),
+        F.round(F.when(F.col("n_rel") == 0, 0.0)
+                .otherwise(F.col("hits") / F.col("n_rel").cast("double")),
+                6).alias("recall_at_10"),
+        F.round(F.when(F.col("first_rel").isNull(), 0.0)
+                .otherwise(F.lit(1.0) / F.col("first_rel")), 6).alias("mrr"),
+        F.round(F.when(F.col("idcg").isNull() | (F.col("idcg") == 0), 0.0)
+                .otherwise(F.col("dcg") / F.col("idcg")), 6).alias("ndcg_at_10"),
+    ))

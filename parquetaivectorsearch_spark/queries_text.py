@@ -847,6 +847,72 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_docs_per_window=10, hashed=False)
 
 
+@register("dedup_substring_removal", """
+    WITH w AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, length(text) AS len,
+             substring(text, CAST(i AS INTEGER), 32) AS win
+      FROM documents, unnest(generate_series(1, length(text) - 31)) AS t(i)
+      WHERE length(text) >= 32
+    ),
+    k AS (
+      SELECT win, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS nd
+      FROM w GROUP BY win
+    ),
+    m AS (
+      SELECT w.doc_id, w.pos, w.len
+      FROM w JOIN k USING (win) WHERE k.nd >= 2 AND w.doc_id > k.keeper
+    ),
+    o AS (
+      SELECT doc_id, pos, len,
+             MAX(pos + 31) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM m
+    ),
+    i2 AS (
+      SELECT doc_id, pos, len,
+             SUM(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM o
+    ),
+    sp AS (
+      SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 31 AS e,
+             ANY_VALUE(len) AS len
+      FROM i2 GROUP BY doc_id, isl
+    ),
+    p AS (
+      SELECT sp.doc_id, sp.s, sp.e, sp.len, d.text,
+             COALESCE(LAG(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s),
+                      0) AS pe
+      FROM sp JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS chars_removed,
+           CAST(ANY_VALUE(len) - SUM(e - s + 1) AS BIGINT) AS clean_len,
+           md5(string_agg(substring(text, pe + 1, s - pe - 1), '' ORDER BY s)
+               || substring(ANY_VALUE(text), MAX(e) + 1)) AS clean_md5
+    FROM p GROUP BY doc_id
+""")
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of Lee et al. 2022 (the paper CUTS duplicated
+    spans; dedup_substring only reports pairs): dense 32-char windows,
+    min-doc_id holder keeps its copy, every other holder loses the merged
+    marked spans (gaps-and-islands coalescing). clean_md5 hash-checks the
+    STITCHED remaining text against the oracle — the reconstruction
+    itself is oracle-verified, not just counts. Dense windows (one per
+    char) are deliberate: inside a shared span every window is shared, so
+    removal covers full spans with no winnowing/alignment caveat; the
+    O(corpus bytes) aggregate is the same asymptotic bill the paper's
+    suffix array pays, distributed (operators/dedup.py
+    substring_span_removal, hashed twin for the 100 TB run)."""
+    from parquetaivectorsearch_spark.operators.dedup import (
+        substring_span_removal,
+    )
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    return substring_span_removal(d, window=32, hashed=False)
+
+
 @register("bpe_merge_step", """
     WITH w AS (
       SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),

@@ -182,3 +182,45 @@ def test_minhash_dedup_incremental_composes_to_batch(spark):
             inc[(r.doc_a, r.doc_b)] = round(r.jaccard, 9)
     assert inc == batch
     assert batch  # fixtures contain near-dups → non-vacuous
+
+
+def test_substring_span_removal_known_fixture(spark):
+    """Plant a 47-char span shared by three docs at different offsets: the
+    min-doc_id holder keeps its text untouched (absent from the output);
+    the other two lose exactly the planted span (dense windows cover it
+    fully), and clean_md5 equals the md5 of the Python-computed remainder."""
+    import hashlib
+    import random
+
+    from parquetaivectorsearch_spark.operators.dedup import (
+        substring_span_removal,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    pad = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    span = pad(47)
+    pre1, post1 = pad(5), pad(40)
+    pre2, post2 = pad(11), pad(40)
+    rows = [
+        (1, pad(3) + span + pad(40)),   # keeper (min doc_id)
+        (2, pre1 + span + post1),
+        (3, pre2 + span + post2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in substring_span_removal(docs, window=32).collect()}
+    assert set(got) == {2, 3}  # doc 1 keeps its copy
+    for doc_id, pre, post in ((2, pre1, post1), (3, pre2, post2)):
+        r = got[doc_id]
+        assert r.n_spans == 1
+        assert r.chars_removed == len(span)
+        assert r.clean_len == len(pre) + len(post)
+        want = hashlib.md5((pre + post).encode()).hexdigest()
+        assert r.clean_md5 == want, doc_id
+
+    # hashed twin (xxhash64 keys) must agree on the full output
+    h = {r.doc_id: (r.n_spans, r.chars_removed, r.clean_len, r.clean_md5)
+         for r in substring_span_removal(docs, window=32, hashed=True).collect()}
+    u = {r.doc_id: (r.n_spans, r.chars_removed, r.clean_len, r.clean_md5)
+         for r in substring_span_removal(docs, window=32, hashed=False).collect()}
+    assert h == u
