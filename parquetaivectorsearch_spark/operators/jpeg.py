@@ -158,10 +158,19 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_byte(self) -> None:
         if self.nbits:  # pad with 1-bits per T.81
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, second_byte: int) -> None:
+        """Byte-align, then append a raw FF xx marker (markers are never
+        byte-stuffed)."""
+        self.pad_byte()
+        self.out += bytes([0xFF, second_byte])
+
+    def flush(self) -> bytes:
+        self.pad_byte()
         return bytes(self.out)
 
 
@@ -299,9 +308,14 @@ def _encode_plane(zz: np.ndarray, writer: _BitWriter, dc_codes, ac_codes,
     return pred
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+def jpeg_encode(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
     """(H, W) or (H, W, 1|3) uint8 → baseline sequential JFIF bytes.
-    3-channel input is taken as RGB and coded as YCbCr 4:4:4."""
+    3-channel input is taken as RGB and coded as YCbCr 4:4:4.
+    ``restart_interval`` > 0 emits a DRI marker and an RSTn marker every
+    that many MCUs (DC predictors reset, bitstream byte-aligned) — the
+    T.81 resync mechanism real encoders use so a corrupt byte loses one
+    restart segment, not the rest of the scan."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -335,7 +349,12 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     writer = _BitWriter()
     preds = [0] * c
     n_blocks = comp_zz[0].shape[0]
+    rst = 0
     for b in range(n_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            writer.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            preds = [0] * c
         for ci in range(c):
             t = min(ci, 1)
             preds[ci] = _encode_plane(comp_zz[ci][b:b + 1], writer,
@@ -348,6 +367,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     for ti, q in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">HB", 67, ti) \
             + bytes(int(x) for x in q[ZIGZAG])  # DQT, zigzag order
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c)  # SOF0
     for ci in range(c):
         out += bytes([ci + 1, 0x11, min(ci, 1)])  # id, 1×1 sampling, qtab

@@ -254,3 +254,51 @@ def test_jpeg_tier_features_near_raw_tier(spark):
     for mid in raw:
         for a, b in zip(raw[mid], jpg[mid]):
             assert np.allclose(a, b, atol=2.0), (mid, raw[mid], jpg[mid])
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn resync (T.81 E.1.4): every restart interval must byte-align
+    the stream, emit the cycling RST marker, reset DC predictors — and
+    decode back within the same error bound as the unsegmented stream."""
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    yy, xx = np.mgrid[0:41, 0:53]  # 6×7 = 42 MCUs
+    rgb = np.stack([(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    base = np.abs(J.jpeg_decode(J.jpeg_encode(rgb, 95)).astype(int)
+                  - rgb.astype(int)).max()
+    for ri in (1, 3, 7):
+        enc = J.jpeg_encode(rgb, quality=95, restart_interval=ri)
+        assert any(enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+                   for i in range(len(enc) - 1))
+        err = np.abs(J.jpeg_decode(enc).astype(int) - rgb.astype(int)).max()
+        assert err <= base + 1, (ri, err, base)
+
+
+def test_jpeg_roundtrip_property():
+    """Property test: ANY uint8 image (random content, random small dims,
+    gray or RGB, any quality ≥ 70, any restart interval) must survive
+    encode→decode within a conservative per-pixel bound. Noise images are
+    the DCT's worst case, so the bound is loose — the invariant under test
+    is structural (no crash, right shape, bounded error), not fidelity."""
+    from hypothesis import given, settings, strategies as st
+
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(4, 24), w=st.integers(4, 24),
+        c=st.sampled_from([1, 3]),
+        q=st.integers(70, 100),
+        ri=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, q, ri, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w, c), dtype=np.uint8)
+        dec = J.jpeg_decode(J.jpeg_encode(img, quality=q,
+                                          restart_interval=ri))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 64
+
+    check()
