@@ -386,14 +386,20 @@ def _bench_wide(spark, extras: dict) -> None:
         ANN2.ivf_search(loaded, queries8, k=20, nprobe=8) \
             .write.format("noop").mode("overwrite").save()
 
-    ivf_serve()  # warm (same discipline as the other wide paths)
-    reps = []
-    for _ in range(2):  # min-of-2, same as every other wide path (r7's
-        t0 = time.monotonic()  # single rep published a 5.6s steal burst
-        ivf_serve()  # as the number of record vs the ~1.8s steady state)
-        reps.append(round(time.monotonic() - t0, 3))
-    extras["wide_ivf_search_8q"] = min(reps)
-    extras["wide_ivf_search_8q_reps"] = reps
+    def ivf_bulk():
+        ANN2.ivf_search_bulk(loaded, queries8, k=20, nprobe=8) \
+            .write.format("noop").mode("overwrite").save()
+
+    for fn, name in ((ivf_serve, "wide_ivf_search_8q"),
+                     (ivf_bulk, "wide_ivf_bulk_8q")):
+        fn()  # warm (same discipline as the other wide paths)
+        reps = []
+        for _ in range(2):  # min-of-2, same as every other wide path (r7's
+            t0 = time.monotonic()  # single rep published a 5.6s steal
+            fn()  # burst as the number of record vs the steady state)
+            reps.append(round(time.monotonic() - t0, 3))
+        extras[name] = min(reps)
+        extras[f"{name}_reps"] = reps
     extras["wide_ivf_pruned_frac"] = 0.25
     exact = {}
     for r in KNN2.knn_join(wcorpus, queries8, k=20).collect():

@@ -68,6 +68,24 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_search(index, queries, k=5, nprobe=3)
 
 
+@register("ann_ivf_bulk")  # rows-only: approximate results
+def q_ann_ivf_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-bulk IVF serve (operators/ann.ivf_search_bulk): the probed-
+    list UNION is scanned once and every Arrow batch scores all 8 queries
+    in one matmul, vs ivf_search's broadcast probe join which duplicates
+    each matched row per probing query through the pandas scorer — ~nprobe
+    × the Arrow bytes at the reference's 1536-dim width (BENCH_NOTES r8,
+    wide_ivf_bulk_8q). Same probe sets (identical centroid arithmetic on
+    the driver) ⇒ identical ids; pinned vs ivf_search and the exact KNN in
+    tests/test_ann.py. Carries the standard recall column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = ANN.ivf_search_bulk(index, queries, k=20, nprobe=8)
+    return _with_recall(out, emb, queries, k=20)
+
+
 @register("knn_join_int8_bulk")  # rows-only: int8 shortlist + einsum rerank
 def q_knn_join_int8_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk int8 serve, Arrow-native (operators/knn.int8_knn_join_bulk):

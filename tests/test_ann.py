@@ -380,3 +380,30 @@ def test_ivf_index_stats_invariants(spark):
     assert rows[0].n_lists == len(rows)
     assert all(r.n_vectors > 0 for r in rows)
     assert rows[0].imbalance >= 1.0
+
+
+def test_ivf_search_bulk_matches_ivf_search(spark):
+    """The Arrow-bulk serve path must return the same ids as the broadcast
+    probe-join path at the SAME nprobe (probe sets are computed with the
+    same centroid arithmetic), and equal the exact brute-force KNN at full
+    probe. Fixture neighbor gaps dwarf the float32-vs-sequential-fold
+    scoring difference, so id-set equality is stable."""
+    from parquetaivectorsearch_spark.operators import knn as KNN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+
+    for nprobe in (3, 8):
+        a, b = {}, {}
+        for r in ANN.ivf_search(index, queries, k=10, nprobe=nprobe).collect():
+            a.setdefault(r.query_id, set()).add(r.vec_id)
+        for r in ANN.ivf_search_bulk(index, queries, k=10, nprobe=nprobe).collect():
+            b.setdefault(r.query_id, set()).add(r.vec_id)
+        assert a == b, nprobe
+
+    exact = {}
+    for r in KNN.knn_join(emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    assert b == exact  # full probe == exact
