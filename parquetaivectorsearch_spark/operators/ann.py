@@ -539,20 +539,25 @@ def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
 
     The serve path (ivf_search) broadcasts its query batch — correct for a
     bounded batch, impossible when the query side IS the corpus. Here both
-    sides meet in a co-partitioned shuffle join on list_id: the query side
+    sides meet in ONE shuffle each on list_id (a cogroup): the query side
     fans out to its nprobe nearest lists, the candidate side sits in its
     one assigned list, so candidate work is bounded to within-list pairs
-    (Σ_i |list_i| × probes into i) — never all-pairs. This is the scale
-    path for graph-signal curation (pagerank over the similarity graph):
-    at 100 TB the graph build is nlist-bounded blocks with AQE handling
-    hot-list skew, not an O(N²) θ-join. nprobe = nlist degenerates to the
-    exact graph (every query scans every list) — used by the recall tests.
+    (Σ_i |list_i| × probes into i) — never all-pairs. Each list block is
+    scored with chunked float64 BLAS matmuls and emits only its per-query
+    top-k (a list cannot contribute more than k global neighbors), so the
+    final window merges n × nprobe × k candidate rows instead of the full
+    pair stream — the same partial-top-k discipline as knn_topk_arrow,
+    applied blockwise. This is the scale path for graph-signal curation
+    (pagerank over the similarity graph): at 100 TB the graph build is
+    nlist-bounded blocks with AQE handling hot-list skew, not an O(N²)
+    θ-join. nprobe = nlist degenerates to the exact graph (every query
+    scans every list) — used by the recall tests.
 
     Each candidate lives in exactly one list, so a (src, dst) pair is
     scored at most once — no dedup pass needed before the top-k window.
+    Group-memory bound: a list's members (~AVG_DEDUP_LIST_SIZE under
+    adaptive nlist) × a 4096-query chunk of its probers.
     """
-    from parquetaivectorsearch_spark.functions.vector import vec_dot_pandas
-
     if index is None:
         if nlist is None:
             # same corpus-adaptive sizing as embedding_dedup: lists must
@@ -566,21 +571,57 @@ def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
     q = corpus.select(F.col(id_col).alias("query_id"),
                       F.col(vec_col).alias("query_vec"))
     probed = probe_lists(q, index, nprobe)
-    scored = (
-        index.lists.select(F.col(id_col), F.col(vec_col), "list_id")
-        .join(probed, "list_id")  # co-partitioned shuffle join, NOT broadcast
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id", F.col(id_col),
-            (F.lit(1.0) - vec_dot_pandas(F.col(vec_col), F.col("query_vec"))
-             ).alias("distance"),
-        )
+
+    # Cogrouped per-list BLAS scoring (r8): both sides shuffle ONCE on
+    # list_id (the same exchange the old co-partitioned join paid), but
+    # each list block is scored with chunked float64 matmuls instead of a
+    # per-(member, query) pandas dot that ships BOTH vectors per pair —
+    # and each list emits only its per-query top-k, so the global window
+    # sees n_queries × nprobe × k rows, not the full Σ |list| × probes
+    # pair stream. Memory is bounded by |list| × CHUNK doubles (lists are
+    # ~AVG_DEDUP_LIST_SIZE under adaptive nlist; CHUNK caps the query
+    # side), never by the whole pair matrix.
+    CHUNK = 4096
+
+    def score_list(members: pd.DataFrame, queries: pd.DataFrame):
+        if not len(members) or not len(queries):
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "cand": pd.Series([], dtype="int64"),
+                 "distance": pd.Series([], dtype="float64")})
+        m_ids = members[id_col].to_numpy()
+        m = np.stack(members[vec_col].to_numpy()).astype(np.float64)
+        out_q, out_c, out_d = [], [], []
+        for s in range(0, len(queries), CHUNK):
+            qc = queries.iloc[s:s + CHUNK]
+            q_ids = qc["query_id"].to_numpy()
+            qm = np.stack(qc["query_vec"].to_numpy()).astype(np.float64)
+            dist = 1.0 - (m @ qm.T)  # (members, chunk)
+            dist[m_ids[:, None] == q_ids[None, :]] = np.inf  # self-edges
+            take = min(k, len(m_ids))
+            for j in range(len(q_ids)):
+                dj = dist[:, j]
+                cand = np.argpartition(dj, take - 1)[:take] \
+                    if take < len(dj) else np.arange(len(dj))
+                cand = cand[np.isfinite(dj[cand])]
+                out_q.extend([int(q_ids[j])] * len(cand))
+                out_c.extend(m_ids[cand].tolist())
+                out_d.extend(dj[cand].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "cand": out_c, "distance": out_d})
+
+    partial = (
+        index.lists.select("list_id", F.col(id_col), F.col(vec_col))
+        .groupBy("list_id")
+        .cogroup(probed.groupBy("list_id"))
+        .applyInPandas(score_list,
+                       "query_id BIGINT, cand BIGINT, distance DOUBLE")
     )
-    w = Window.partitionBy("query_id").orderBy("distance", id_col)
+    w = Window.partitionBy("query_id").orderBy("distance", "cand")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(F.col("query_id").alias("src"), F.col(id_col).alias("dst"),
+        .select(F.col("query_id").alias("src"), F.col("cand").alias("dst"),
                 "distance", "rank")
     )
 
