@@ -659,9 +659,15 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.95,
     caller-supplied ``n``, else the corpus's parquet footers (zero jobs;
     a sizing heuristic tolerates the filtered-frame overestimate), else —
     only when neither is available — one count() job (VERDICT r5 #6).
-    """
-    from parquetaivectorsearch_spark.functions.vector import cosine_similarity
 
+    Scoring (r8): ONE shuffle grouping members by list, then a chunked
+    float64 gram matrix per list block — the self-join it replaces
+    materialized every within-list pair row carrying BOTH embeddings
+    (m× duplication of each member through the exchange); here each
+    member crosses the shuffle once and only the ≥ threshold pairs are
+    emitted. Chunk rows bound memory at CHUNK × |list| doubles even on a
+    pre-compaction hot list.
+    """
     if nlist is None:
         if n is None:
             from parquetaivectorsearch_spark.sources import approx_num_rows
@@ -669,14 +675,30 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.95,
             n = approx_num_rows(corpus)
         nlist = adaptive_nlist(n if n is not None else corpus.count())
     assigned = IVFIndex.build(corpus, nlist, vec_col, metric="cosine", seed=seed).lists
-    a = assigned.select(F.col("list_id"), F.col(id_col).alias("vec_a"),
-                        F.col(vec_col).alias("emb_a"))
-    b = assigned.select(F.col("list_id"), F.col(id_col).alias("vec_b"),
-                        F.col(vec_col).alias("emb_b"))
+    CHUNK = 2048
+
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), CHUNK):
+            sim = xn[s:s + CHUNK] @ xn.T  # (chunk, m)
+            ii, jj = np.nonzero(sim >= threshold)
+            gi = ii + s  # chunk-local → global row index
+            keep = jj > gi  # upper triangle: each unordered pair once
+            gi, jj = gi[keep], jj[keep]
+            aa, bb = ids[gi], ids[jj]
+            lo = np.minimum(aa, bb)
+            out_a.extend(lo.tolist())
+            out_b.extend(np.maximum(aa, bb).tolist())
+            out_c.extend(sim[gi - s, jj].tolist())
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
     return (
-        a.join(b, "list_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b",
-                cosine_similarity("emb_a", "emb_b").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        assigned.select("list_id", F.col(id_col), F.col(vec_col))
+        .groupBy("list_id")
+        .applyInPandas(per_list, "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE")
     )
