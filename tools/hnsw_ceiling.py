@@ -124,7 +124,9 @@ def main() -> None:
         "| input segments | output segments | compact s |\n|---|---|---|\n"
         + "\n".join(compact_rows) + "\n")
     if marker in text:
-        text = text[: text.index(marker) - 1]
+        start = text.index(marker) - 1
+        nxt = text.find("\n## ", start + len(marker))
+        text = text[:start] + (text[nxt:] if nxt != -1 else "")
     md.write_text(text + section)
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()

@@ -1,8 +1,9 @@
 """10× scale-factor stress for the curation stack (VERDICT r7 item 4).
 
-The four operators whose 100 TB claims rest on shuffle-shape arguments —
-dedup_minhash, dedup_substring, pagerank_simgraph_full,
-ivf_compact_maintenance — get one measured 10× data point each, turning
+The operators whose 100 TB claims rest on shuffle-shape arguments —
+dedup_minhash, dedup_substring, dedup_substring_removal,
+pagerank_simgraph_full, ivf_compact_maintenance — get one measured 10×
+data point each, turning
 the argument into evidence: run the registered query end-to-end at
 sf0.1 and at a synthetic 10× corpus, report min-of-REPS wall times and
 the log-log exponent alpha (t ~ data^alpha; 1.0 = linear, the scale
@@ -36,8 +37,8 @@ if _REPO not in sys.path:
 BASE = "/root/testdata/sf0.1"
 TENX = "/tmp/sf10x"
 REPS = 3
-QUERIES = ["dedup_minhash", "dedup_substring", "pagerank_simgraph_full",
-           "ivf_compact_maintenance"]
+QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
+           "pagerank_simgraph_full", "ivf_compact_maintenance"]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
@@ -128,7 +129,9 @@ def main() -> None:
         "| query | sf0.1 s | 10x s | alpha |\n|---|---|---|---|\n"
         + "\n".join(lines) + "\n")
     if marker in text:
-        text = text[: text.index(marker) - 1]
+        start = text.index(marker) - 1
+        nxt = text.find("\n## ", start + len(marker))
+        text = text[:start] + (text[nxt:] if nxt != -1 else "")
     md.write_text(text + section)
 
 
