@@ -175,3 +175,50 @@ def test_pmi_collocations_survives_one_word_docs(spark):
     rows = q_pmi_collocations(spark, d).collect()
     pairs = {(r.w1, r.w2) for r in rows}
     assert ("alpha", "beta") in pairs  # seen 14 times ≥ 5
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """Independent recomputation guard: ranking_metrics is oracle-checked,
+    but the oracle SQL and the Spark plan share an author — a formula bug
+    written into both would hash-match. This fixture pins the metric
+    DEFINITIONS by hand: 13 customers in one nation with spends that rank
+    them 1..13 and relevance at ranks {2,5,11,13}, plus a nation with no
+    relevant customers at all (every zero-guard path)."""
+    import math
+    import tempfile
+
+    from parquetaivectorsearch_spark.queries_pipeline import q_ranking_metrics
+
+    d = tempfile.mkdtemp(prefix="rankm_")
+    cust, orders, oid = [], [], 0
+    for i in range(1, 14):  # nation 7: rank i = customer i (spend desc)
+        rel = i in (2, 5, 11, 13)
+        cust.append((i, 7, 9000.0 if rel else 100.0))
+        # two orders summing to 1000 - 10i (exact cents)
+        orders.append((oid, i, 600.0 - 10 * i)); oid += 1
+        orders.append((oid, i, 400.0)); oid += 1
+    for i in range(20, 23):  # nation 8: nobody relevant
+        cust.append((i, 8, 100.0))
+        orders.append((oid, i, 50.0)); oid += 1
+    spark.createDataFrame(
+        cust, "c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE"
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    got = {r.nation: r for r in q_ranking_metrics(spark, d).collect()}
+    assert set(got) == {7, 8}
+
+    # nation 7, by definition: hits@10 = ranks {2,5} → 2 of 4 relevant
+    dcg = 1 / math.log2(2 + 1) + 1 / math.log2(5 + 1)
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 5))  # min(10, 4) ideal
+    r7 = got[7]
+    assert r7.precision_at_10 == round(2 / 10, 6)
+    assert r7.recall_at_10 == round(2 / 4, 6)
+    assert r7.mrr == round(1 / 2, 6)
+    assert r7.ndcg_at_10 == round(dcg / idcg, 6)
+
+    r8 = got[8]
+    assert (r8.precision_at_10, r8.recall_at_10, r8.mrr, r8.ndcg_at_10) \
+        == (0.0, 0.0, 0.0, 0.0)
