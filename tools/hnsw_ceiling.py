@@ -122,7 +122,21 @@ def main() -> None:
         "dominated by the fresh graph build, so it is ~flat in how\n"
         "fragmented the input was:\n\n"
         "| input segments | output segments | compact s |\n|---|---|---|\n"
-        + "\n".join(compact_rows) + "\n")
+        + "\n".join(compact_rows) + "\n\n"
+        "Reading (the numbers that ground \"IVF is the scale default\"):\n"
+        "the pure-Python graph build is WIDTH-INSENSITIVE (per-candidate\n"
+        "Python/heap overhead dominates the numpy dot) at "
+        f"~{per_part_1536:,.0f} vec/s/partition ≈ "
+        f"{per_part_1536 * cpus:,.0f} vec/s on this machine — the\n"
+        "per-round bench's replicated-corpus `hnsw_build_vecs_per_sec` is\n"
+        "a duplicate-collapsed upper bound, not this steady state. That is\n"
+        f"~{1000 * cpus / (per_part_1536 * cpus):.0f} ms of CPU per vector:\n"
+        "~24k core-hours at 10^10 vectors, all Python overhead. IVF build\n"
+        "at width is a FIXED sample-capped k-means plus a\n"
+        "microseconds-per-vector Arrow assignment, so beyond ~100k vectors\n"
+        "IVF builds orders of magnitude cheaper — IVF is the default scale\n"
+        "path, HNSW the reference-parity/serve-latency tier. hnsw_compact\n"
+        "is rebuild-dominated and ~flat in input fragmentation.\n")
     if marker in text:
         start = text.index(marker) - 1
         nxt = text.find("\n## ", start + len(marker))
