@@ -427,28 +427,32 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything else follows in registration order. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 8 window ---
-    # (a) the 19 queries with zero driver evidence after r7 (8 oracle-gated)
-    "ann_filtered_topk", "ann_index_stats", "ann_range_search",
-    "dedup_minhash_incremental", "dedup_substring", "image_features_png",
-    "ivf_compact_maintenance", "knn_join_int8_bulk", "knn_range_search",
-    "matryoshka_topk", "maxsim_join", "maxsim_multivector",
-    "pagerank_simgraph_full", "pca_project_embeddings", "pretokenize_pieces",
-    "retrieve_docs", "streaming_enrich_join", "streaming_hnsw_ingest",
-    "streaming_ivf_ingest",
-    # (b) token_count re-sample: its r1 pass predates the true-BPE rewrite
-    "token_count",
-    # (c) canaries whose implementations changed in r7
-    "important_stock", "excess_inventory", "join_bucketed",
-    "pagerank_simgraph", "knn_topk_int8", "embedding_int8_quantize",
-    "image_features", "audio_features", "dedup_minhash",
-    # (d) suite-spread canaries (refresh the oldest r1 evidence)
-    "scan_parquet", "filter_pushdown", "groupby_agg",
-    "join_orders_customer", "join_broadcast_nation", "knn_topk", "knn_join",
-    "dot_product", "vector_norm", "text_stats", "dedup_exact", "set_ops",
-    "window_rank", "json_extract", "date_trunc_agg", "sort_by_id",
-    "cast_embedding", "rollup_agg", "cosine_topk", "token_cost",
-    "similarity_join",
+    # --- round 9 window ---
+    # (a) the 4 queries registered in r8, never driver-sampled
+    #     (dedup_substring_removal + ranking_metrics are oracle-gated)
+    "dedup_substring_removal", "ranking_metrics", "image_features_jpeg",
+    "ann_ivf_bulk",
+    # (b) changed-impl canaries: r8 cogroup/gram rewrites touched
+    #     dedup_embedding / ann_topk / ann_knn_join, and the planned r9
+    #     tie-safe top-k fixes (ADVICE r8) touch ann_ivf_bulk / knn_graph
+    #     (pagerank_simgraph_full) / knn_topk_arrow; ann_hnsw_topk covers
+    #     the hnsw_compact rename-swap path
+    "dedup_embedding", "ann_topk", "ann_knn_join", "knn_topk_arrow",
+    "ann_hnsw_topk", "pagerank_simgraph_full",
+    # (c) refresh the remaining queries whose only evidence is r1
+    "centroid_per_label", "cohort_retention", "concat_title_text",
+    "count_rows", "explode_words", "funnel_steps", "json_sample_sink",
+    "json_source_roundtrip", "knn_filtered", "knn_join_bulk",
+    "knn_topk_per_label", "knn_topk_sql", "mmr_rerank", "orc_roundtrip",
+    "pivot_event_types", "pq_topk", "project_columns", "quantize_embedding",
+    "schema_introspect", "similarity_join_lsh", "stats_agg", "sum_tokens",
+    "zorder_layout",
+    # (d) oldest r5 evidence, suite-spread
+    "argmax_agg", "asof_join", "big_orders", "bm25_rank",
+    "cheapest_supplier", "correlated_scalar_subquery", "csv_roundtrip",
+    "datetime_functions", "decontaminate", "forecast_revenue",
+    "incremental_rollup", "join_salted", "knn_checksum", "lateral_topn",
+    "market_share", "merge_upsert", "pack_sequences",
 )
 
 
