@@ -347,8 +347,12 @@ def ivf_search_bulk(index: IVFIndex, queries: DataFrame, k: int = 20,
                 if not len(finite):
                     continue
                 take = min(k, len(finite))
-                cand = finite[np.argpartition(dj[finite], take - 1)[:take]] \
-                    if take < len(finite) else finite
+                # lexsort, not argpartition: exact distance ties at the
+                # batch-k boundary (duplicate vectors) must keep the
+                # id-winning row or the global (distance, id) window can
+                # rank a different id than ivf_search — same reasoning as
+                # knn_topk_arrow (operators/knn.py:293)
+                cand = finite[np.lexsort((ids[finite], dj[finite]))[:take]]
                 out_q.extend([int(qid)] * len(cand))
                 out_i.extend(ids[cand].tolist())
                 out_d.extend(dj[cand].tolist())
@@ -555,8 +559,15 @@ def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
 
     Each candidate lives in exactly one list, so a (src, dst) pair is
     scored at most once — no dedup pass needed before the top-k window.
-    Group-memory bound: a list's members (~AVG_DEDUP_LIST_SIZE under
-    adaptive nlist) × a 4096-query chunk of its probers.
+    Memory honesty: CHUNK bounds only the matmul INTERMEDIATE
+    (|list| × 4096 doubles). applyInPandas cogroup materializes each
+    list's ENTIRE member set and ENTIRE prober set as pandas frames
+    before chunking — a hot list's resident cost is
+    O((|members| + |probers|) × dim), unlike the old streamed pair join.
+    The bound on that materialization is structural, not in this
+    function: adaptive_nlist keeps |members| ~AVG_DEDUP_LIST_SIZE and
+    compact_hot_lists splits outlier lists; run compaction before graph
+    builds on skewed corpora.
     """
     if index is None:
         if nlist is None:
@@ -601,8 +612,14 @@ def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
             take = min(k, len(m_ids))
             for j in range(len(q_ids)):
                 dj = dist[:, j]
-                cand = np.argpartition(dj, take - 1)[:take] \
-                    if take < len(dj) else np.arange(len(dj))
+                # lexsort on (distance, member id): tie-safe at the
+                # list-level cut — exact-duplicate embeddings (the dedup
+                # use case) must not flip which neighbor id survives, and
+                # the nprobe=nlist recall tests assert equality with the
+                # exact graph whose window breaks ties on id. inf
+                # (self-edge) sorts last, so the finite filter after the
+                # take keeps semantics identical.
+                cand = np.lexsort((m_ids, dj))[:take]
                 cand = cand[np.isfinite(dj[cand])]
                 out_q.extend([int(q_ids[j])] * len(cand))
                 out_c.extend(m_ids[cand].tolist())

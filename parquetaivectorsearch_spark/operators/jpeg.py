@@ -7,16 +7,19 @@ jpeg format instead of a NotImplementedError stub, mirroring the PNG
 tier closed in r7.
 
 Scope (documented, enforced):
-- encoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with NO
-  chroma subsampling (4:4:4), standard Annex-K-style quantization
-  scaled by libjpeg's quality formula, fixed Huffman tables emitted in
-  DHT markers. JPEG files CARRY their entropy tables, so round-trip
-  correctness (and third-party decodability) depends on the emitted
-  DHT, not on matching Annex K bit-for-bit.
-- decoder: baseline sequential (SOF0) only, 8-bit, 1×1 sampling
-  factors, restart intervals supported; progressive (SOF2), subsampled,
-  12-bit, and arithmetic-coded streams raise NotImplementedError with
-  the reason.
+- encoder: baseline sequential DCT, 8-bit, grayscale or YCbCr at
+  4:4:4 (default), 4:2:2, or 4:2:0 chroma subsampling (box-mean
+  downsample, MCU-interleaved data units), standard Annex-K-style
+  quantization scaled by libjpeg's quality formula, fixed Huffman
+  tables emitted in DHT markers. JPEG files CARRY their entropy tables,
+  so round-trip correctness (and third-party decodability) depends on
+  the emitted DHT, not on matching Annex K bit-for-bit.
+- decoder: baseline sequential (SOF0) only, 8-bit, any integer
+  sampling-factor combination (4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 — the
+  camera/web shapes) with pixel-replication chroma upsample, SOS
+  components mapped to SOF entries by id, restart intervals supported;
+  progressive (SOF2), 12-bit, multi-scan, and arithmetic-coded streams
+  raise NotImplementedError with the reason.
 
 Unlike the PNG tier there is no bit-equality oracle — JPEG is lossy by
 construction — so tests pin (a) encode→decode round-trip error bounds
@@ -256,15 +259,33 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def _blockify_grid(plane: np.ndarray, gbh: int, gbw: int) -> np.ndarray:
+    """(H, W) float plane → (gbh*gbw, 8, 8) padded by edge replication to a
+    FIXED block grid (gbh × gbw blocks) — sampling factors can force the
+    grid past the minimal ceil(H/8) (MCU alignment). Raster order."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, gbh * 8 - h), (0, gbw * 8 - w)), mode="edge")
+    return (padded.reshape(gbh, 8, gbw, 8).transpose(0, 2, 1, 3)
+            .reshape(gbh * gbw, 8, 8))
+
+
 def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     """(H, W) float plane → (n_blocks, 8, 8) with edge replication; returns
     (blocks, blocks_h, blocks_w). Block raster order is row-major."""
     h, w = plane.shape
     bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    blocks = (padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-              .reshape(bh * bw, 8, 8))
-    return blocks, bh, bw
+    return _blockify_grid(plane, bh, bw), bh, bw
+
+
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Chroma downsample by fh×fv box mean (edge-replicated to a multiple
+    first) — the plain-average subsampling every baseline encoder is
+    allowed to use; the decoder's replication upsample is its inverse up
+    to the averaging loss."""
+    h, w = plane.shape
+    ch, cw = -(-h // fv), -(-w // fh)
+    padded = np.pad(plane, ((0, ch * fv - h), (0, cw * fh - w)), mode="edge")
+    return padded.reshape(ch, fv, cw, fh).mean(axis=(1, 3))
 
 
 def _unblockify(blocks: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.ndarray:
@@ -308,22 +329,43 @@ def _encode_plane(zz: np.ndarray, writer: _BitWriter, dc_codes, ac_codes,
     return pred
 
 
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
 def jpeg_encode(img: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                subsampling: str = "4:4:4",
+                _scan_order: tuple[int, ...] | None = None) -> bytes:
     """(H, W) or (H, W, 1|3) uint8 → baseline sequential JFIF bytes.
-    3-channel input is taken as RGB and coded as YCbCr 4:4:4.
+    3-channel input is taken as RGB and coded as YCbCr.
+    ``subsampling``: "4:4:4" (default), "4:2:2", or "4:2:0" — chroma is
+    box-mean downsampled and the luma sampling factors become 2×1 / 2×2,
+    matching the MCU interleave virtually every camera/web JPEG uses.
     ``restart_interval`` > 0 emits a DRI marker and an RSTn marker every
     that many MCUs (DC predictors reset, bitstream byte-aligned) — the
     T.81 resync mechanism real encoders use so a corrupt byte loses one
-    restart segment, not the rest of the scan."""
+    restart segment, not the rest of the scan.
+    ``_scan_order`` (test fixture only): permutation of component indices
+    for the SOS header and MCU interleave — T.81 allows a scan to list
+    components in any order, and the decoder's by-id SOS→SOF mapping
+    needs a stream only a reordering encoder can produce."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     if c not in (1, 3):
         raise NotImplementedError(f"jpeg_encode: {c}-channel images")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"jpeg_encode: unknown subsampling {subsampling!r}; "
+                         f"one of {sorted(_SUBSAMPLING)}")
+    fh, fv = _SUBSAMPLING[subsampling] if c == 3 else (1, 1)
+    # per-component (horizontal, vertical) sampling factors: luma carries
+    # the max factors, chroma stays 1×1 — the T.81 shape of 4:2:0/4:2:2
+    factors = [(fh, fv)] + [(1, 1)] * (c - 1)
     if c == 3:
-        planes = _rgb_to_ycbcr(img)
-        planes = [planes[..., i] for i in range(3)]
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0]] + [
+            _box_downsample(ycc[..., i], fh, fv) if (fh, fv) != (1, 1)
+            else ycc[..., i] for i in (1, 2)]
     else:
         planes = [img[..., 0].astype(np.float64)]
 
@@ -336,29 +378,41 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
     dc_codes = [_build_codes(s) for s in dc_specs]
     ac_codes = [_build_codes(s) for s in ac_specs]
 
-    # per-component quantized zigzag coefficients
-    comp_zz = []
+    # MCU grid sized by the max sampling factors; each component's block
+    # grid is MCU-aligned (mcy*fv_i × mcx*fh_i), edge-padded
+    mcx, mcy = -(-w // (8 * fh)), -(-h // (8 * fv))
+    comp_zz, comp_gbw = [], []
     for ci, plane in enumerate(planes):
+        cfh, cfv = factors[ci]
+        gbh, gbw = mcy * cfv, mcx * cfh
         q = qtabs[min(ci, 1)].reshape(8, 8)
-        blocks, _bh, _bw = _blockify(plane - 128.0)
+        blocks = _blockify_grid(plane - 128.0, gbh, gbw)
         coef = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
         zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         comp_zz.append(zz)
+        comp_gbw.append(gbw)
 
-    # entropy-code interleaved MCUs (1×1 sampling → one block per comp)
+    # entropy-code interleaved MCUs: per MCU, each component contributes
+    # its fh×fv data units in raster order (T.81 A.2.3)
     writer = _BitWriter()
     preds = [0] * c
-    n_blocks = comp_zz[0].shape[0]
     rst = 0
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m in range(mcy * mcx):
+        if restart_interval and m and m % restart_interval == 0:
             writer.emit_marker(0xD0 + rst)
             rst = (rst + 1) % 8
             preds = [0] * c
-        for ci in range(c):
+        my, mx = divmod(m, mcx)
+        for ci in (_scan_order or range(c)):
             t = min(ci, 1)
-            preds[ci] = _encode_plane(comp_zz[ci][b:b + 1], writer,
-                                      dc_codes[t], ac_codes[t], preds[ci])
+            cfh, cfv = factors[ci]
+            gbw = comp_gbw[ci]
+            for by in range(cfv):
+                for bx in range(cfh):
+                    idx = (my * cfv + by) * gbw + (mx * cfh + bx)
+                    preds[ci] = _encode_plane(
+                        comp_zz[ci][idx:idx + 1], writer,
+                        dc_codes[t], ac_codes[t], preds[ci])
     scan = writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -371,7 +425,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c)  # SOF0
     for ci in range(c):
-        out += bytes([ci + 1, 0x11, min(ci, 1)])  # id, 1×1 sampling, qtab
+        cfh, cfv = factors[ci]
+        out += bytes([ci + 1, (cfh << 4) | cfv, min(ci, 1)])  # id, samp, qtab
     for cls, specs in ((0, dc_specs), (1, ac_specs)):
         for ti in range(min(c, 2)):
             bits, vals = specs[ti]
@@ -379,7 +434,7 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
                                              (cls << 4) | ti) \
                 + bytes(bits) + bytes(vals)  # DHT
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * c, c)  # SOS
-    for ci in range(c):
+    for ci in (_scan_order or range(c)):
         t = min(ci, 1)
         out += bytes([ci + 1, (t << 4) | t])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
@@ -413,15 +468,18 @@ def _read_symbol(reader: _BitReader, table) -> int:
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JFIF/JPEG bytes → (H, W, C) uint8 (C = 1 or 3, RGB).
-    Raises NotImplementedError for progressive/subsampled/12-bit
-    streams — the documented scope gate, same posture as png_decode."""
+    Integer sampling factors (4:2:0, 4:2:2, 4:4:0, 4:1:1, …) are decoded
+    with pixel-replication chroma upsample — the common camera/web shape.
+    Raises NotImplementedError for progressive/12-bit/multi-scan streams
+    and non-integer sampling ratios — the documented scope gate, same
+    posture as png_decode."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    comps: list[tuple[int, int, int, int]] = []  # (id, fh, fv, qtab)
     h = w = None
     restart = 0
     scan_comps: list[tuple[int, int, int]] = []
@@ -462,10 +520,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{depth}-bit JPEG")
             for ci in range(nc):
                 cid, samp, qid = seg[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG (sampling factors != 1x1)")
-                comps.append((cid, samp, qid))
+                fh, fv = samp >> 4, samp & 0x0F
+                if not (1 <= fh <= 4 and 1 <= fv <= 4):
+                    raise ValueError(f"invalid sampling factors {fh}x{fv}")
+                comps.append((cid, fh, fv, qid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -485,44 +543,81 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG without SOF0/SOS")
 
     c = len(comps)
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw
+    if c == 1:
+        # single-component scan: the data unit is one block regardless of
+        # declared factors (T.81 A.2.2) — some encoders still write 2×2
+        cid0, _, _, qid0 = comps[0]
+        comps = [(cid0, 1, 1, qid0)]
+    hmax = max(fh for _, fh, _, _ in comps)
+    vmax = max(fv for _, _, fv, _ in comps)
+    for _, fh, fv, _ in comps:
+        if hmax % fh or vmax % fv:
+            raise NotImplementedError(
+                f"non-integer sampling ratio ({fh}x{fv} into {hmax}x{vmax})")
+    if len(scan_comps) != c:
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG")
+    # Map each SOS entry to its SOF component BY ID (ADVICE r8): a stream
+    # whose scan lists components in a different order than the frame
+    # header would otherwise dequantize each plane with the wrong table.
+    sof_by_id = {comp[0]: i for i, comp in enumerate(comps)}
+    order: list[tuple[int, int, int]] = []  # (sof index, dc table, ac table)
+    for cid, dt, at in scan_comps:
+        if cid not in sof_by_id:
+            raise ValueError(f"SOS component id {cid} not declared in SOF0")
+        order.append((sof_by_id[cid], dt, at))
+
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grid = [(mcy * fv, mcx * fh) for _, fh, fv, _ in comps]
+    coefs = [np.zeros((gbh * gbw, 64), dtype=np.int64) for gbh, gbw in grid]
     reader = _BitReader(data[scan_start:])
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(c)]
     preds = [0] * c
-    for m in range(n_mcu):
+    for m in range(mcy * mcx):
         if restart and m and m % restart == 0:
             reader.align_to_marker()
             preds = [0] * c
-        for ci in range(c):
-            _cid, dt, at = scan_comps[ci]
+        my, mx = divmod(m, mcx)
+        for si, dt, at in order:
+            _cid, fh, fv, _qid = comps[si]
             dc_t, ac_t = huff[(0, dt)], huff[(1, at)]
-            cat = _read_symbol(reader, dc_t)
-            diff = _extend(reader.read(cat), cat)
-            preds[ci] += diff
-            blk = coefs[ci][m]
-            blk[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(reader, ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0x0F
-                if cat == 0 and run == 15:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                blk[k] = _extend(reader.read(cat), cat)
-                k += 1
+            gbw = grid[si][1]
+            for by in range(fv):
+                for bx in range(fh):
+                    cat = _read_symbol(reader, dc_t)
+                    diff = _extend(reader.read(cat), cat)
+                    preds[si] += diff
+                    blk = coefs[si][(my * fv + by) * gbw + (mx * fh + bx)]
+                    blk[0] = preds[si]
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(reader, ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, cat = sym >> 4, sym & 0x0F
+                        if cat == 0 and run == 15:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blk[k] = _extend(reader.read(cat), cat)
+                        k += 1
 
     planes = []
-    for ci, (cid, _samp, qid) in enumerate(comps):
+    for si, (cid, fh, fv, qid) in enumerate(comps):
         q = qtabs[qid].reshape(8, 8).astype(np.float64)
-        blocks = (coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8) * q)
+        blocks = (coefs[si][:, UNZIGZAG].reshape(-1, 8, 8) * q)
         pix = np.einsum("xu,nuv,yv->nxy", _M.T, blocks, _M.T) + 128.0
-        planes.append(_unblockify(pix, bh, bw, h, w))
+        gbh, gbw = grid[si]
+        ch, cw = -(-h * fv // vmax), -(-w * fh // hmax)  # component px dims
+        plane = _unblockify(pix, gbh, gbw, ch, cw)
+        if fh != hmax or fv != vmax:
+            # pixel-replication upsample to full resolution (a valid
+            # baseline decode; libjpeg's "fancy" triangle filter differs
+            # by ≤ the quantization noise the lossy tolerance covers)
+            plane = np.repeat(np.repeat(plane, vmax // fv, axis=0),
+                              hmax // fh, axis=1)[:h, :w]
+        planes.append(plane)
     if c == 1:
         out = planes[0][..., None]
     elif c == 3:

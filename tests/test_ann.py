@@ -407,3 +407,46 @@ def test_ivf_search_bulk_matches_ivf_search(spark):
     for r in KNN.knn_join(emb, queries, k=10).collect():
         exact.setdefault(r.query_id, set()).add(r.vec_id)
     assert b == exact  # full probe == exact
+
+
+def test_bulk_topk_tie_break_on_id_with_duplicates(spark):
+    """ADVICE r8: exact-duplicate vectors tie at the batch-k boundary, and
+    the per-batch partial top-k in ivf_search_bulk / knn_graph must keep
+    the id-winning rows (lexsort, not argpartition) or the global
+    (distance, id) window ranks whichever ids happened to survive the
+    cut. Corpus: 12 exact copies of one vector — top-5 MUST be the 5
+    LOWEST duplicate ids in both paths."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    dim = 8
+    v = (np.arange(dim) / dim + 0.1).astype(np.float32)
+    v /= np.linalg.norm(v)
+    rng = np.random.RandomState(5)
+    rows = [(int(i), (v if i < 12 else
+                      rng.randn(dim).astype(np.float32) * 0.01).tolist())
+            for i in range(60)]
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]), schema)
+    # single list => one mapInPandas batch sees all 12 duplicates at once
+    index = ANN.IVFIndex.build(emb, nlist=1)
+    q = spark.createDataFrame(
+        pd.DataFrame([(0, v.tolist())], columns=["query_id", "query_vec"]),
+        StructType([StructField("query_id", LongType()),
+                    StructField("query_vec", ArrayType(FloatType()))]))
+    got = sorted(r.vec_id
+                 for r in ANN.ivf_search_bulk(index, q, k=5, nprobe=1)
+                 .collect())
+    assert got == [0, 1, 2, 3, 4], got
+    # knn_graph: every duplicate's neighbors are the LOWEST other dup ids
+    dup = emb.filter(F.col("vec_id") < 12)
+    edges = {}
+    for r in ANN.knn_graph(dup, k=3, nlist=1, nprobe=1).collect():
+        edges.setdefault(r.src, []).append(r.dst)
+    for src, dsts in edges.items():
+        want = [i for i in range(4) if i != src][:3]
+        assert sorted(dsts) == want, (src, sorted(dsts), want)

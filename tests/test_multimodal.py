@@ -275,6 +275,65 @@ def test_jpeg_restart_interval_roundtrip():
         assert err <= base + 1, (ri, err, base)
 
 
+def test_jpeg_subsampled_roundtrip():
+    """4:2:0 / 4:2:2 decode (the camera/web shape, VERDICT r8 #5): the
+    repo encoder synthesizes externally-shaped subsampled streams
+    (MCU-interleaved multi-block data units, box-downsampled chroma) and
+    the decoder must reconstruct them. Constant-chroma images make the
+    subsample step lossless, so the round trip must match 4:4:4 exactly;
+    smooth gradients stay within a few levels; odd dims exercise the
+    MCU-alignment padding crop; restart intervals count MCUs, not
+    blocks."""
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    solid = np.full((50, 70, 3), [180, 40, 90], dtype=np.uint8)
+    for sub in ("4:2:0", "4:2:2"):
+        dec = J.jpeg_decode(J.jpeg_encode(solid, quality=95, subsampling=sub))
+        assert np.abs(dec.astype(int) - solid.astype(int)).max() == 0, sub
+
+    yy, xx = np.mgrid[0:41, 0:53]  # odd dims: crop both MCU axes
+    grad = np.stack([np.clip(80 + xx, 0, 255), np.clip(60 + yy, 0, 255),
+                     np.full_like(xx, 120)], axis=-1).astype(np.uint8)
+    for sub in ("4:2:0", "4:2:2"):
+        for ri in (0, 3):
+            enc = J.jpeg_encode(grad, quality=95, subsampling=sub,
+                                restart_interval=ri)
+            # SOF0 sampling byte for component 1 reflects the mode
+            sof = enc.find(b"\xff\xc0")
+            assert enc[sof + 11] == (0x22 if sub == "4:2:0" else 0x21)
+            dec = J.jpeg_decode(enc)
+            assert dec.shape == grad.shape
+            err = np.abs(dec.astype(int) - grad.astype(int)).max()
+            assert err <= 6, (sub, ri, err)
+    # bytes actually shrink vs 4:4:4 (the point of subsampling)
+    noise = np.random.RandomState(3).randint(0, 256, (48, 48, 3), np.uint8)
+    b444 = len(J.jpeg_encode(noise, 90))
+    b420 = len(J.jpeg_encode(noise, 90, subsampling="4:2:0"))
+    assert b420 < b444
+
+
+def test_jpeg_sos_scan_order_mapped_by_id():
+    """T.81 lets the SOS list components in any order; the decoder must
+    map each scan component to its SOF entry BY ID (ADVICE r8: indexing
+    by position silently dequantizes Cr with the luma table). A reversed
+    scan order must decode identically to the standard order."""
+    from parquetaivectorsearch_spark.operators import jpeg as J
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    normal = J.jpeg_encode(img, quality=95)
+    reordered = J.jpeg_encode(img, quality=95, _scan_order=(2, 1, 0))
+    assert normal != reordered  # genuinely different stream
+    assert np.array_equal(J.jpeg_decode(normal), J.jpeg_decode(reordered))
+    # unknown id in SOS is a hard error, not silence
+    bad = bytearray(reordered)
+    sos = bytes(bad).find(b"\xff\xda")
+    bad[sos + 5] = 9  # first scan-component id -> undeclared
+    with pytest.raises(ValueError, match="not declared"):
+        J.jpeg_decode(bytes(bad))
+
+
 def test_jpeg_roundtrip_property():
     """Property test: ANY uint8 image (random content, random small dims,
     gray or RGB, any quality ≥ 70, any restart interval) must survive
@@ -297,15 +356,28 @@ def test_jpeg_roundtrip_property():
         c=st.sampled_from([1, 3]),
         q=st.integers(70, 100),
         ri=st.integers(0, 4),
+        sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
         seed=st.integers(0, 2**31 - 1),
     )
-    def check(h, w, c, q, ri, seed):
+    def check(h, w, c, q, ri, sub, seed):
         img = np.random.RandomState(seed).randint(
             0, 256, (h, w, c), dtype=np.uint8)
         dec = J.jpeg_decode(J.jpeg_encode(img, quality=q,
-                                          restart_interval=ri))
+                                          restart_interval=ri,
+                                          subsampling=sub))
         assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
         bound = 40 if q >= 95 else 208
-        assert np.abs(dec.astype(int) - img.astype(int)).max() <= bound
+        if sub == "4:4:4" or c == 1:
+            assert err.max() <= bound
+        else:
+            # subsampling box-averages noise chroma — per-pixel chroma
+            # error on noise is unbounded short of the pixel range, but
+            # LUMA stays full-resolution in every mode, so the
+            # quantization bound still applies to the luma projection
+            luma = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                              + 0.114 * a[..., 2])
+            lerr = np.abs(luma(dec.astype(float)) - luma(img.astype(float)))
+            assert lerr.max() <= bound
 
     check()
