@@ -224,3 +224,49 @@ def test_substring_span_removal_known_fixture(spark):
     u = {r.doc_id: (r.n_spans, r.chars_removed, r.clean_len, r.clean_md5)
          for r in substring_span_removal(docs, window=32, hashed=False).collect()}
     assert h == u
+
+
+def test_substring_span_removal_prefilter_identical(spark):
+    """The two-phase path (winnow-prefilter at guarantee length == window,
+    VERDICT r8 #4) must produce EXACTLY the single-phase output. The
+    fixture stresses every way the prefilter could lose recall: a shared
+    span of EXACTLY `window` chars (the guarantee boundary) at misaligned
+    offsets, a long span, boilerplate shared by MANY docs (a stop-window
+    cap would drop it — the prefilter must not), and clean docs that the
+    prefilter exists to skip."""
+    import random
+
+    from parquetaivectorsearch_spark.operators.dedup import (
+        substring_span_removal,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    pad = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    window = 32
+    exact_span = pad(window)       # guarantee boundary: len == window
+    long_span = pad(90)
+    boiler = pad(44)               # shared by 12 docs
+    rows = [
+        (1, pad(7) + exact_span + pad(50)),
+        (2, pad(19) + exact_span + pad(50)),   # misaligned vs doc 1
+        (3, pad(4) + long_span + pad(33)),
+        (4, pad(28) + long_span + pad(33)),
+        (5, pad(60)),                          # clean
+        (6, pad(61)),                          # clean
+    ]
+    rows += [(10 + i, pad(3 + i) + boiler + pad(20)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for hashed in (True, False):
+        one = {r.doc_id: (r.n_spans, r.chars_removed, r.clean_len, r.clean_md5)
+               for r in substring_span_removal(
+                   docs, window=window, hashed=hashed,
+                   prefilter=False).collect()}
+        two = {r.doc_id: (r.n_spans, r.chars_removed, r.clean_len, r.clean_md5)
+               for r in substring_span_removal(
+                   docs, window=window, hashed=hashed,
+                   prefilter=True).collect()}
+        assert one == two, hashed
+        assert 2 in one and 4 in one          # exact-boundary + long spans cut
+        assert 5 not in one and 6 not in one  # clean docs untouched
+        assert all(10 + i in one for i in range(1, 12))  # boilerplate holders
