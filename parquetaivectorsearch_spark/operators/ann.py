@@ -657,6 +657,49 @@ def adaptive_nlist(n: int) -> int:
     return int(min(max(2, n // AVG_DEDUP_LIST_SIZE), 4096))
 
 
+AUTO_INDEX_CROSSOVER = 100_000  # vectors — measured, see auto_index
+
+
+def auto_index(corpus: DataFrame, n: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               metric: str = "ip", seed: int = 42,
+               crossover: int = AUTO_INDEX_CROSSOVER):
+    """Pick the index tier by corpus size against the MEASURED build-cost
+    crossover, and build it. Returns ("hnsw", graph DataFrame) or
+    ("ivf", IVFIndex).
+
+    The numbers (SCALING.md "HNSW build ceiling", tools/hnsw_ceiling.py):
+    the pure-Python HNSW build runs ~90-120 vec/s/partition regardless of
+    width — ~9 ms of Python/heap overhead per vector — while IVF's cost
+    is a FIXED sample-capped k-means (~8 s at dim 1536) plus an Arrow
+    matmul row per vector (microseconds). Below ~100k vectors the k-means
+    floor dominates and HNSW's graph buys serve latency for an affordable
+    build; above it HNSW's per-vector Python bill grows without bound
+    (~24k core-hours at 10^10 vectors) and IVF is the only defensible
+    default. This helper encodes that as the operator default instead of
+    leaving it a study (VERDICT r8 #7).
+
+    ``n`` short-circuits counting; otherwise parquet footer metadata
+    (zero jobs) is tried before one count() job — same sizing discipline
+    as embedding_dedup. IVF gets adaptive_nlist(n); HNSW gets one build
+    partition per ~5k vectors, capped at 32."""
+    if n is None:
+        from parquetaivectorsearch_spark.sources import approx_num_rows
+
+        n = approx_num_rows(corpus)
+        if n is None:
+            n = corpus.count()
+    if n >= crossover:
+        return "ivf", IVFIndex.build(corpus, nlist=adaptive_nlist(n),
+                                     vec_col=vec_col, metric=metric,
+                                     seed=seed)
+    from parquetaivectorsearch_spark.operators import hnsw as _hnsw
+
+    parts = int(min(32, max(1, n // 5_000)))
+    return "hnsw", _hnsw.build_hnsw(corpus, n_partitions=parts,
+                                    id_col=id_col, vec_col=vec_col)
+
+
 def embedding_dedup(corpus: DataFrame, threshold: float = 0.95,
                     nlist: int | None = None, n: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -409,6 +409,30 @@ def test_ivf_search_bulk_matches_ivf_search(spark):
     assert b == exact  # full probe == exact
 
 
+def test_auto_index_picks_tier_by_measured_crossover(spark):
+    """auto_index encodes the SCALING.md build-cost study as the operator
+    default (VERDICT r8 #7): below the ~100k-vector crossover the
+    serve-latency HNSW tier, at/above it IVF with adaptive nlist. The
+    fixture corpus (500 vectors) must build a searchable HNSW graph; the
+    same corpus with a claimed large n must return an IVFIndex sized by
+    adaptive_nlist WITHOUT counting (n short-circuits)."""
+    from parquetaivectorsearch_spark.operators import hnsw as H
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    kind, graph = ANN.auto_index(emb)
+    assert kind == "hnsw"
+    q = _queries(emb, n=2)
+    hits = H.hnsw_search(graph, q, k=5).collect()
+    assert {r.query_id for r in hits} == {0, 1}
+
+    # exactly at the crossover: IVF (the unbounded-growth side), nlist
+    # sized by the CLAIMED n, not the fixture row count
+    kind, index = ANN.auto_index(emb, n=ANN.AUTO_INDEX_CROSSOVER)
+    assert kind == "ivf"
+    assert isinstance(index, ANN.IVFIndex)
+    assert len(index.centroids) == ANN.adaptive_nlist(ANN.AUTO_INDEX_CROSSOVER)
+
+
 def test_bulk_topk_tie_break_on_id_with_duplicates(spark):
     """ADVICE r8: exact-duplicate vectors tie at the batch-k boundary, and
     the per-batch partial top-k in ivf_search_bulk / knn_graph must keep
