@@ -13,11 +13,16 @@ artifact.
 
 Usage: python tools/replica_sweep.py [out.json]
        (default out: REPLICA_SWEEP_r08.json in the repo root)
+       SWEEP_SF_DIR overrides the scale factor (default tests' sf0.01) —
+       VERDICT r8 #6 runs the whole registry once at sf0.1, where
+       window-tie, skew-cap, and AQE-plan-flip wrongness would hide
+       below the driver's sf.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -43,11 +48,12 @@ def main() -> None:
         _canon_rows,
     )
 
+    sf_dir = os.environ.get("SWEEP_SF_DIR", SF_CORRECT)
     spark = get_spark("pavs-replica-sweep",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
-    register_views(duck, SF_CORRECT)
+    register_views(duck, sf_dir)
 
     queries, oracles = Q.all_queries(), Q.all_oracles()
     results: dict[str, dict] = {}
@@ -57,7 +63,7 @@ def main() -> None:
         t0 = time.monotonic()
         row: dict = {"mode": "oracle" if name in oracles else "rows_only"}
         try:
-            sdf = queries[name](spark, SF_CORRECT)
+            sdf = queries[name](spark, sf_dir)
             _assert_no_decimal(sdf.schema, name)
             _assert_driver_hashable(sdf.schema, name)
             _assert_plan_hygiene(sdf, name)
@@ -85,7 +91,7 @@ def main() -> None:
         print(f"{row['status']:>9}  {name}  ({row['sec']}s)", flush=True)
 
     artifact = {
-        "sf_dir": SF_CORRECT,
+        "sf_dir": sf_dir,
         "total": len(queries),
         "hash_pass": n_hash,
         "rows_ran": n_rows_only,
