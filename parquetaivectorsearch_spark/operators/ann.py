@@ -762,3 +762,90 @@ def embedding_dedup(corpus: DataFrame, threshold: float = 0.95,
         .groupBy("list_id")
         .applyInPandas(per_list, "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE")
     )
+
+
+def semantic_dedup_prune(corpus: DataFrame, eps: float = 0.05,
+                         nlist: int | None = None, n: int | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic-duplicate
+    PRUNING — beyond reporting pairs (embedding_dedup), decide which copy
+    of each semantic-duplicate group survives. Per the paper: k-means the
+    embeddings, find within-cluster groups with pairwise cosine ≥ 1−eps,
+    and keep ONE member per group — the one with the LOWEST cosine to the
+    cluster centroid (prototypical examples are the redundant ones;
+    boundary examples carry the information).
+
+    Same scale shape as embedding_dedup: clustering doubles as blocking
+    (adaptive nlist keeps within-cluster work ~constant per list), one
+    shuffle on list_id, chunked gram matrices per list. Groups are
+    connected components of the ≥ 1−eps graph, computed with a per-list
+    union-find — the loop runs over threshold-crossing PAIRS only (the
+    dup population, not the list quadratic), the same deliberate-loop
+    budget as the jaccard verify. Ties on centroid cosine break to the
+    smaller id. Output: one row per vector — (vec_id, cluster_id, keep,
+    centroid_sim); pruning = filter keep."""
+    if nlist is None:
+        if n is None:
+            from parquetaivectorsearch_spark.sources import approx_num_rows
+
+            n = approx_num_rows(corpus)
+        nlist = adaptive_nlist(n if n is not None else corpus.count())
+    index = IVFIndex.build(corpus, nlist, vec_col, metric="cosine", seed=seed)
+    cents = index.centroids.astype(np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cents = cents / cnorm[:, None]
+    CHUNK = 2048
+
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        list_id = int(pdf["list_id"].iloc[0])
+        sim_c = xn @ cents[list_id]
+
+        parent = np.arange(m)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = int(parent[a])
+            return a
+
+        thr = 1.0 - eps
+        for s in range(0, m, CHUNK):
+            sim = xn[s:s + CHUNK] @ xn.T
+            ii, jj = np.nonzero(sim >= thr)
+            gi = ii + s
+            sel = jj > gi
+            for a, b in zip(gi[sel].tolist(), jj[sel].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        # keep the (lowest centroid-sim, then lowest id) member per group
+        order = np.lexsort((ids, sim_c))  # best survivor first
+        keep = np.zeros(m, dtype=bool)
+        seen: set[int] = set()
+        for i in order.tolist():
+            r = int(roots[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = True
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": np.full(m, list_id, dtype=np.int32),
+            "keep": keep,
+            "centroid_sim": np.round(sim_c, 6),
+        })
+
+    return (
+        index.lists.select("list_id", F.col(id_col), F.col(vec_col))
+        .groupBy("list_id")
+        .applyInPandas(per_list, f"{id_col} BIGINT, cluster_id INT, "
+                                 "keep BOOLEAN, centroid_sim DOUBLE")
+    )

@@ -199,6 +199,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.embedding_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, nlist=8)
 
 
+@register("semdedup_prune")  # rows-only: k-means clustering is engine-specific
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning (Abbas et al. 2023): one row per vector with the
+    keep/prune decision — one survivor (the least-prototypical member,
+    lowest centroid cosine) per within-cluster semantic-duplicate group.
+    eps 0.65 because the fixture vectors are ~random (see dedup_embedding's
+    threshold note); production runs eps ≈ 0.03-0.1. Survivor-per-group
+    and planted-clone semantics are pinned in tests/test_ann.py."""
+    return (ANN.semantic_dedup_prune(_t(spark, sf_dir, "embeddings"),
+                                     eps=0.65, nlist=8)
+            .orderBy("vec_id"))
+
+
 @register("ann_hnsw_topk")  # rows-only: approximate results
 def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's actual index algorithm end-to-end: partitioned HNSW

@@ -403,8 +403,8 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, CAST(len(xs) AS BIGINT) AS n_orders,
-           ROUND(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
-             AS ewma_price
+           floor(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc)
+                 * 1000000 + 0.5) / 1000000 AS ewma_price
     FROM s
 """)
 def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +418,13 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence left-to-right; α = 0.25 so both smoothing constants are EXACT
     binary fractions (0.3/0.7 decimal literals convert through different
     literal types per engine and flipped a 6-dp rounding boundary by one
-    ulp); rounded 6 dp belt-and-braces."""
+    ulp). Presentation rounding is an EXPLICIT floor(x·1e6 + 0.5)/1e6 on
+    both sides, not each engine's ROUND: with α = 1/4 a 4-order history
+    lands the true value exactly on a .5 boundary at the 7th digit, where
+    Spark (BigDecimal on the shortest repr) and DuckDB (C round on the
+    binary double) disagree by one ulp — the sf0.1 replica sweep caught
+    two such rows that sf0.01 never exposed. Identical IEEE multiply/add/
+    floor on the identical double is bit-stable by construction."""
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.sort_array(
@@ -433,7 +439,8 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_custkey",
         F.size(xs).cast("bigint").alias("n_orders"),
-        F.round(ewma, 6).alias("ewma_price"),
+        (F.floor(ewma * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("ewma_price"),
     )
 
 

@@ -160,6 +160,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("decontaminate_bloom")
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/bloom.py): same benchmark
+    split as ``decontaminate`` (docs 0-9 = the eval suite), but membership
+    is a broadcast bit array probed inside ONE narrow Arrow pass — no
+    shingle explode, no join, no shuffle. The production 100 TB posture:
+    false positives only remove extra training docs (the safe direction),
+    never admit eval text. Rows-only by contract (blake2b double-hashing
+    is not SQL-replayable); tests pin hits ⊇ the exact join's and the
+    surplus within the fpp budget. Output: (contaminated_doc_id, n_hits),
+    n_hits = number of 5-word shingles that probed positive."""
+    from parquetaivectorsearch_spark.operators.bloom import (
+        bloom_decontaminate,
+        build_bench_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bloom = build_bench_bloom(d.filter(F.col("doc_id") < 10), n=5,
+                              fpp=1e-6)
+    return (bloom_decontaminate(d.filter(F.col("doc_id") >= 10), bloom, n=5)
+            .select(F.col("doc_id").alias("contaminated_doc_id"), "n_hits")
+            .orderBy("contaminated_doc_id"))
+
+
 @register("pii_mask", """
     WITH c AS (
       SELECT doc_id,

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -9,8 +10,11 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# Env-overridable so the suite (notably the plan-pinning tests) can be
+# re-run at sf0.1, where broadcast-threshold and AQE plan flips that hide
+# below the default scale would surface (VERDICT r8 #6).
+SF_SMOKE = os.environ.get("PAVS_SF_SMOKE", "/root/testdata/sf0.001")
+SF_CORRECT = os.environ.get("PAVS_SF_CORRECT", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -409,6 +409,47 @@ def test_ivf_search_bulk_matches_ivf_search(spark):
     assert b == exact  # full probe == exact
 
 
+def test_semantic_dedup_prune_keeps_one_per_clone_group(spark):
+    """SemDeDup invariants on planted clones: every vector gets exactly one
+    row; each clone group keeps EXACTLY ONE member and it is the
+    (lowest centroid-sim, lowest id) survivor; singletons are all kept;
+    pruning is confined to the clone groups."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    base = rng.randn(40, dim).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(int(i), base[i].tolist()) for i in range(40)]
+    # two clone groups: 4 copies of vec 0 (ids 100-103), 3 jittered
+    # near-copies of vec 1 (ids 200-202, cosine > 0.999)
+    for j in range(4):
+        rows.append((100 + j, base[0].tolist()))
+    for j in range(3):
+        v = base[1] + 0.001 * rng.randn(dim).astype(np.float32)
+        rows.append((200 + j, (v / np.linalg.norm(v)).tolist()))
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    emb = spark.createDataFrame(pd.DataFrame(rows,
+                                             columns=["vec_id", "embedding"]),
+                                schema)
+    out = {r.vec_id: r for r in
+           ANN.semantic_dedup_prune(emb, eps=0.01, nlist=4).collect()}
+    assert len(out) == len(rows)  # one decision per vector
+    g0 = [i for i in (0, 100, 101, 102, 103) if out[i].keep]
+    g1 = [i for i in (1, 200, 201, 202) if out[i].keep]  # vec 1 joins its
+    assert len(g0) == 1 and len(g1) == 1, (g0, g1)       # jittered copies
+    # exact clones tie on centroid_sim -> survivor is the LOWEST id
+    assert g0 == [0], g0
+    # everything outside the clone groups survives
+    pruned = {i for i, r in out.items() if not r.keep}
+    assert pruned <= {0, 1, 100, 101, 102, 103, 200, 201, 202}, pruned
+    assert len(pruned) == 7  # 4 + 3 redundant copies dropped
+
+
 def test_auto_index_picks_tier_by_measured_crossover(spark):
     """auto_index encodes the SCALING.md build-cost study as the operator
     default (VERDICT r8 #7): below the ~100k-vector crossover the
