@@ -368,17 +368,25 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         KNN.maxsim_topk_arrow(corpus, query, k=20, n_tok=4) \
             .write.format("noop").mode("overwrite").save()
 
-    # Same steady-state discipline as phase 1: one untimed warm pass per
-    # path (first-touch page cache on the freshly written 300 MB corpus +
-    # per-path codegen/Arrow-codec warmup skewed the cold one-shots by up
-    # to 3×), then THREE timed reps reporting the min. min-of-2 was not
-    # enough under SUSTAINED contention (BENCH_r08: wide_pq_serve_8q both
-    # reps ≥9.4s vs 0.86s prior); min-of-3 plus the interleaved reference
-    # shape below makes the tier self-adjudicating (VERDICT r8 #3): the
-    # SAME query (wide_knn_bulk_8q) is timed first and again last — its
-    # code cannot change mid-tier, so a >2× disagreement can only be the
-    # machine, and the whole tier is flagged `wide_contended`.
-    def _timed_min(fn, n=3):
+    # Warm-to-CONVERGENCE, then time (r9 finding that re-adjudicates the
+    # r8 "contention": 10 consecutive identical bulk reps at 0% steal
+    # measured 24.2 → 10.5 → 1.8 → 2.7 → 1.5 → 1.5 → 0.72 → 0.83s — the
+    # wide paths have a MULTI-rep JIT/page-cache/worker warmup tail, so
+    # one warm rep + min-of-N records the tail, with run-order-dependent
+    # 2-10× scatter that LOOKS like contention but isn't. JMH-style fix:
+    # repeat each path untimed until two consecutive reps agree within
+    # 30% (cap 6), then take min-of-3 timed reps. The first/last
+    # reference bracket below now detects genuine mid-tier DRIFT
+    # (sustained contention shows up in steal_pct instead).
+    def _timed_min(fn, n=4, warm_cap=6):
+        prev = None
+        for _ in range(warm_cap):
+            t0 = time.monotonic()
+            fn()
+            t = time.monotonic() - t0
+            if prev is not None and abs(t - prev) <= 0.3 * min(t, prev):
+                break
+            prev = t
         reps = []
         for _ in range(n):
             t0 = time.monotonic()
@@ -386,9 +394,6 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
             reps.append(round(time.monotonic() - t0, 3))
         return min(reps), reps
 
-    for fn in (fold, arrow, bulk, pq_serve, int8_serve, matryoshka,
-               maxsim_arrow):
-        fn()
     ref_first, _ = _timed_min(bulk, n=2)
     extras["wide_ref_first"] = ref_first
     for name, fn in (("wide_knn_fold", fold), ("wide_knn_arrow", arrow),
@@ -439,7 +444,6 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
 
     for fn, name in ((ivf_serve, "wide_ivf_search_8q"),
                      (ivf_bulk, "wide_ivf_bulk_8q")):
-        fn()  # warm (same discipline as the other wide paths)
         extras[name], extras[f"{name}_reps"] = _timed_min(fn)
     extras["wide_ivf_pruned_frac"] = 0.25
     # interleaved reference shape, closing the tier: re-time the SAME

@@ -847,6 +847,24 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_docs_per_window=10, hashed=False)
 
 
+@register("dedup_cdc")  # rows-only: gear-hash chunking is engine-specific
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup accounting (operators/cdc.py,
+    FastCDC lineage): gear rolling-hash boundaries move with the content,
+    so shifted verbatim reuse re-synchronizes and dedupes on plain chunk-
+    hash equality — no shingles, no banding, no window self-join; rows
+    through the one shuffle = chunks (bytes/avg_size), not characters.
+    avg 64 / min 16 / max 256 byte chunks fit the ~300-char fixture docs.
+    Boundary determinism, min/max bounds, and the ≥80% resync-after-
+    misalignment property are pinned in tests/test_cdc.py. Output: per-doc
+    cross-doc-duplicated chunk/byte counts for docs with ≥1 dup chunk."""
+    from parquetaivectorsearch_spark.operators.cdc import cdc_dedup_stats
+
+    return (cdc_dedup_stats(_t(spark, sf_dir, "documents"),
+                            avg_size=64, min_size=16, max_size=256)
+            .orderBy("doc_id"))
+
+
 @register("dedup_substring_removal", """
     WITH w AS (
       SELECT doc_id, CAST(i AS INTEGER) AS pos, length(text) AS len,
