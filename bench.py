@@ -394,8 +394,6 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
             reps.append(round(time.monotonic() - t0, 3))
         return min(reps), reps
 
-    ref_first, _ = _timed_min(bulk, n=2)
-    extras["wide_ref_first"] = ref_first
     for name, fn in (("wide_knn_fold", fold), ("wide_knn_arrow", arrow),
                      ("wide_knn_bulk_8q", bulk), ("wide_pq_serve_8q", pq_serve),
                      ("wide_knn_int8_8q", int8_serve),
@@ -446,8 +444,15 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
                      (ivf_bulk, "wide_ivf_bulk_8q")):
         extras[name], extras[f"{name}_reps"] = _timed_min(fn)
     extras["wide_ivf_pruned_frac"] = 0.25
-    # interleaved reference shape, closing the tier: re-time the SAME
-    # query that opened it; >2× disagreement = sustained contention
+    # Reference bracket: the converged mid-tier wide_knn_bulk_8q number
+    # vs the SAME query re-timed at tier end. An early-tier ref timing
+    # kept catching the multi-rep warmup plateau (2.98s vs 0.62s steady
+    # on a 0%-steal machine — a false contended flag twice), so the
+    # bracket now spans mid-tier → end: the code cannot change between
+    # the two, so >2× disagreement means machine conditions DRIFTED
+    # mid-tier (sustained contention shows in steal_pct instead).
+    ref_first = extras["wide_knn_bulk_8q"]
+    extras["wide_ref_first"] = ref_first
     ref_last, _ = _timed_min(bulk, n=2)
     extras["wide_ref_last"] = ref_last
     ratio = max(ref_first, ref_last) / max(min(ref_first, ref_last), 1e-9)

@@ -75,6 +75,120 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_keep_best", """
+    WITH q AS (
+      SELECT doc_id,
+             md5(substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                           1, 80)) AS dup_md5,
+             ROUND(len(list_distinct(list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> ''))) * LN(1 + length(text))
+                   / GREATEST(len(list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '')), 1), 6) AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, dup_md5, quality,
+             ROW_NUMBER() OVER (PARTITION BY dup_md5
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY dup_md5) AS n_copies
+      FROM q
+    )
+    SELECT dup_md5, doc_id AS kept_doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           quality AS best_quality
+    FROM r WHERE rn = 1 AND n_copies >= 2
+""")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a KEEP-BEST policy: production pipelines keep the
+    highest-quality copy of a duplicate group, not the arbitrary min-id
+    (copies differ upstream in truncation/encoding damage even when the
+    dedup key matches). The dup KEY is md5 of the first 80 chars of the
+    case/whitespace-NORMALIZED text — truncation-variant dedup: docs
+    sharing an opening are one logical document cut at different points,
+    so group members genuinely differ and quality genuinely selects
+    (a full-text key degenerates to min-id because identical text means
+    identical quality); quality =
+    distinct-word ratio × ln(1+chars) on the RAW text — a
+    deterministic, engine-portable proxy for the classifier score a real
+    pipeline would plug in here. One hash-agg-shaped window per md5 group
+    (the same shuffle exact dedup pays) picks argmax(quality, id);
+    ties break to the smaller doc_id so the choice is total."""
+    d = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    quality = F.round(
+        F.size(F.array_distinct(ws)) * F.log(1 + F.length("text"))
+        / F.greatest(F.size(ws), F.lit(1)), 6)
+    norm = F.md5(F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80))
+    q = d.select("doc_id", norm.alias("dup_md5"), quality.alias("quality"))
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy("dup_md5")
+    r = (q.withColumn("rn", F.row_number().over(
+            win.orderBy(F.desc("quality"), F.asc("doc_id"))))
+         .withColumn("n_copies", F.count("*").over(win)))
+    return (r.filter((F.col("rn") == 1) & (F.col("n_copies") >= 2))
+            .select("dup_md5", F.col("doc_id").alias("kept_doc_id"),
+                    F.col("n_copies").cast("bigint").alias("n_copies"),
+                    F.col("quality").alias("best_quality")))
+
+
+@register("bigram_logprob", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws[i] AS a, ws[i + 1] AS t
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS s(i)
+      WHERE len(ws) >= 2
+    ),
+    f2 AS (SELECT a, t, COUNT(*) AS c2 FROM b GROUP BY a, t),
+    f1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM f2 GROUP BY a)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(CAST(c2 AS DOUBLE) / c1)), 6) AS avg_neg_logprob
+    FROM b JOIN f2 USING (a, t) JOIN f1 USING (a)
+    GROUP BY doc_id
+""")
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM LM scoring — one order up from
+    unigram_logprob toward the CCNet perplexity filter: score(doc) =
+    mean over positions of −ln p(wᵢ | wᵢ₋₁), with p the corpus
+    conditional frequency c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·). Unigram flags rare-TOKEN
+    gibberish; the bigram catches shuffled-but-common-word soup (every
+    token frequent, transitions improbable) — the signal that actually
+    separates word salad from prose.
+
+    Same train/apply asymmetry as the unigram: the bigram table builds
+    with one hash agg (shuffle = |bigram vocab|), the left-context
+    totals derive from it with a second tiny agg, and both BROADCAST
+    back onto the bigram stream; the per-doc agg shuffles on doc_id.
+    Every scored bigram was observed (c2 ≥ 1), so no smoothing term is
+    needed and the score is exact."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    ws = TX.words("text")
+    b = (d.select("doc_id", ws.alias("ws"))
+         .filter(F.size("ws") >= 2)
+         .select("doc_id", F.explode(F.expr(
+             "transform(sequence(1, size(ws) - 1),"
+             " i -> struct(element_at(ws, i) as a,"
+             "             element_at(ws, i + 1) as t))")).alias("bg"))
+         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t")))
+    f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2"))
+    f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"))
+    return (
+        b.join(F.broadcast(f2), ["a", "t"])
+        .join(F.broadcast(f1), "a")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+             F.round(F.avg(-F.log(F.col("c2").cast("double") / F.col("c1"))),
+                     6).alias("avg_neg_logprob"))
+    )
+
+
 @register("dedup_minhash")  # rows-only: xxhash64 minhash is Spark-specific
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact 5-gram jaccard.
