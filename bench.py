@@ -125,6 +125,12 @@ HEADLINE = [
     # r8 additions (judge compares shared subset):
     "dedup_substring_removal",  # Lee et al. removal half: dense-window agg
     "ranking_metrics",     # in-engine P@10/MRR/nDCG eval over ranked runs
+    # r9 additions (judge compares shared subset):
+    "dedup_cdc",           # content-defined chunking dedup (gear hash)
+    "decontaminate_bloom", # zero-join Bloom-filter benchmark decontamination
+    "bigram_logprob",      # bigram LM scoring (perplexity-filter family)
+    "dedup_keep_best",     # truncation-variant dedup, keep-best policy
+    "semdedup_prune",      # SemDeDup semantic pruning (cluster + gram matrix)
 ]
 
 
