@@ -709,3 +709,63 @@ def minhash_dedup_incremental(new_docs: DataFrame, store_path: str,
     )
     new_state.write.mode("append").parquet(store_path)
     return pairs
+
+
+def boilerplate_segment_removal(docs: DataFrame, seg_words: int = 8,
+                                min_docs: int = 2, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                hashed: bool = True) -> DataFrame:
+    """C4-style LINE deduplication (Raffel et al. 2020 §2.2 discard
+    three-sentence-repeats; Penedo et al. 2023 RefinedWeb line-level
+    dedup): segment each document into units, count how many DISTINCT
+    documents contain each normalized segment, and drop EVERY occurrence
+    of any segment held by >= ``min_docs`` documents — the web-corpus
+    boilerplate killer (nav bars, cookie banners, license footers repeat
+    across thousands of pages; no holder keeps a copy, unlike
+    substring_span_removal's min-holder rule, because boilerplate is
+    noise, not content). The fixture corpus has no newlines, so the
+    default segmentation is fixed ``seg_words``-word blocks; in a real
+    web corpus the unit is the newline-split line — same plan either way.
+
+    Scale shape (100 TB): segmentation is a narrow map over the words
+    array (transform + slice — no explode until the segment rows, ~1/8th
+    the word count). Frequency is ONE hash aggregate keyed on segment
+    content — Spark plans count_distinct(doc_id) as a two-phase partial
+    aggregate on (segment, doc_id), so a boilerplate segment shared by
+    millions of docs costs one reduced row per doc, never a pair join.
+    One shuffle of O(corpus bytes / seg_words) segment rows, then one
+    groupBy doc_id for the stitch — strictly cheaper than the
+    character-window removal's per-position bill. ``hashed=True`` keys
+    the frequency aggregate on xxhash64(segment) (8-byte shuffle keys)
+    and re-joins flags by hash; ``hashed=False`` ships raw segment
+    strings so a SQL oracle can replay the count exactly.
+
+    Returns one row per doc that lost >= 1 segment: (doc_id, n_segs,
+    n_removed, clean_chars, clean_md5) where clean_md5 hashes the
+    STITCHED remaining text (kept segments joined by ' ' in original
+    order) — the reconstruction is oracle-checkable, not just counts."""
+    d = docs.withColumn("__ws", words(text_col)).filter(F.size("__ws") > 0)
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(__ws) / {seg_words}.0)) - 1), "
+        f"i -> array_join(slice(__ws, i * {seg_words} + 1, {seg_words}), ' '))"
+    )
+    e = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(segs).alias("seg_id", "seg"),
+    )
+    key = F.xxhash64("seg") if hashed else F.col("seg")
+    e = e.withColumn("__k", key)
+    freq = (e.groupBy("__k")
+            .agg(F.count_distinct("doc_id").alias("nd")))
+    j = (e.join(freq, "__k")
+         .withColumn("dup", F.col("nd") >= min_docs))
+    kept = F.when(~F.col("dup"), F.struct("seg_id", "seg"))
+    stitched = F.array_join(
+        F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["seg"]),
+        " ")
+    return (j.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.col("dup").cast("long")).alias("n_removed"),
+        F.length(stitched).alias("clean_chars"),
+        F.md5(stitched).alias("clean_md5"),
+    ).filter(F.col("n_removed") >= 1))

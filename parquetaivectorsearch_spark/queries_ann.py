@@ -536,3 +536,56 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("list_id", "n_vectors", "total_vectors", "n_lists", "imbalance")
         .orderBy("list_id")
     )
+
+
+@register("bq_hamming_rank", """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 4),
+    h AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(list_sum(list_transform(range(0, len(e.embedding)),
+                  j -> CASE WHEN (e.embedding[j + 1] > 0) <> (q.qv[j + 1] > 0)
+                            THEN 1 ELSE 0 END)) AS INTEGER) AS hd
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hd, vec_id) AS INTEGER) AS rank
+      FROM h
+    )
+    SELECT query_id, vec_id, hd, rank FROM r WHERE rank <= 10
+""")
+def q_bq_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-10 per query in 1-bit Hamming space — the deterministic
+    half of the binary tier, split out so the driver HASH-verifies the
+    sign-bit packing and bit_count(XOR) kernel (knn_topk_binary stays
+    rows-only because its shortlist→rerank output is approximate; this
+    query's DEFINITION is the Hamming ranking, so it has an exact
+    oracle). Spark ranks the real packed int64 codes; the oracle counts
+    sign mismatches dimension-wise — value-identical by construction,
+    dodging DuckDB's checked 1<<63 overflow. Scale shape: broadcast 4
+    query codes × narrow scan of 8-byte-per-64-dims codes (32× fewer
+    bytes than float32), window top-10 — the cheapest possible
+    first-pass ranking at 100 TB."""
+    from pyspark.sql.window import Window
+
+    from parquetaivectorsearch_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    codes = binary_quantize(emb)
+    qcodes = (binary_quantize(queries, vec_col="query_vec", id_col="query_id")
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("bcode").alias("qcode")))
+    w = Window.partitionBy("query_id").orderBy("hd", "vec_id")
+    return (
+        codes.join(F.broadcast(qcodes))
+        .select("query_id", "vec_id",
+                hamming_distance("bcode", "qcode").cast("int").alias("hd"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

@@ -1176,3 +1176,97 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c_ab", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2").limit(20)
     )
+
+
+@register("dedup_boilerplate", """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS seg_id,
+             array_to_string(list_slice(ws, t.i * 8 + 1, t.i * 8 + 8), ' ')
+               AS seg
+      FROM d, unnest(generate_series(0,
+             CAST(ceil(len(ws) / 8.0) AS INTEGER) - 1)) AS t(i)
+      WHERE len(ws) > 0
+    ),
+    f AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY seg),
+    j AS (
+      SELECT s.doc_id, s.seg_id, s.seg, (f.nd >= 2) AS dup
+      FROM s JOIN f USING (seg)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(COALESCE(length(string_agg(CASE WHEN NOT dup THEN seg END,
+                                           ' ' ORDER BY seg_id)), 0)
+                AS INTEGER) AS clean_chars,
+           md5(COALESCE(string_agg(CASE WHEN NOT dup THEN seg END,
+                                   ' ' ORDER BY seg_id), '')) AS clean_md5
+    FROM j GROUP BY doc_id
+    HAVING SUM(CASE WHEN dup THEN 1 ELSE 0 END) >= 1
+""")
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level boilerplate removal (Raffel 2020 §2.2,
+    Penedo 2023): drop every occurrence of any segment held by ≥ 2
+    distinct docs, stitch the remainder, hash-check the RECONSTRUCTION.
+    Segments are fixed 8-word blocks (the fixture has no newlines; real
+    corpora use the newline split — identical plan). One content-keyed
+    hash aggregate for frequency (no pair join — million-doc boilerplate
+    costs one reduced row per holder), one groupBy for the stitch.
+    hashed=False here so DuckDB replays the count on raw segments; the
+    scale path ships xxhash64 keys (operators/dedup.py
+    boilerplate_segment_removal)."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    return DD.boilerplate_segment_removal(
+        d, seg_words=8, min_docs=2, hashed=False)
+
+
+@register("zipf_fit", """
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    r AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INTEGER)
+               AS rank
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))),
+                 6) AS slope,
+           ROUND(regr_intercept(ln(CAST(n AS DOUBLE)),
+                                ln(CAST(rank AS DOUBLE))), 6) AS intercept,
+           ROUND(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+             AS r2
+    FROM r WHERE rank <= 200
+""")
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency fit over the top-200 vocabulary: OLS of
+    ln(freq) on ln(rank) — slope ≈ −1 is the natural-language signature;
+    a flat slope flags templated/synthetic text, a cliff flags degenerate
+    repetition. The corpus-level cousin of repetition_score. Scale
+    shape: explode → map-side-combined count (|vocab| keys), top-200 by
+    one TakeOrdered-sized window, then a 4-accumulator regression agg on
+    200 rows — the heavy stage is the same single shuffle
+    vocab_top_words pays. Rounded 6 dp over ~200-term covariance sums
+    (well above summation-order drift)."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    c = (d.select(F.explode(TX.words("text")).alias("word"))
+         .groupBy("word").agg(F.count("*").alias("n")))
+    from pyspark.sql.window import Window as W
+    r = (c.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("n"), "word")).cast("int"))
+         .filter(F.col("rank") <= 200))
+    ly, lx = F.log(F.col("n").cast("double")), F.log(F.col("rank").cast("double"))
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.round(F.regr_slope(ly, lx), 6).alias("slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )

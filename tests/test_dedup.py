@@ -270,3 +270,51 @@ def test_substring_span_removal_prefilter_identical(spark):
         assert 2 in one and 4 in one          # exact-boundary + long spans cut
         assert 5 not in one and 6 not in one  # clean docs untouched
         assert all(10 + i in one for i in range(1, 12))  # boilerplate holders
+
+
+def test_boilerplate_removal_known_fixture(spark):
+    """Hand-built semantics: docs A and B share one aligned 8-word block
+    (dropped from BOTH — no keeper, boilerplate is noise); doc C is
+    unique (absent from output); doc D repeats a block twice WITHIN
+    itself only (nd=1 → kept, absent from output); hashed keying must
+    reproduce the raw-string output exactly."""
+    from parquetaivectorsearch_spark.operators.dedup import (
+        boilerplate_segment_removal,
+    )
+
+    blk = "w1 w2 w3 w4 w5 w6 w7 w8"          # one full 8-word segment
+    uniq = lambda t, n: " ".join(f"{t}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        (1, blk + " " + uniq("a", 8)),        # seg0 = blk (shared), seg1 uniq
+        (2, blk + " " + uniq("b", 16)),       # seg0 = blk (shared)
+        (3, uniq("c", 24)),                   # fully unique
+        (4, uniq("d", 8) + " " + uniq("d", 8)),  # self-repeat only (nd=1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = {}
+    for hashed in (True, False):
+        out = {r.doc_id: (r.n_segs, r.n_removed, r.clean_chars, r.clean_md5)
+               for r in boilerplate_segment_removal(
+                   docs, seg_words=8, min_docs=2, hashed=hashed).collect()}
+        outs[hashed] = out
+        assert set(out) == {1, 2}             # only cross-doc sharers lose
+        assert out[1][0] == 2 and out[1][1] == 1   # 2 segs, 1 removed
+        assert out[2][1] == 1
+        assert out[1][2] == len(uniq("a", 8))      # stitched = the uniq tail
+        assert out[2][2] == len(uniq("b", 16))
+    assert outs[True] == outs[False]
+
+
+def test_boilerplate_removal_fixture_hashed_equals_raw(spark):
+    """On the real fixture corpus the xxhash64-keyed scale path and the
+    raw-string oracle path must emit identical rows."""
+    from parquetaivectorsearch_spark.operators.dedup import (
+        boilerplate_segment_removal,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    key = lambda r: (r.doc_id, r.n_segs, r.n_removed, r.clean_chars,  # noqa: E731
+                     r.clean_md5)
+    a = sorted(map(key, boilerplate_segment_removal(docs, hashed=True).collect()))
+    b = sorted(map(key, boilerplate_segment_removal(docs, hashed=False).collect()))
+    assert a == b and len(a) > 0

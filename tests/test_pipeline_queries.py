@@ -222,3 +222,27 @@ def test_ranking_metrics_hand_computed(spark):
     r8 = got[8]
     assert (r8.precision_at_10, r8.recall_at_10, r8.mrr, r8.ndcg_at_10) \
         == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus whose word frequencies are EXACTLY n(r) = 2^(10-r) has
+    ln n = 10·ln 2 − r·ln 2 — linear in r, not ln r, so the log-log fit
+    is not ±1-exact; instead pin the regression itself: build counts
+    n(r) = round(1000·r^−1) for r = 1..8, whose log-log slope must land
+    within 0.02 of −1 with r² ≈ 1 (the Zipf signature the query is for)."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.queries_text import q_zipf_fit
+
+    d = tempfile.mkdtemp(prefix="zipf_")
+    rows = []
+    for r in range(1, 9):
+        n = round(1000 / r)
+        rows.extend((i, f"w{r:02d}") for i in range(n))
+    docs = [(0, " ".join(w for _, w in rows))]
+    spark.createDataFrame(docs, "doc_id BIGINT, text STRING") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = q_zipf_fit(spark, d).collect()[0]
+    assert got.n_ranks == 8
+    assert abs(got.slope + 1.0) < 0.02, got.slope
+    assert got.r2 > 0.999, got.r2
