@@ -131,6 +131,9 @@ HEADLINE = [
     "bigram_logprob",      # bigram LM scoring (perplexity-filter family)
     "dedup_keep_best",     # truncation-variant dedup, keep-best policy
     "semdedup_prune",      # SemDeDup semantic pruning (cluster + gram matrix)
+    "dedup_boilerplate",   # C4-style global line/segment boilerplate removal
+    "bq_hamming_rank",     # 1-bit tier: exact hamming ranking (oracle-backed)
+    "zipf_fit",            # corpus Zipf rank-frequency OLS (health signature)
 ]
 
 

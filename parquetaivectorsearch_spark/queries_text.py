@@ -1270,3 +1270,61 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ly, lx), 6).alias("intercept"),
         F.round(F.regr_r2(ly, lx), 6).alias("r2"),
     )
+
+
+@register("split_leakage", f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents WHERE doc_id < 150
+    ),
+    d AS (
+      SELECT doc_id, split,
+             {_DUCK_NGRAMS.format(t="text", n=3, n_minus_1=2)} AS g
+      FROM s
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.split AS split_a, b.split AS split_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(a.g || b.g)) AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND a.split <> b.split
+      AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / len(list_distinct(a.g || b.g)) >= 0.5
+""")
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit: near-duplicate pairs that STRADDLE the
+    deterministic 80/10/10 hash split (split_assign's assignment) — the
+    check that a held-out set is actually held out after dedup ran. A
+    val/test doc whose near-twin sits in train inflates eval scores
+    without any verbatim eval-set contamination (decontaminate's case);
+    this is the post-split gate real pipelines run last. Exact 3-gram
+    jaccard over the bounded oracle range; at 100 TB the pair source is
+    the banded MinHash candidate stream (dedup_minhash) with the SAME
+    cross-split filter — the filter composes with any pair generator.
+    The cross-split predicate prunes BEFORE jaccard scoring: only
+    cross-split candidate pairs pay the verify cost."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val")
+             .otherwise("test"))
+    d = d.withColumn("split", split)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"),
+                 F.col("split").alias("split_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"),
+                 F.col("split").alias("split_b"))
+    return (
+        a.join(b, (F.col("doc_a") < F.col("doc_b"))
+               & (F.col("split_a") != F.col("split_b")))
+        .select("doc_a", "doc_b", "split_a", "split_b",
+                TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -184,6 +184,104 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("contaminated_doc_id"))
 
 
+@register("decontaminate_spans", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i
+      FROM w
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             array_to_string(words[i:i+4], ' ') AS shingle,
+             CAST(len(words) AS BIGINT) AS nw
+      FROM pos
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    m AS (
+      SELECT doc_id, i, nw FROM sh
+      WHERE doc_id >= 10 AND shingle IN (SELECT shingle FROM bench)
+    ),
+    o AS (
+      SELECT doc_id, i, nw,
+             MAX(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM m
+    ),
+    i2 AS (
+      SELECT doc_id, i, nw,
+             SUM(CASE WHEN pmax IS NULL OR i > pmax + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      FROM o
+    ),
+    sp AS (
+      SELECT doc_id, isl, MIN(i) AS s, MAX(i) + 4 AS e, ANY_VALUE(nw) AS nw
+      FROM i2 GROUP BY doc_id, isl
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS words_flagged,
+           ANY_VALUE(nw) AS n_words,
+           floor(SUM(e - s + 1) / CAST(ANY_VALUE(nw) AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS frac_flagged
+    FROM sp GROUP BY doc_id
+""")
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination AUDIT — ``decontaminate`` answers "which
+    docs to drop"; real pipelines also need "how much and where" before
+    choosing drop-vs-excise (eval shingles inside a long doc argue for
+    excision, a fully-contaminated doc for dropping). Each matched 5-word
+    shingle at word index i marks [i, i+4]; overlapping/adjacent marks
+    merge by the same gaps-and-islands fold as substring_span_removal.
+    Output per contaminated doc: merged span count, words covered, doc
+    length, coverage fraction. Scale shape: the bench join ships matched
+    STARTS only (tiny — contamination is rare), then one window + one agg
+    partitioned by doc_id. frac uses the bit-stable floor(x·1e6+0.5)/1e6
+    — a 128-word doc with odd coverage lands exactly on the .5 rounding
+    boundary where Spark HALF_UP and DuckDB C-round diverge."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    idx = F.when(
+        F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("nw"),
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i, 5), " "))
+        ).alias("p", "shingle"),
+    ).select("doc_id", "nw", (F.col("p") + 1).cast("bigint").alias("i"),
+             "shingle")
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    m = (sh.filter(F.col("doc_id") >= 10)
+         .join(F.broadcast(bench), "shingle", "left_semi")
+         .select("doc_id", "i", "nw"))
+    w_prev = (Window.partitionBy("doc_id").orderBy("i")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("i")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    isl = (m.withColumn("pmax", F.max(F.col("i") + 4).over(w_prev))
+           .withColumn("new_isl", F.when(
+               F.col("pmax").isNull()
+               | (F.col("i") > F.col("pmax") + 1), 1).otherwise(0))
+           .withColumn("isl", F.sum("new_isl").over(w_run)))
+    sp = isl.groupBy("doc_id", "isl").agg(
+        F.min("i").alias("s"), (F.max("i") + 4).alias("e"),
+        F.first("nw").alias("nw"))
+    covered = F.sum(F.col("e") - F.col("s") + 1)
+    return sp.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        covered.alias("words_flagged"),
+        F.first("nw").alias("n_words"),
+        (F.floor(covered / F.first("nw").cast("double") * 1e6 + 0.5) / 1e6)
+        .alias("frac_flagged"),
+    )
+
+
 @register("pii_mask", """
     WITH c AS (
       SELECT doc_id,

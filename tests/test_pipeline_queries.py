@@ -246,3 +246,35 @@ def test_zipf_fit_exact_power_law(spark):
     assert got.n_ranks == 8
     assert abs(got.slope + 1.0) < 0.02, got.slope
     assert got.r2 > 0.999, got.r2
+
+
+def test_decontaminate_spans_hand_case(spark):
+    """Bench doc 0 = 'b1..b10'; train doc 20 embeds words b1..b5 and
+    b3..b7 (two overlapping 5-gram matches -> ONE merged span covering
+    b1..b7 = 7 words) plus a separate b6..b10? no — a distant second
+    region c-padding then b1..b5 again (second island). Verify island
+    merge + coverage arithmetic exactly."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.queries_traindata import (
+        q_decontaminate_spans,
+    )
+
+    bench = " ".join(f"b{i}" for i in range(1, 11))          # b1..b10
+    pad = " ".join(f"c{i}" for i in range(8))                # 8 unique words
+    # words 1-7 = b1..b7 (matches at i=1,2,3 merge: span [1, 7]);
+    # words 8-15 = pad; words 16-20 = b1..b5 (match at i=16: span [16, 20])
+    train = " ".join(
+        [f"b{i}" for i in range(1, 8)] + pad.split() +
+        [f"b{i}" for i in range(1, 6)])
+    d = tempfile.mkdtemp(prefix="dspan_")
+    spark.createDataFrame(
+        [(0, bench), (20, train)], "doc_id BIGINT, text STRING"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_decontaminate_spans(spark, d).collect()}
+    assert set(got) == {20}
+    r = got[20]
+    assert r.n_spans == 2
+    assert r.words_flagged == 7 + 5
+    assert r.n_words == 20
+    assert abs(r.frac_flagged - 0.6) < 1e-9

@@ -38,7 +38,8 @@ BASE = "/root/testdata/sf0.1"
 TENX = "/tmp/sf10x"
 REPS = 3
 QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
-           "pagerank_simgraph_full", "ivf_compact_maintenance"]
+           "pagerank_simgraph_full", "ivf_compact_maintenance",
+           "dedup_boilerplate"]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
