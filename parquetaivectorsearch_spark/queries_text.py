@@ -1328,3 +1328,64 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@register("heaps_law", """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM d),
+    dec AS (
+      SELECT CAST(t.k AS INTEGER) AS decile,
+             CAST(floor(mx.m * t.k / 10.0) AS BIGINT) AS cutoff
+      FROM mx, unnest(generate_series(1, 10)) AS t(k)
+    ),
+    fo AS (
+      SELECT w, MIN(doc_id) AS fd
+      FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY w
+    ),
+    voc AS (
+      SELECT dec.decile, COUNT(*) AS n_vocab
+      FROM dec JOIN fo ON fo.fd <= dec.cutoff GROUP BY dec.decile
+    ),
+    tok AS (
+      SELECT dec.decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(d.ws)) AS BIGINT) AS n_tokens
+      FROM dec JOIN d ON d.doc_id <= dec.cutoff GROUP BY dec.decile
+    )
+    SELECT voc.decile, tok.n_docs, tok.n_tokens,
+           CAST(voc.n_vocab AS BIGINT) AS n_vocab
+    FROM voc JOIN tok USING (decile)
+""")
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-vocabulary size after
+    each successive tenth of the corpus (by doc_id order) next to the
+    token count — sublinear growth (V ~ n^β, β ≈ 0.5-0.7) is the
+    natural-text signature; a flat curve flags a closed template
+    vocabulary, a linear one flags id-like token noise. The naive shape
+    (count DISTINCT per prefix) re-scans the corpus 10×; the scale shape
+    here aggregates each word's FIRST-occurrence doc_id once (one
+    shuffle of |vocab| keys), then vocabulary-at-cutoff is a count over
+    fd ≤ t against a 10-row broadcast decile table — growth falls out of
+    one pass."""
+    d = (_t(spark, sf_dir, "documents", spread=True)
+         .select("doc_id", TX.words("text").alias("ws")))
+    mx = d.agg(F.max("doc_id").alias("m"))
+    dec = (mx.select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+                     "m")
+           .select(F.col("decile").cast("int").alias("decile"),
+                   F.floor(F.col("m") * F.col("decile") / 10.0)
+                   .cast("bigint").alias("cutoff")))
+    fo = (d.select("doc_id", F.explode("ws").alias("w"))
+          .groupBy("w").agg(F.min("doc_id").alias("fd")))
+    voc = (fo.join(F.broadcast(dec), F.col("fd") <= F.col("cutoff"))
+           .groupBy("decile").agg(F.count("*").cast("bigint").alias("n_vocab")))
+    tok = (d.join(F.broadcast(dec), F.col("doc_id") <= F.col("cutoff"))
+           .groupBy("decile").agg(
+               F.count("*").cast("bigint").alias("n_docs"),
+               F.sum(F.size("ws")).cast("bigint").alias("n_tokens")))
+    return voc.join(tok, "decile").select(
+        "decile", "n_docs", "n_tokens", "n_vocab")

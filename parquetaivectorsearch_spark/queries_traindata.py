@@ -398,3 +398,59 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
         err.alias("max_abs_err"),
     )
+
+
+@register("pps_sample", """
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id) AS cum
+      FROM documents
+    ),
+    w AS (SELECT MAX(cum) AS total FROM c),
+    p AS (
+      SELECT CAST(t.j AS INTEGER) AS j,
+             CAST(floor(w.total * (2 * t.j + 1) / 100.0) AS BIGINT) AS pos
+      FROM w, unnest(generate_series(0, 49)) AS t(j)
+    )
+    SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_picks,
+           CAST(MIN(p.j) AS INTEGER) AS first_slot
+    FROM c JOIN p ON p.pos >= c.cum - c.n_chars AND p.pos < c.cum
+    GROUP BY c.doc_id, c.lang, c.n_chars
+""")
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow 1949)
+    — the weighted doc sampler for mixture building: 50 equally-spaced
+    probe positions over the cumulative char mass; a doc is drawn once
+    per probe landing in its interval, so inclusion probability is
+    EXACTLY 50·n_chars/total with no transcendental keys (an A-ES
+    exponential-race key needs ln(u), whose last-ulp differs between
+    libm implementations — unusable under a representation-sensitive
+    hash gate; integer interval compares are bit-exact by construction).
+    Long docs can be drawn multiple times (n_picks — the multiplicity a
+    mixture builder repeats them with). The global running sum is the
+    honest cost: at 100 TB it is the same per-shard-partials +
+    prefix-offset two-phase pack_sequences uses (partition the window by
+    shard, broadcast the 50-row probe table per shard); the probe JOIN
+    ships 50 rows broadcast, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id", "lang", "n_chars",
+        F.sum("n_chars").over(Window.orderBy("doc_id")).alias("cum"))
+    total = c.agg(F.max("cum").alias("total"))
+    p = total.select(
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("j"), "total"
+    ).select(
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("total") * (2 * F.col("j") + 1) / 100.0)
+        .cast("bigint").alias("pos"))
+    return (
+        c.join(F.broadcast(p),
+               (F.col("pos") >= F.col("cum") - F.col("n_chars"))
+               & (F.col("pos") < F.col("cum")))
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(F.count("*").cast("bigint").alias("n_picks"),
+             F.min("j").cast("int").alias("first_slot"))
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+                "n_picks", "first_slot")
+    )

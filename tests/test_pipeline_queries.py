@@ -278,3 +278,44 @@ def test_decontaminate_spans_hand_case(spark):
     assert r.words_flagged == 7 + 5
     assert r.n_words == 20
     assert abs(r.frac_flagged - 0.6) < 1e-9
+
+
+def test_heaps_law_monotone_and_final_totals(spark):
+    """Vocabulary and token curves must be non-decreasing in the decile,
+    and the decile-10 row must equal the whole-corpus totals."""
+    from parquetaivectorsearch_spark.queries_text import q_heaps_law
+
+    from parquetaivectorsearch_spark.sources import load_table
+
+    rows = sorted(q_heaps_law(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_vocab >= a.n_vocab and b.n_tokens >= a.n_tokens \
+            and b.n_docs >= a.n_docs
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from parquetaivectorsearch_spark.functions.text import words
+    import pyspark.sql.functions as F
+    total_vocab = (docs.select(F.explode(words("text")).alias("w"))
+                   .agg(F.count_distinct("w")).collect()[0][0])
+    assert rows[-1].n_vocab == total_vocab
+    assert rows[-1].n_docs == docs.count()
+
+
+def test_pps_sample_invariants(spark):
+    """Systematic PPS: exactly 50 draws total; every drawn doc's interval
+    really contains its probes; a doc longer than total/50 chars is
+    guaranteed to be drawn (systematic sampling's certainty-inclusion
+    property)."""
+    from parquetaivectorsearch_spark.queries_traindata import q_pps_sample
+    from parquetaivectorsearch_spark.sources import load_table
+
+    rows = q_pps_sample(spark, SF_SMOKE).collect()
+    assert sum(r.n_picks for r in rows) == 50
+    docs = load_table(spark, SF_SMOKE, "documents")
+    import pyspark.sql.functions as F
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    drawn = {r.doc_id for r in rows}
+    big = {r.doc_id for r in docs.filter(
+        F.col("n_chars") * 50 > total).collect()}
+    assert big <= drawn
