@@ -438,3 +438,90 @@ def audio_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
                                              "zero_crossing_rate", "rms_envelope"])
 
     return media.filter(F.col("kind") == "audio").mapInPandas(af, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (LAION-style curation: pHash blocks the
+# candidate space, embedding/pixel verification follows)
+# ---------------------------------------------------------------------------
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (same construction as operators/jpeg.py's
+    8-point transform, generalized to n)."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash_images(media: DataFrame, hash_size: int = 8,
+                 resample: int = 32) -> DataFrame:
+    """64-bit DCT perceptual hash per image (the classic pHash: gray →
+    ``resample``² nearest-neighbor shrink → 2-D DCT-II → top-left
+    ``hash_size``² low-frequency block → bit j = coef_j > block median).
+    Brightness/contrast shifts move every coefficient together so the
+    median threshold absorbs them; small crops/noise flip few bits —
+    hamming distance ≈ perceptual distance. Pure numpy over mapInPandas
+    batches (two small matmuls per image); the hash is 8 bytes/image, so
+    the downstream dedup join ships 10⁻⁵ of the pixel bytes. Bit 63
+    wraps to the int64 sign bit (two's complement), matching
+    binary_quantize's convention."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        D = _dct_mat(resample)
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                img = decode_image_batch(payload, meta)
+                g = img.astype(np.float64).mean(axis=2)
+                ys = (np.arange(resample) * g.shape[0]) // resample
+                xs = (np.arange(resample) * g.shape[1]) // resample
+                small = g[np.ix_(ys, xs)]
+                coef = (D @ small @ D.T)[:hash_size, :hash_size].ravel()
+                bits = coef > np.median(coef)
+                h = 0
+                for j, b in enumerate(bits):
+                    h |= int(b) << j
+                out.append((int(mid), int(np.uint64(h).astype(np.int64))))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(ph, schema=schema)
+
+
+def phash_pairs(media: DataFrame, max_hamming: int | None = 6) -> DataFrame:
+    """Near-duplicate image pairs by pHash: SimHash-style 16-bit chunk
+    blocking (4 chunks of the 64-bit hash; pigeonhole guarantees every
+    pair with hamming ≤ 3 shares an intact chunk — exact recall there,
+    best-effort up to ``max_hamming``), candidate self-join on the chunk
+    value, bit_count(XOR) verification JVM-side. The join keys are 4
+    shorts per image — candidate generation never touches pixels.
+    shiftright on a negative long is arithmetic, hence the & 65535 mask
+    AFTER the shift."""
+    hashes = phash_images(media)
+    chunks = hashes.select(
+        "media_id", "phash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), c -> "
+            "struct(c AS c, int(shiftright(phash, c * 16) & 65535) AS v))"
+        )).alias("ck"),
+    ).select("media_id", "phash", "ck.c", "ck.v")
+    a = chunks.select(F.col("media_id").alias("id_a"),
+                      F.col("phash").alias("ph_a"), "c", "v")
+    b = chunks.select(F.col("media_id").alias("id_b"),
+                      F.col("phash").alias("ph_b"), "c", "v")
+    cand = (a.join(b, ["c", "v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ph_a", "ph_b").distinct())
+    hd = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    out = cand.select("id_a", "id_b", hd.cast("int").alias("hamming"))
+    # max_hamming=None → every chunk-blocked candidate with its distance
+    # (lets callers split "blocking found it" from "it is a near-dup")
+    return out if max_hamming is None else out.filter(
+        F.col("hamming") <= max_hamming)

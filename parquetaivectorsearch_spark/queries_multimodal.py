@@ -131,3 +131,40 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_samples", "rms", "zero_crossing_rate",
         F.to_json("rms_envelope").alias("rms_envelope_json"),
     )
+
+
+@register("dedup_phash")  # rows-only: DCT float math is not SQL-replayable
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (the LAION-style curation step —
+    pHash blocks candidates before any expensive pixel/embedding
+    verification): one row PER IMAGE carrying its 64-bit DCT hash and
+    the nearest chunk-blocked neighbor (NULL when nothing lands within
+    hamming 10). The per-image framing keeps the driver row count pinned
+    at |images| even when the fixture has few aligned near-dup pairs —
+    a pairs-only result could legitimately be empty and prove nothing.
+    Candidate generation joins 4 shorts per image (operators/
+    multimodal.phash_pairs); pixels are touched exactly once, in the
+    hash map."""
+    from parquetaivectorsearch_spark.operators.multimodal import (
+        phash_images,
+        phash_pairs,
+    )
+
+    media = _media(spark, sf_dir)
+    hashes = phash_images(media)
+    pairs = phash_pairs(media, max_hamming=None)  # all blocked candidates
+    both = pairs.select(F.col("id_a").alias("media_id"),
+                        F.col("id_b").alias("other"), "hamming").unionAll(
+        pairs.select(F.col("id_b").alias("media_id"),
+                     F.col("id_a").alias("other"), "hamming"))
+    best = (both.groupBy("media_id")
+            .agg(F.count("*").cast("int").alias("n_candidates"),
+                 F.min(F.when(F.col("hamming") <= 10,
+                              F.struct("hamming", "other"))).alias("b"))
+            .select("media_id", "n_candidates",
+                    F.col("b.other").alias("best_match_id"),
+                    F.col("b.hamming").alias("best_hamming")))
+    return (hashes.join(best, "media_id", "left")
+            .select("media_id", "phash",
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    "best_match_id", "best_hamming"))

@@ -381,3 +381,54 @@ def test_jpeg_roundtrip_property():
             assert lerr.max() <= bound
 
     check()
+
+
+def test_phash_invariance_and_discrimination(spark):
+    """pHash must land identical images at hamming 0, lightly-jittered
+    copies within the dedup radius, brightness-shifted copies at ~0 (the
+    median threshold absorbs global shifts), and independent random
+    images far apart."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    jit = base.copy()
+    mask = rng.random(base.shape[:2]) < 0.02           # 2% of pixels
+    jit[mask] = rng.integers(0, 256, (int(mask.sum()), 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+
+    def row(mid, img):
+        h, w, c = img.shape
+        return (mid, "image", img.tobytes(), ("raw", w, h, c, None, None))
+
+    media = spark.createDataFrame(
+        [row(0, base), row(1, base), row(2, jit), row(3, bright),
+         row(4, other)], MM.MEDIA_SCHEMA)
+    ph = {r.media_id: r.phash for r in MM.phash_images(media).collect()}
+    ham = lambda a, b: bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(0, 1) == 0
+    assert ham(0, 2) <= 10, ham(0, 2)
+    assert ham(0, 3) <= 4, ham(0, 3)
+    assert ham(0, 4) > 16, ham(0, 4)
+
+    # blocking: the exact dup (hamming 0) MUST surface as a pair; the
+    # unrelated image must not pass the radius filter
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in MM.phash_pairs(media, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert not any(4 in p for p in pairs)
+
+
+def test_phash_pairs_unfiltered_reports_all_candidates(spark):
+    """max_hamming=None returns every chunk-blocked candidate with its
+    distance (the dedup_phash query splits blocking from the radius
+    decision)."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (16, 16, 1), dtype=np.uint8)
+
+    def row(mid, img):
+        h, w, c = img.shape
+        return (mid, "image", img.tobytes(), ("raw", w, h, c, None, None))
+
+    media = spark.createDataFrame([row(0, a), row(1, a)], MM.MEDIA_SCHEMA)
+    allp = MM.phash_pairs(media, max_hamming=None).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in allp] == [(0, 1, 0)]
