@@ -168,3 +168,39 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "phash",
                     F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
                     "best_match_id", "best_hamming"))
+
+
+@register("dedup_audio")  # rows-only: FFT float math is not SQL-replayable
+def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-fingerprint audio dedup (Wang 2003 — the Shazam
+    construction): one row PER CLIP with its landmark count and the
+    highest-containment partner at containment ≥ 0.8 (NULL below — the
+    fixture's background word-soup similarity sits at ~0.44, true
+    cycled-text duplicates ≥ 0.8; see audio_fp_matches). Same per-row
+    framing as dedup_phash: driver row count pinned at |audio clips|.
+    The match join is hash-equality on packed int64 landmarks — the
+    inverted-index shape; spectrogram bytes never shuffle."""
+    from parquetaivectorsearch_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_fp_matches,
+    )
+
+    media = _media(spark, sf_dir)
+    counts = (audio_fingerprints(media).groupBy("media_id")
+              .agg(F.count("*").cast("int").alias("n_landmarks")))
+    m = audio_fp_matches(media, min_containment=0.8)
+    both = (
+        m.select(F.col("id_a").alias("media_id"),
+                 F.col("id_b").alias("other"), "n_shared", "containment")
+        .unionAll(m.select(F.col("id_b").alias("media_id"),
+                           F.col("id_a").alias("other"), "n_shared",
+                           "containment")))
+    best = (both.groupBy("media_id")
+            .agg(F.max(F.struct("containment", "n_shared",
+                                (-F.col("other")).alias("neg_other"))).alias("b"))
+            .select("media_id", (-F.col("b.neg_other")).alias("best_match_id"),
+                    F.col("b.n_shared").alias("best_shared"),
+                    F.col("b.containment").alias("best_containment")))
+    return (counts.join(best, "media_id", "left")
+            .select("media_id", "n_landmarks", "best_match_id",
+                    "best_shared", "best_containment"))

@@ -432,3 +432,29 @@ def test_phash_pairs_unfiltered_reports_all_candidates(spark):
     media = spark.createDataFrame([row(0, a), row(1, a)], MM.MEDIA_SCHEMA)
     allp = MM.phash_pairs(media, max_hamming=None).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in allp] == [(0, 1, 0)]
+
+
+def test_audio_fingerprint_containment(spark):
+    """Identical clips at containment 1.0; a 60% truncation still ≥ 0.95
+    (its landmarks are a verbatim subset of the full clip's); an
+    independent noise clip stays below 0.5."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(-20000, 20000, 4000, dtype=np.int16)
+    trunc = a[: int(len(a) * 0.6)]
+    other = rng.integers(-20000, 20000, 4000, dtype=np.int16)
+
+    def row(mid, pcm):
+        return (mid, "audio", pcm.tobytes(), ("pcm16", None, None, 1, 8000,
+                                              None))
+
+    media = _manual_media(spark, [row(0, a), row(1, a.copy()),
+                                  row(2, trunc), row(3, other)])
+    pairs = {(p.id_a, p.id_b): p.containment
+             for p in MM.audio_fp_matches(media, min_containment=0.0)
+             .collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] >= 0.95, pairs[(0, 2)]
+    assert pairs.get((0, 3), 0.0) < 0.5, pairs.get((0, 3))
+    high = MM.audio_fp_matches(media, min_containment=0.8).collect()
+    ids = {(p.id_a, p.id_b) for p in high}
+    assert (0, 1) in ids and (0, 2) in ids and (0, 3) not in ids
