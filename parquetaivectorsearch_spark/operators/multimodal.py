@@ -608,3 +608,73 @@ def audio_fp_matches(media: DataFrame,
             .filter(F.col("containment") >= min_containment)
             .select("id_a", "id_b", "n_shared",
                     F.round("containment", 6).alias("containment")))
+
+
+def video_frame_hashes(media: DataFrame, hash_size: int = 8,
+                       resample: int = 16) -> DataFrame:
+    """Per-frame perceptual hashes for the raw video tier: each frame of
+    the F×H×W×C payload gets the same DCT pHash as still images
+    (smaller ``resample`` — fixture frames are ≤ 15×11). A clip becomes
+    F rows of (media_id, frame_no, fhash) — 8 bytes per frame; decoded
+    pixels never leave the executor. Compressed video decode stays the
+    documented env-blocked stub (_require_raw), so this operator IS the
+    video dedup path for raw/decoded-frame lakes."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+    ])
+
+    def vh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        D = _dct_mat(resample)
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                _require_raw(meta["format"])
+                h, w, c = (int(meta["height"]), int(meta["width"]),
+                           int(meta["channels"]))
+                nf = int(meta["n_frames"])
+                vid = np.frombuffer(payload, dtype=np.uint8,
+                                    count=nf * h * w * c).reshape(nf, h, w, c)
+                ys = (np.arange(resample) * h) // resample
+                xs = (np.arange(resample) * w) // resample
+                for f in range(nf):
+                    g = vid[f].astype(np.float64).mean(axis=2)
+                    coef = (D @ g[np.ix_(ys, xs)] @ D.T)[:hash_size,
+                                                         :hash_size].ravel()
+                    bits = coef > np.median(coef)
+                    hh = 0
+                    for j, b in enumerate(bits):
+                        hh |= int(b) << j
+                    out.append((int(mid), f,
+                                int(np.uint64(hh).astype(np.int64))))
+            yield pd.DataFrame(out, columns=["media_id", "frame_no", "fhash"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(vh, schema=schema)
+
+
+def video_matches(media: DataFrame,
+                  min_containment: float = 0.8) -> DataFrame:
+    """Near-duplicate video pairs: DISTINCT frame-hash sets per clip,
+    inverted-index equality join, containment over the smaller clip's
+    set (same scoring rationale as audio_fp_matches — re-encoded or
+    trimmed copies keep most frame hashes verbatim; frame ORDER is
+    deliberately ignored so re-cut compilations still match)."""
+    fh = video_frame_hashes(media).select("media_id", "fhash").distinct()
+    counts = fh.groupBy("media_id").agg(F.count("*").alias("n"))
+    a = fh.select(F.col("media_id").alias("id_a"), "fhash")
+    b = fh.select(F.col("media_id").alias("id_b"), "fhash")
+    shared = (a.join(b, "fhash")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").cast("int").alias("n_shared")))
+    ca = counts.select(F.col("media_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("media_id").alias("id_b"), F.col("n").alias("nb"))
+    return (shared.join(ca, "id_a").join(cb, "id_b")
+            .withColumn("containment",
+                        F.col("n_shared") / F.least("na", "nb"))
+            .filter(F.col("containment") >= min_containment)
+            .select("id_a", "id_b", "n_shared",
+                    F.round("containment", 6).alias("containment")))

@@ -204,3 +204,39 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.join(best, "media_id", "left")
             .select("media_id", "n_landmarks", "best_match_id",
                     "best_shared", "best_containment"))
+
+
+@register("dedup_video")  # rows-only: DCT float math is not SQL-replayable
+def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-signature video dedup over the raw tier (compressed video
+    decode is the one env-blocked stub; decoded-frame lakes are exactly
+    what this serves): per-frame DCT pHashes → distinct hash set per
+    clip → inverted-index join → containment ≥ 0.8 (order-ignoring, so
+    trims and re-cuts still match). Per-clip framing, row count pinned
+    at |video clips|: (media_id, n_distinct_frames, best_match_id,
+    best_shared, best_containment)."""
+    from parquetaivectorsearch_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_matches,
+    )
+
+    media = _media(spark, sf_dir)
+    counts = (video_frame_hashes(media).select("media_id", "fhash").distinct()
+              .groupBy("media_id")
+              .agg(F.count("*").cast("int").alias("n_distinct_frames")))
+    m = video_matches(media, min_containment=0.8)
+    both = (
+        m.select(F.col("id_a").alias("media_id"),
+                 F.col("id_b").alias("other"), "n_shared", "containment")
+        .unionAll(m.select(F.col("id_b").alias("media_id"),
+                           F.col("id_a").alias("other"), "n_shared",
+                           "containment")))
+    best = (both.groupBy("media_id")
+            .agg(F.max(F.struct("containment", "n_shared",
+                                (-F.col("other")).alias("neg_other"))).alias("b"))
+            .select("media_id", (-F.col("b.neg_other")).alias("best_match_id"),
+                    F.col("b.n_shared").alias("best_shared"),
+                    F.col("b.containment").alias("best_containment")))
+    return (counts.join(best, "media_id", "left")
+            .select("media_id", "n_distinct_frames", "best_match_id",
+                    "best_shared", "best_containment"))

@@ -458,3 +458,27 @@ def test_audio_fingerprint_containment(spark):
     high = MM.audio_fp_matches(media, min_containment=0.8).collect()
     ids = {(p.id_a, p.id_b) for p in high}
     assert (0, 1) in ids and (0, 2) in ids and (0, 3) not in ids
+
+
+def test_video_frame_hash_containment(spark):
+    """A re-cut clip (subset of frames, shuffled order) must contain at
+    1.0; an unrelated clip stays below 0.8; identical clips at 1.0."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (6, 12, 10, 1), dtype=np.uint8)
+    recut = frames[[4, 1, 3]]                 # subset, different order
+    other = rng.integers(0, 256, (6, 12, 10, 1), dtype=np.uint8)
+
+    def row(mid, vid):
+        f, h, w, c = vid.shape
+        return (mid, "video", vid.tobytes(), ("raw", w, h, c, None, f))
+
+    media = _manual_media(spark, [row(0, frames), row(1, frames.copy()),
+                                  row(2, recut), row(3, other)])
+    pairs = {(p.id_a, p.id_b): p.containment
+             for p in MM.video_matches(media, min_containment=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0                # subset frames all shared
+    assert pairs.get((0, 3), 0.0) < 0.8
+    high = {(p.id_a, p.id_b)
+            for p in MM.video_matches(media, min_containment=0.8).collect()}
+    assert (0, 1) in high and (0, 2) in high and (0, 3) not in high
