@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_boilerplate",   # C4-style global line/segment boilerplate removal
     "bq_hamming_rank",     # 1-bit tier: exact hamming ranking (oracle-backed)
     "zipf_fit",            # corpus Zipf rank-frequency OLS (health signature)
+    "curation_funnel",     # end-to-end pipeline: quality->dedup->decon->split
 ]
 
 

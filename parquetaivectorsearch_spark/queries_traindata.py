@@ -454,3 +454,120 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
                 "n_picks", "first_slot")
     )
+
+
+@register("curation_funnel", f"""
+    WITH w AS (
+      SELECT doc_id, n_chars, lang, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n_chars, text, words,
+             substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       1, 80) AS pfx,
+             (len(words) >= 20 AND lang IN ('en', 'de')) AS q
+      FROM w
+    ),
+    keepers AS (SELECT MIN(doc_id) AS kid FROM base WHERE q GROUP BY pfx),
+    contam AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id,
+                   array_to_string(words[i:i+4], ' ') AS shingle
+            FROM base, unnest(generate_series(1,
+                   greatest(len(words) - 4, 0))) AS t(i)) s
+      WHERE s.doc_id >= 10 AND s.shingle IN (
+        SELECT array_to_string(words[i:i+4], ' ')
+        FROM base, unnest(generate_series(1,
+               greatest(len(words) - 4, 0))) AS t(i)
+        WHERE doc_id < 10)
+    ),
+    flags AS (
+      SELECT b.doc_id, b.n_chars, b.q,
+             b.q AND b.doc_id IN (SELECT kid FROM keepers) AS d,
+             b.q AND b.doc_id IN (SELECT kid FROM keepers)
+                 AND b.doc_id NOT IN (SELECT doc_id FROM contam) AS c,
+             b.q AND b.doc_id IN (SELECT kid FROM keepers)
+                 AND b.doc_id NOT IN (SELECT doc_id FROM contam)
+                 AND (b.doc_id * {_HASH}) % 100 < 80 AS s
+      FROM base b
+    )
+    SELECT stage_no, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM (
+      SELECT 0 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs,
+             SUM(n_chars) AS total_chars FROM flags
+      UNION ALL
+      SELECT 1, 'quality', COUNT(*) FILTER (q),
+             COALESCE(SUM(n_chars) FILTER (q), 0) FROM flags
+      UNION ALL
+      SELECT 2, 'dedup', COUNT(*) FILTER (d),
+             COALESCE(SUM(n_chars) FILTER (d), 0) FROM flags
+      UNION ALL
+      SELECT 3, 'decontaminated', COUNT(*) FILTER (c),
+             COALESCE(SUM(n_chars) FILTER (c), 0) FROM flags
+      UNION ALL
+      SELECT 4, 'train_split', COUNT(*) FILTER (s),
+             COALESCE(SUM(n_chars) FILTER (s), 0) FROM flags
+    )
+""")
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel — the engine's pipeline story in one
+    oracle-checked query: raw → quality gate (≥ 20 words, en/de) →
+    truncation-variant dedup keep-min (dedup_keep_best's normalized
+    80-char-prefix key — the fixture's duplicates are CUT VARIANTS, not
+    byte-exact copies, so an exact-text stage would be vacuous) →
+    eval-set decontamination (5-gram vs docs 0-9) → 80% train split,
+    reporting per-stage survivor counts and char mass. Each stage is a
+    FLAG conjunction computed with the same machinery as its standalone
+    query (decontaminate's broadcast shingle semi-join, split_assign's
+    multiplicative hash) — no new semantics, just the composition a
+    real pipeline runs nightly. Scale shape: two broadcast semi-joins
+    (keepers is |distinct texts| keys, bench shingles tiny) + one final
+    5-row aggregate; the conjunction never materializes intermediate
+    corpora."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    q = (F.size(words) >= 20) & F.col("lang").isin("en", "de")
+    pfx = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
+    base = d.select("doc_id", "n_chars", "text", pfx.alias("pfx"),
+                    q.alias("q"), words.alias("words"))
+    keepers = (base.filter("q").groupBy("pfx")
+               .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    idx = F.when(
+        F.size("words") >= 5, F.sequence(F.lit(1), F.size("words") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select("doc_id", F.explode(F.transform(
+        idx, lambda i: F.array_join(F.slice("words", i, 5), " "))
+    ).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    contam = (sh.filter(F.col("doc_id") >= 10)
+              .join(F.broadcast(bench), "shingle", "left_semi")
+              .select("doc_id").distinct())
+    flags = (base
+             .join(keepers.withColumn("k", F.lit(True)), "doc_id", "left")
+             .join(contam.withColumn("ct", F.lit(True)), "doc_id", "left")
+             .select(
+                 "doc_id", "n_chars", "q",
+                 (F.col("q") & F.coalesce("k", F.lit(False))).alias("d"),
+                 (F.col("q") & F.coalesce("k", F.lit(False))
+                  & ~F.coalesce("ct", F.lit(False))).alias("c"))
+             .withColumn("s", F.col("c")
+                         & ((F.col("doc_id") * F.lit(_HASH)) % 100 < 80)))
+    labels = [(0, "raw"), (1, "quality"), (2, "dedup"),
+              (3, "decontaminated"), (4, "train_split")]
+    flagcols = [None, "q", "d", "c", "s"]
+    rows = None
+    for (no, label), flag in zip(labels, flagcols):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        one = flags.agg(
+            F.sum(cond.cast("long")).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.when(cond, F.col("n_chars"))), F.lit(0))
+            .cast("bigint").alias("total_chars"),
+        ).select(F.lit(no).alias("stage_no"), F.lit(label).alias("stage"),
+                 "n_docs", "total_chars")
+        rows = one if rows is None else rows.unionAll(one)
+    return rows

@@ -319,3 +319,22 @@ def test_pps_sample_invariants(spark):
     big = {r.doc_id for r in docs.filter(
         F.col("n_chars") * 50 > total).collect()}
     assert big <= drawn
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    """Stage counts must be monotone non-increasing, start at the corpus
+    size, and the dedup stage must actually remove truncation variants
+    (a vacuous stage would silently prove nothing)."""
+    from parquetaivectorsearch_spark.queries_traindata import q_curation_funnel
+    from parquetaivectorsearch_spark.sources import load_table
+
+    rows = {r.stage: r for r in q_curation_funnel(spark, SF_CORRECT).collect()}
+    assert list(sorted(r.stage_no for r in rows.values())) == [0, 1, 2, 3, 4]
+    order = ["raw", "quality", "dedup", "decontaminated", "train_split"]
+    counts = [rows[s].n_docs for s in order]
+    chars = [rows[s].total_chars for s in order]
+    assert counts[0] == load_table(spark, SF_CORRECT, "documents").count()
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert all(a >= b for a, b in zip(chars, chars[1:])), chars
+    assert counts[2] < counts[1], "dedup stage must remove cut variants"
+    assert counts[4] < counts[3], "train split must drop ~20%"
