@@ -39,7 +39,10 @@ TENX = "/tmp/sf10x"
 REPS = 3
 QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            "pagerank_simgraph_full", "ivf_compact_maintenance",
-           "dedup_boilerplate"]
+           "dedup_boilerplate",
+           # modality dedups: media derives deterministically from the
+           # documents table, so the 10× corpus scales them too
+           "dedup_phash", "dedup_audio", "dedup_video"]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
