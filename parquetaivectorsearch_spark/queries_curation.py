@@ -1,0 +1,394 @@
+"""Corpus-curation audit queries (round-9 extension of the north-star
+training-data pipeline): Gopher-style quality-rule flags, DSIR
+hashed-feature importance weights, tokenizer fertility accounting, an
+inverted-index build, an n-gram novelty (memorization) audit, and
+embedding outlier detection.
+
+The reference stops at token counting and per-corpus cost (Program.cs:
+80-116); a curation pipeline additionally has to DECIDE which documents
+enter the mixture. These six operators are the decision layer: rule
+filters (Gopher, Rae et al. 2021), distribution matching (DSIR, Xie et
+al. 2023), tokenizer-efficiency accounting, retrieval structures, and
+two novelty/outlier audits. All are exact integer / fixed-order IEEE
+arithmetic → every one is DuckDB-oracle-checkable.
+
+Scale notes (the shapes that survive 100 TB):
+- every per-doc metric is one projection over exploded words — narrow
+  shuffle keys, map-side combine on (bucket)/(term)/(shingle);
+- DSIR's model tables are 64 rows → broadcast back to the word stream;
+  no second pass over text;
+- the inverted index bounds its postings payload (first 20 ids) so a
+  stop-word term cannot produce a gigabyte row;
+- embedding outliers reuse the centroid_per_label long-format agg and a
+  broadcast join — never a per-group vector materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark.functions import text as TX
+from parquetaivectorsearch_spark.queries import _t, register
+from parquetaivectorsearch_spark.queries_text import _STOPWORDS, _count_in
+
+_DUCK_WORDS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')"
+_STOP_IN = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, appendix A1.1 — public)
+# ---------------------------------------------------------------------------
+
+@register("gopher_rules", f"""
+    WITH m AS (
+      SELECT doc_id, len(ws) AS n_words,
+             ROUND(list_sum(list_transform(ws, w -> length(w))) * 1.0
+                   / len(ws), 6) AS mean_word_len,
+             ROUND(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                   * 1.0 / len(ws), 6) AS frac_alpha,
+             len(list_filter(ws, w -> w IN ({_STOP_IN}))) AS stop_hits
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents)
+      WHERE len(ws) > 0
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           frac_alpha, CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 10
+                      AND frac_alpha >= 0.8
+                      AND stop_hits >= 2 THEN 1 ELSE 0 END AS INTEGER)
+             AS pass_gopher
+    FROM m
+""")
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags (word-count bounds, mean word length 3-10,
+    ≥80% alphabetic words, ≥2 stopword hits) + the conjunction as a 0/1
+    keep flag. One projection over the word array with in-order integer
+    folds — no shuffle at all; the 100 TB shape is a pure map stage.
+    Thresholds compare the ROUNDED ratios so both engines gate on
+    identical doubles."""
+    d = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    n_words = F.size(ws)
+    sum_len = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    alpha_hits = F.aggregate(
+        ws, F.lit(0), lambda a, w: a + F.when(w.rlike("[a-z]"), 1).otherwise(0)
+    )
+    m = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(alpha_hits.cast("double") / n_words, 6).alias("frac_alpha"),
+        _count_in(ws, _STOPWORDS).cast("bigint").alias("stop_hits"),
+    ).filter(F.col("n_words") > 0)
+    return m.withColumn(
+        "pass_gopher",
+        (
+            F.col("n_words").between(20, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("frac_alpha") >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023 — hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # feature buckets; the published method uses 10k over bigrams
+
+_DSIR_BUCKET_SQL = (
+    "(length(word) * 131 + ascii(substr(word, 1, 1)) * 31"
+    " + ascii(substr(word, length(word), 1))) % 64"
+)
+
+
+@register("dsir_weights", f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest({_DUCK_WORDS}) AS word FROM documents
+    ),
+    b AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM w),
+    raw AS (SELECT bucket, COUNT(*) AS r_cnt FROM b GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS t_cnt FROM b WHERE lang = 'en'
+            GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM b) AS r_tot,
+                   (SELECT COUNT(*) FROM b WHERE lang = 'en') AS t_tot),
+    ll AS (
+      SELECT raw.bucket,
+             ROUND(ln((COALESCE(tgt.t_cnt, 0) + 1.0) / (tot.t_tot + {_DSIR_B}))
+                   - ln((raw.r_cnt + 1.0) / (tot.r_tot + {_DSIR_B})), 9) AS ll
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
+    )
+    SELECT b.doc_id, COUNT(*) AS n_words,
+           ROUND(SUM(ll.ll), 6) AS dsir_weight
+    FROM b JOIN ll ON b.bucket = ll.bucket
+    GROUP BY b.doc_id
+""")
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    per-document importance log-weights: hashed unigram features, target
+    distribution = the `lang='en'` slice, raw = the whole corpus, Laplace
+    smoothing. ONE combined feature-count agg over the exploded word
+    stream (raw + target counts in the same 64-row pass — the word
+    explode is never re-scanned), totals folded from that table, and
+    the resulting 64-row log-likelihood model broadcast back; per-doc
+    weight is one hash agg on doc_id. At 100 TB the bucket tables stay
+    64 rows no matter the corpus — the only full-data costs are the
+    explode and one shuffle on doc_id. Bucket log-likelihoods are
+    pre-rounded to 9 dp so both engines sum identical doubles; final
+    weight rounded to 6."""
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", "lang", F.explode(TX.words("text")).alias("word"))
+        .withColumn(
+            "bucket",
+            (
+                F.length("word") * 131
+                + F.ascii(F.substring("word", 1, 1)) * 31
+                + F.ascii(F.expr("substring(word, length(word), 1)"))
+            )
+            % _DSIR_B,
+        )
+        .select("doc_id", "lang", "bucket")
+    )
+    counts = b.groupBy("bucket").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    ll = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + _DSIR_B))
+            - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + _DSIR_B)),
+            9,
+        ).alias("ll"),
+    )
+    return (
+        b.join(F.broadcast(ll), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum("ll"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (pieces per word / chars per piece, by language)
+# ---------------------------------------------------------------------------
+
+_PIECE_RE = " ?[a-z]+| ?[0-9]{1,3}| ?[^ a-z0-9]+"
+
+
+@register("tokenizer_fertility", f"""
+    WITH m AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_PIECE_RE}')) AS pieces,
+             len({_DUCK_WORDS}) AS words,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT lang, CAST(SUM(pieces) AS BIGINT) AS total_pieces,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           ROUND(SUM(pieces) * 1.0 / SUM(words), 6) AS fertility,
+           ROUND(SUM(chars) * 1.0 / SUM(pieces), 6) AS chars_per_piece
+    FROM m GROUP BY lang
+""")
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish regex pieces per
+    whitespace word and chars per piece — the standard multilingual
+    tokenizer-efficiency accounting (SentencePiece evaluation idiom).
+    The piece split runs JVM-side via regexp_extract_all (no Python UDF,
+    unlike the full BPE path in token_count) so it stays inside
+    whole-stage codegen; the agg is 5 language rows. Integer sums,
+    single final divisions → oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_PIECE_RE), F.lit(0))).alias("pieces"),
+        F.size(TX.words("text")).alias("words"),
+        F.length("text").alias("chars"),
+    )
+    return m.groupBy("lang").agg(
+        F.sum("pieces").cast("bigint").alias("total_pieces"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.round(F.sum("pieces") / F.sum("words"), 6).alias("fertility"),
+        F.round(F.sum("chars") / F.sum("pieces"), 6).alias("chars_per_piece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (term → df + bounded postings head)
+# ---------------------------------------------------------------------------
+
+@register("inverted_index", f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+    ),
+    p AS (SELECT DISTINCT doc_id, term FROM w)
+    SELECT term, COUNT(*) AS df,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+             AS postings_head
+    FROM p GROUP BY term
+""")
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the first 20
+    postings (sorted doc_ids, comma-joined — the driver hash cannot take
+    raw arrays). explode → distinct → one hash agg on term; bounding the
+    postings payload keeps stop-word rows O(1) instead of O(corpus), the
+    difference between an index build that works at 100 TB and one that
+    OOMs on the term 'the'. Full postings would be written partitioned
+    by term-range instead of returned."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(TX.words("text")).alias("term"), "doc_id").distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20)
+        ).alias("postings_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (memorization / boilerplate audit)
+# ---------------------------------------------------------------------------
+
+_NOVEL_N = 8
+
+
+@register("ngram_novelty", f"""
+    WITH s AS (
+      SELECT DISTINCT doc_id, substring(text, t.i, {_NOVEL_N}) AS sh
+      FROM documents, unnest(generate_series(1, length(text) - {_NOVEL_N - 1}))
+           AS t(i)
+      WHERE length(text) >= {_NOVEL_N}
+    ),
+    g AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh)
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN g.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_shingles,
+           ROUND(SUM(CASE WHEN g.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS novel_frac
+    FROM s JOIN g ON s.sh = g.sh
+    GROUP BY s.doc_id
+""")
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {_NOVEL_N}-char-shingle novelty: the fraction of a
+    doc's distinct shingles that appear in NO other document — the
+    cheap memorization/boilerplate audit (low novelty ⇒ the doc is
+    assembled from corpus-common fragments). Same explode machinery as
+    dedup_substring; shingle df is a map-side-combinable hash agg and
+    the doc join is on the shingle key. Exact integers until one final
+    division."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= _NOVEL_N)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (_NOVEL_N - 1))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, i, {_NOVEL_N})").alias("sh"))
+        .distinct()
+    )
+    g = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        sh.join(g, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection (distance-to-centroid z-score per label)
+# ---------------------------------------------------------------------------
+
+@register("embedding_outlier", """
+    WITH cent AS (
+      SELECT label, CAST(t.i AS INTEGER) AS i, ROUND(AVG(em[t.i]), 6) AS c
+      FROM (SELECT label, embedding AS em FROM embeddings) d,
+           unnest(generate_series(1, len(em))) AS t(i)
+      GROUP BY label, t.i
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             ROUND(sqrt(SUM((e.embedding[cent.i] - cent.c)
+                            * (e.embedding[cent.i] - cent.c))), 6) AS dist
+      FROM embeddings e JOIN cent ON e.label = cent.label
+      GROUP BY e.vec_id, e.label
+    ),
+    st AS (
+      SELECT label, ROUND(AVG(dist), 6) AS mu,
+             ROUND(stddev_pop(dist), 6) AS sigma
+      FROM dist GROUP BY label
+    )
+    SELECT dist.vec_id, dist.label, dist.dist,
+           ROUND((dist.dist - st.mu) / st.sigma, 4) AS z,
+           CAST(CASE WHEN (dist.dist - st.mu) / st.sigma > 2.0
+                THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM dist JOIN st ON dist.label = st.label
+""")
+def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: per-label centroid (long-format agg, the
+    centroid_per_label shape), per-vector euclidean distance to its own
+    centroid via an in-order zip_with fold, then a per-label z-score; z >
+    2 flags the vector. The curation use: mislabeled / corrupted vectors
+    before index build. Centroids and distances are rounded to 6 dp
+    BEFORE the z-score so both engines divide identical doubles; the
+    centroid table (n_labels × dim) broadcasts."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent_long = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    dist = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "centroid", lambda v, c: (v - c) * (v - c)
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    st = dist.groupBy("label").agg(
+        F.round(F.avg("dist"), 6).alias("mu"),
+        F.round(F.stddev_pop("dist"), 6).alias("sigma"),
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sigma")
+    return (
+        dist.join(F.broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            F.round(z, 4).alias("z"),
+            (z > 2.0).cast("int").alias("is_outlier"),
+        )
+    )

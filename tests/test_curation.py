@@ -1,0 +1,113 @@
+"""Semantic + physical-plan checks for the curation-audit operators
+(queries_curation.py). Oracle parity is covered by test_oracle_parity.py;
+here we assert the *meaning* (DSIR separates the target slice, novelty is
+a proper fraction, outlier z-scores standardize) and the scale posture
+visible in the plan (broadcast model joins, no word-stream re-scan for the
+DSIR totals)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from parquetaivectorsearch_spark import plans as P
+from parquetaivectorsearch_spark import queries as Q
+from tests.conftest import SF_CORRECT
+
+QUERIES = Q.all_queries()
+
+
+def test_gopher_rules_flag_is_conjunction(spark):
+    rows = QUERIES["gopher_rules"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        expect = int(
+            20 <= r["n_words"] <= 100000
+            and 3 <= r["mean_word_len"] <= 10
+            and r["frac_alpha"] >= 0.8
+            and r["stop_hits"] >= 2
+        )
+        assert r["pass_gopher"] == expect, r
+    # the fixture corpus must exercise both branches or the flag is vacuous
+    flags = {r["pass_gopher"] for r in rows}
+    assert flags == {0, 1}, flags
+
+
+def test_dsir_weights_separate_target_slice(spark):
+    """DSIR's whole point: documents drawn from the target distribution
+    (lang='en') must receive a higher mean importance weight than the
+    rest. With per-word weights this holds in expectation; assert the
+    aggregate gap is positive."""
+    w = QUERIES["dsir_weights"](spark, SF_CORRECT)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    j = w.join(docs, "doc_id").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    # normalize per word: long docs otherwise dominate the doc-level sum
+    m = (
+        j.withColumn("per_word", F.col("dsir_weight") / F.col("n_words"))
+        .groupBy("is_en")
+        .agg(F.avg("per_word").alias("mean_w"))
+        .collect()
+    )
+    by = {r["is_en"]: r["mean_w"] for r in m}
+    assert by[1] > by[0], by
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    plan = P.formatted_plan(QUERIES["dsir_weights"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tokenizer_fertility_bounds(spark):
+    rows = QUERIES["tokenizer_fertility"](spark, SF_CORRECT).collect()
+    assert len(rows) == 5  # en/de/es/fr/zh fixture langs
+    for r in rows:
+        # a piece is at most a word plus its leading space: fertility >= 1
+        # only if words never merge; with this regex pieces >= words
+        assert r["fertility"] >= 1.0, r
+        assert 1.0 <= r["chars_per_piece"] <= 20.0, r
+        assert r["total_pieces"] <= r["total_chars"]
+
+
+def test_inverted_index_postings_sorted_bounded(spark):
+    rows = QUERIES["inverted_index"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings_head"].split(",") if x != ""]
+        assert ids == sorted(ids), r
+        assert len(ids) == min(r["df"], 20), r
+
+
+def test_ngram_novelty_fraction(spark):
+    rows = QUERIES["ngram_novelty"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["novel_shingles"] <= r["n_shingles"]
+        assert abs(r["novel_frac"] - r["novel_shingles"] / r["n_shingles"]) < 1e-6
+    # word-soup corpus shares 8-char shingles heavily: some non-novel mass
+    assert any(r["novel_frac"] < 1.0 for r in rows)
+
+
+def test_embedding_outlier_standardizes(spark):
+    rows = QUERIES["embedding_outlier"](spark, SF_CORRECT).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+        assert r["is_outlier"] == int(r["z"] > 2.0), r
+    for label, rs in by_label.items():
+        zs = [r["z"] for r in rs]
+        mean_z = sum(zs) / len(zs)
+        var_z = sum(z * z for z in zs) / len(zs) - mean_z * mean_z
+        # rounded inputs: loose tolerance on standardization invariants
+        assert abs(mean_z) < 1e-2, (label, mean_z)
+        assert abs(math.sqrt(max(var_z, 0.0)) - 1.0) < 1e-2, (label, var_z)
+
+
+def test_embedding_outlier_centroid_broadcast(spark):
+    plan = P.formatted_plan(QUERIES["embedding_outlier"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan, plan

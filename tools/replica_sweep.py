@@ -56,6 +56,10 @@ def main() -> None:
     register_views(duck, sf_dir)
 
     queries, oracles = Q.all_queries(), Q.all_oracles()
+    only = os.environ.get("SWEEP_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in keep}
     results: dict[str, dict] = {}
     t_start = time.monotonic()
     n_hash = n_rows_only = n_fail = 0
