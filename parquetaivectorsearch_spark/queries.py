@@ -64,9 +64,19 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("schema_introspect")  # rows-only: type-name strings are engine-specific
+@register("schema_introspect", """
+    SELECT * FROM (VALUES
+      (0, 'vec_id', 'bigint', TRUE),
+      (1, 'embedding', 'array<float>', TRUE),
+      (2, 'label', 'int', TRUE)
+    ) t(ordinal, col_name, col_type, nullable)
+""")
 def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Footer schema walk as a DataFrame (Program.cs:51-63)."""
+    """Footer schema walk as a DataFrame (Program.cs:51-63). The oracle is
+    the fixture's KNOWN schema as literals (upgraded from rows-only in r9:
+    DuckDB cannot emit Spark type-name strings, but the expected footer
+    for the pinned fixture is static — the check still proves the parquet
+    footer decodes to exactly these names/types/order)."""
     return schema_table(spark, _t(spark, sf_dir, "embeddings"))
 
 

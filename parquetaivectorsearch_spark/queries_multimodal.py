@@ -151,8 +151,10 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = _media(spark, sf_dir)
-    hashes = phash_images(media)
-    pairs = phash_pairs(media, max_hamming=None)  # all blocked candidates
+    hashes = phash_images(media).localCheckpoint(eager=False)
+    # one pixel pass: candidates and the per-image projection both read
+    # the checkpointed hash tier
+    pairs = phash_pairs(media, max_hamming=None, hashes=hashes)
     both = pairs.select(F.col("id_a").alias("media_id"),
                         F.col("id_b").alias("other"), "hamming").unionAll(
         pairs.select(F.col("id_b").alias("media_id"),
@@ -186,9 +188,10 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = _media(spark, sf_dir)
-    counts = (audio_fingerprints(media).groupBy("media_id")
+    fp = audio_fingerprints(media).localCheckpoint(eager=False)
+    counts = (fp.groupBy("media_id")
               .agg(F.count("*").cast("int").alias("n_landmarks")))
-    m = audio_fp_matches(media, min_containment=0.8)
+    m = audio_fp_matches(media, min_containment=0.8, fp=fp)
     both = (
         m.select(F.col("id_a").alias("media_id"),
                  F.col("id_b").alias("other"), "n_shared", "containment")
@@ -221,10 +224,11 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = _media(spark, sf_dir)
-    counts = (video_frame_hashes(media).select("media_id", "fhash").distinct()
+    fh = video_frame_hashes(media).localCheckpoint(eager=False)
+    counts = (fh.select("media_id", "fhash").distinct()
               .groupBy("media_id")
               .agg(F.count("*").cast("int").alias("n_distinct_frames")))
-    m = video_matches(media, min_containment=0.8)
+    m = video_matches(media, min_containment=0.8, frame_hashes=fh)
     both = (
         m.select(F.col("id_a").alias("media_id"),
                  F.col("id_b").alias("other"), "n_shared", "containment")

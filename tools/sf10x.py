@@ -131,7 +131,17 @@ def main() -> None:
         "claims; sub-linear alphas mean fixed job overhead still floors\n"
         "part of the cost at this size.\n\n"
         "| query | sf0.1 s | 10x s | alpha |\n|---|---|---|---|\n"
-        + "\n".join(lines) + "\n")
+        + "\n".join(lines) + "\n"
+        "\nThe media dedups ride the same synthetic replicas. Their hash\n"
+        "tiers (pHash DCT, landmark FFT, frame signatures) are extracted\n"
+        "ONCE per query via a localCheckpoint lineage cut — before r9's\n"
+        "fix the self-join recomputed the mapInPandas extraction per\n"
+        "consumer, which quadrupled audio's FFT cost and made it look\n"
+        "data-linear. Per-clip extraction is embarrassingly parallel, so\n"
+        "at cluster scale the media tier is throughput-bound, not\n"
+        "shuffle-bound; the containment pair joins stay a small fraction\n"
+        "(inverted-index candidate generation prunes the word-soup\n"
+        "background early).\n")
     if marker in text:
         start = text.index(marker) - 1
         nxt = text.find("\n## ", start + len(marker))
