@@ -589,6 +589,8 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
                     a, b = pk[:-dt], pk[dt:]
                     hs.append(((a[:, :, None] << 24) | (b[:, None, :] << 8)
                                | dt).ravel())
+                if not hs:  # single-frame clip: no target zone, no landmarks
+                    continue
                 fp_u = np.unique(np.concatenate(hs))  # == sorted(set(...))
                 ids.append(np.full(fp_u.size, int(mid), dtype=np.int64))
                 hashes.append(fp_u)

@@ -482,3 +482,27 @@ def test_video_frame_hash_containment(spark):
     high = {(p.id_a, p.id_b)
             for p in MM.video_matches(media, min_containment=0.8).collect()}
     assert (0, 1) in high and (0, 2) in high and (0, 3) not in high
+
+
+def test_audio_fingerprint_degenerate_clip_lengths(spark):
+    """Clips shorter than one FFT frame produce no rows; a clip with
+    EXACTLY one spectrogram frame has no target zone and must also
+    produce no landmarks (r9 regression: the vectorized pairing hit
+    np.concatenate([]) on this case); two frames produce the dt=1
+    pairs."""
+    rng = np.random.default_rng(9)
+
+    def row(mid, n):
+        pcm = rng.integers(-20000, 20000, n, dtype=np.int16)
+        return (mid, "audio", pcm.tobytes(), ("pcm16", None, None, 1, 8000,
+                                              None))
+
+    # 100 samples → 0 frames; 300 → 1 frame; 384 → 2 frames (frame=256,
+    # hop=128)
+    media = _manual_media(spark, [row(0, 100), row(1, 300), row(2, 384)])
+    per_clip = {r.media_id: r.n for r in
+                MM.audio_fingerprints(media).groupBy("media_id")
+                .agg(F.count("*").alias("n")).collect()}
+    assert 0 not in per_clip
+    assert 1 not in per_clip
+    assert per_clip.get(2, 0) > 0
