@@ -1,0 +1,133 @@
+"""Mergeable frequency sketches: Misra-Gries partition summaries and the
+two-pass EXACT heavy-hitters operator built on them.
+
+The reference counts tokens exactly per document (Program.cs:80-116);
+a corpus-curation pipeline additionally needs corpus-WIDE frequent-item
+answers ("which n-grams dominate the corpus?") where the naive plan —
+groupBy over every exploded item — shuffles one row per corpus token.
+At 100 TB that is the single biggest shuffle a frequency question can
+cost, and it is unnecessary: frequent-item candidates are obtainable
+from a bounded per-partition sketch, and EXACTNESS is recoverable with
+a second pass restricted to those candidates (the classic two-pass
+scheme; Misra & Gries 1982, "Finding repeated elements"; merge rule
+from Agarwal et al. 2012, "Mergeable summaries").
+
+Shape:
+
+- **Phase 1 (no shuffle):** each input partition folds its items into a
+  Misra-Gries summary of capacity ``k`` inside one ``mapInPandas`` pass
+  — per Arrow batch a vectorized ``value_counts`` (never per-row
+  Python), merged into the running summary, shrunk whenever it exceeds
+  ``2k`` by the standard decrement rule (subtract the (k+1)-th largest
+  count, drop non-positives). Output per partition: ≤ k candidate rows
+  + one NULL-term row carrying the partition's item count. Total
+  output ≤ partitions × (k+1) rows regardless of corpus size.
+- **Guarantee:** every shrink event subtracts its decrement ``m`` from
+  > k surviving entries, so Σm ≤ n_p/(k+1); a term absent from the
+  final summary therefore has partition count ≤ n_p/(k+1). Union over
+  partitions: a term absent from EVERY summary has global count
+  ≤ N/(k+1). With ``k = phi_denom`` the threshold count N/phi_denom is
+  strictly above that bound, so the candidate union is a SUPERSET of
+  the true heavy hitters — no false negatives, ever.
+- **Phase 2 (shuffle only the candidates):** broadcast-semi-join the
+  item stream against the candidate set, exact groupBy count on the
+  survivors, keep ``cnt * phi_denom >= N``. The answer is EXACT and
+  equals the naive full groupBy — which is precisely what the DuckDB
+  oracle runs.
+
+On the uniform word-soup fixture the candidate set prunes little (a
+uniform distribution is the heavy-hitter worst case — documented, not
+hidden); on Zipfian corpora the phase-2 shuffle carries ~k distinct
+keys instead of the full vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_shrink(summary: pd.Series, k: int) -> pd.Series:
+    """One Misra-Gries shrink: if more than ``k`` entries, subtract the
+    (k+1)-th largest count from every entry and drop non-positives.
+    Pure + vectorized so the guarantee is unit-testable off-Spark."""
+    if len(summary) <= k:
+        return summary
+    vals = summary.to_numpy()
+    m = vals[vals.argpartition(len(vals) - (k + 1))[len(vals) - (k + 1)]]
+    out = summary[summary > m] - m
+    return out
+
+
+def mg_fold(batches: Iterator[pd.Series], k: int) -> tuple[pd.Series, int]:
+    """Fold pre-counted batches into a capacity-``k`` Misra-Gries summary;
+    returns (summary lower-bound counts, total item count folded)."""
+    acc: pd.Series | None = None
+    n = 0
+    for counts in batches:
+        n += int(counts.sum())
+        acc = counts if acc is None else acc.add(counts, fill_value=0)
+        if len(acc) > 2 * k:
+            acc = mg_shrink(acc, k)
+    if acc is None:
+        acc = pd.Series(dtype="float64")
+    return mg_shrink(acc, k), n
+
+
+def partition_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k (term, lower-bound count)
+    rows per partition plus one (NULL, partition item count) row. One
+    narrow map stage — no shuffle, no Python per-row loop (batch counts
+    come from pandas ``value_counts``)."""
+
+    def summarize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary, n = mg_fold(
+            (pdf[item_col].value_counts() for pdf in pdfs), k
+        )
+        out = pd.DataFrame(
+            {"term": summary.index.astype(object), "cnt": summary.to_numpy("int64")}
+        )
+        yield pd.concat(
+            [out, pd.DataFrame({"term": [None], "cnt": [n]})], ignore_index=True
+        )
+
+    return items.select(F.col(item_col).alias(item_col)).mapInPandas(
+        summarize, f"{item_col} string, cnt long"
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str, phi_denom: int
+) -> DataFrame:
+    """EXACT heavy hitters: every item with count*phi_denom >= N (i.e.
+    frequency ≥ 1/phi_denom of the stream), computed with the two-pass
+    Misra-Gries scheme documented in the module docstring. Output:
+    (term, cnt, total) — integers end-to-end, hash-stable.
+
+    The summary table is localCheckpoint'ed (≤ partitions × (k+1) rows)
+    because both the candidate set and the stream total N derive from
+    it; without the checkpoint phase 1 would re-scan the input twice.
+    """
+    summaries = partition_summaries(items, item_col, phi_denom).localCheckpoint(
+        eager=False
+    )
+    cands = (
+        summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    )
+    total = summaries.filter(F.col("term").isNull()).agg(
+        F.sum("cnt").alias("total")
+    )
+    exact = (
+        items.select(F.col(item_col).alias("term"))
+        .join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * phi_denom >= F.col("total"))
+        .select("term", "cnt", "total")
+    )

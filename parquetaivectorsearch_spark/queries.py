@@ -487,6 +487,7 @@ def _load_extended() -> None:
     Deferred to dodge the circular import at module-definition time."""
     import parquetaivectorsearch_spark.queries_analytics  # noqa: F401
     import parquetaivectorsearch_spark.queries_ann  # noqa: F401
+    import parquetaivectorsearch_spark.queries_audit  # noqa: F401
     import parquetaivectorsearch_spark.queries_curation  # noqa: F401
     import parquetaivectorsearch_spark.queries_extended  # noqa: F401
     import parquetaivectorsearch_spark.queries_functions  # noqa: F401
