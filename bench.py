@@ -141,6 +141,10 @@ HEADLINE = [
     "inverted_index",      # term->df+postings build (bounded payload)
     "ngram_novelty",       # 8-gram uniqueness / memorization audit
     "embedding_outlier",   # per-label centroid-distance z-scores
+    # r9 third-batch additions (corpus audits; judge compares shared subset):
+    "heavy_hitters",       # two-pass Misra-Gries exact frequent bigrams
+    "psi_drift",           # per-source PSI vs corpus length profile
+    "ks_statistic",        # two-sample KS drift over event values
 ]
 
 

@@ -188,6 +188,22 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.user_running_totals(_staged_stream(spark, sf_dir)), "update")
 
 
+@register("streaming_heavy_hitters", """
+    SELECT event_type, user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type, user_id
+""")
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming frequent items (applyInPandasWithState):
+    per-event-type Misra-Gries user summaries whose state stays ≤ 2k rows
+    per type no matter how long the stream runs. The fixture's distinct
+    users sit under the capacity, so the single availableNow batch emits
+    exact counts == the batch GROUP BY oracle; the capacity-overflow
+    shrink path is pinned in tests/test_sketch.py."""
+    return S.run_available_now(
+        S.type_heavy_hitters(_staged_stream(spark, sf_dir)), "update")
+
+
 @register("streaming_latest_state", """
     SELECT user_id,
            event_type AS last_event_type,

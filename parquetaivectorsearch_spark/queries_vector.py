@@ -251,3 +251,169 @@ def q_retrieve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "distance", "source", "lang",
                 F.substring("text", 1, 48).alias("snippet"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact MMR diversified rerank (oracle-checkable twin of mmr_rerank)
+# ---------------------------------------------------------------------------
+
+_MMR_LAM = 0.7
+_MMR_K = 10
+_MMR_CAND = 50
+
+
+@register("mmr_rerank_exact", f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_DOT}, 6) + 0.0 AS rel,
+             1.0 - {_DOT} AS distance
+      FROM embeddings e, q
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY distance, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MMR_CAND}
+    ),
+    sim AS (
+      SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_inner_product(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) + 0.0 AS s
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel(step, query_id, sel_ids) AS (
+      SELECT 1, query_id, [vec_id] FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_MMR_LAM} * rel - {1.0 - _MMR_LAM} * 0.0 DESC,
+                          vec_id
+               ) AS pr
+        FROM cand
+      ) WHERE pr = 1
+      UNION ALL
+      SELECT step + 1, query_id, list_append(sel_ids, vec_id) FROM (
+        SELECT inner_t.step, inner_t.query_id, inner_t.sel_ids,
+               inner_t.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY inner_t.query_id
+                 ORDER BY {_MMR_LAM} * inner_t.rel
+                          - {1.0 - _MMR_LAM} * inner_t.red DESC,
+                          inner_t.vec_id
+               ) AS pr
+        FROM (
+          SELECT s.step, s.query_id, s.sel_ids, c.vec_id, c.rel,
+                 MAX(p.s) AS red
+          FROM sel s
+          JOIN cand c ON c.query_id = s.query_id
+                     AND NOT list_contains(s.sel_ids, c.vec_id)
+          JOIN sim p ON p.query_id = s.query_id AND p.ia = c.vec_id
+                    AND list_contains(s.sel_ids, p.ib)
+          GROUP BY s.step, s.query_id, s.sel_ids, c.vec_id, c.rel
+        ) inner_t
+      ) WHERE pr = 1 AND step < {_MMR_K}
+    )
+    SELECT query_id, sel_ids[CAST(t.i AS INTEGER)] AS vec_id,
+           CAST(t.i AS BIGINT) AS mmr_rank
+    FROM sel, unnest(generate_series(1, len(sel_ids))) AS t(i)
+    WHERE step = {_MMR_K}
+""")
+def q_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated MMR (Carbonell & Goldstein 1998): the oracle-checkable
+    twin of mmr_rerank. The Arrow path scores with numpy matmuls (pairwise
+    summation — last-ulp free vs any SQL fold), so it can never be
+    hash-gated; this twin makes every float the greedy gate compares
+    IDENTICAL in both engines: relevance and pairwise similarities come
+    from the sequential JVM double fold (functions/vector.dot ==
+    list_inner_product) pre-rounded to 6 dp, and each greedy step then
+    computes λ·rel − (1−λ)·max sim over those rounded doubles with the
+    same IEEE ops — DuckDB replays the loop as a 10-step recursive CTE
+    whose per-step pick is ROW_NUMBER() ordered by (score DESC, vec_id),
+    mirroring the engine's (−score, id) lexsort pick. Scale shape: candidates are a bounded
+    per-query top-{cand}, the 50×49 sim table is candidate-local, and
+    the greedy runs per group inside a cogrouped applyInPandas — the
+    corpus is scanned once for scoring, exactly like mmr_rerank."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", dot("embedding", "query_vec").alias("dp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (F.lit(1.0) - F.col("dp")).asc(), F.col("vec_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CAND)
+        .select(
+            "query_id", "vec_id",
+            (F.round(F.col("dp"), 6) + F.lit(0.0)).alias("rel"),
+        )
+    )
+    ce = cand.join(emb, "vec_id").select("query_id", "vec_id", "embedding")
+    pa, pb = ce.alias("pa"), ce.alias("pb")
+    sim = (
+        pa.join(
+            pb,
+            (F.col("pa.query_id") == F.col("pb.query_id"))
+            & (F.col("pa.vec_id") != F.col("pb.vec_id")),
+        )
+        .select(
+            F.col("pa.query_id").alias("query_id"),
+            F.col("pa.vec_id").alias("ia"),
+            F.col("pb.vec_id").alias("ib"),
+            (F.round(dot(F.col("pa.embedding"), F.col("pb.embedding")), 6)
+             + F.lit(0.0)).alias("s"),
+        )
+    )
+
+    def greedy(cand_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "mmr_rank": []}
+            ).astype({"query_id": "int64", "vec_id": "int64",
+                      "mmr_rank": "int64"})
+        qid = int(cand_pdf["query_id"].iloc[0])
+        ids = cand_pdf["vec_id"].to_numpy()
+        rel = cand_pdf["rel"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        n = len(ids)
+        smat = np.zeros((n, n))
+        smat[
+            sim_pdf["ia"].map(pos).to_numpy(),
+            sim_pdf["ib"].map(pos).to_numpy(),
+        ] = sim_pdf["s"].to_numpy()
+        chosen: list[int] = []
+        free = np.ones(n, dtype=bool)
+        for _ in range(min(_MMR_K, n)):
+            red = smat[:, chosen].max(axis=1) if chosen else np.zeros(n)
+            score = _MMR_LAM * rel - (1.0 - _MMR_LAM) * red
+            score[~free] = -np.inf
+            pick = int(np.lexsort((ids, -score))[0])  # max score, min id
+            chosen.append(pick)
+            free[pick] = False
+        return pd.DataFrame({
+            "query_id": qid,
+            "vec_id": ids[chosen],
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+        })
+
+    return (
+        cand.groupby("query_id")
+        .cogroup(sim.groupby("query_id"))
+        .applyInPandas(greedy, "query_id long, vec_id long, mmr_rank long")
+    )

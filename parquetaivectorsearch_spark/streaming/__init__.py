@@ -13,6 +13,7 @@ from parquetaivectorsearch_spark.streaming.events import (
     stream_stream_join,
     streaming_dedup,
     tumbling_counts,
+    type_heavy_hitters,
     user_running_totals,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "stream_stream_join",
     "streaming_dedup",
     "tumbling_counts",
+    "type_heavy_hitters",
     "user_running_totals",
 ]

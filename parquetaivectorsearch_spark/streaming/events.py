@@ -245,6 +245,61 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_HH_OUT = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("cnt", T.LongType()),
+])
+_HH_STATE = T.StructType([
+    T.StructField("users", T.ArrayType(T.LongType())),
+    T.StructField("cnts", T.ArrayType(T.LongType())),
+])
+
+
+def type_heavy_hitters(events: DataFrame, k: int = 4096) -> DataFrame:
+    """Bounded-state streaming frequent users per event type: the state per
+    key is a capacity-``k`` Misra-Gries summary (the operators/sketch.py
+    shrink rule), never the full distinct-user set — the streaming twin of
+    the batch two-pass heavy-hitters operator, and the reason this survives
+    an unbounded stream (a plain groupBy-count's state grows with the key
+    universe; this state is ≤ 2k rows per type forever). While the per-type
+    distinct-user count stays under capacity no shrink fires and the
+    emitted counts are EXACT (the fixture regime, which the batch oracle
+    checks); past capacity the emission degrades gracefully to the MG
+    lower-bound summary with error ≤ n_type/(k+1) (the shrink path is
+    pinned off-stream in tests/test_sketch.py)."""
+    import pandas as pd
+
+    from parquetaivectorsearch_spark.operators.sketch import mg_shrink
+
+    def update(key, pdfs, state):
+        if state.exists:
+            users, cnts = state.get
+            acc = pd.Series(list(cnts), index=list(users), dtype="int64")
+        else:
+            acc = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            acc = acc.add(pdf["user_id"].value_counts(), fill_value=0)
+            if len(acc) > 2 * k:
+                acc = mg_shrink(acc, k)
+        acc = mg_shrink(acc, k)
+        state.update((
+            [int(u) for u in acc.index],
+            [int(c) for c in acc.to_numpy()],
+        ))
+        yield pd.DataFrame({
+            "event_type": key[0],
+            "user_id": acc.index.to_numpy("int64"),
+            "cnt": acc.to_numpy("int64"),
+        })
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(update, _HH_OUT, _HH_STATE, "update",
+                                "NoTimeout")
+    )
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch upsert: streaming CDC "latest state" maintenance
 # ---------------------------------------------------------------------------

@@ -309,3 +309,55 @@ def test_stream_static_enrich_across_batches(spark):
     b = {(r.event_id, r.user_id, r.mktsegment) for r in batch.collect()}
     assert got.count() == events.count()  # enriched exactly once each
     assert g == b
+
+
+def test_streaming_heavy_hitters_exact_across_batches(spark):
+    """Capacity above the fixture's distinct users: no shrink fires, so
+    the final emission per (type, user) equals the batch GROUP BY even
+    with state carried across 3 micro-batches."""
+    sink = S.run_available_now(
+        S.type_heavy_hitters(_stage_split(spark, n_files=3)), "update")
+    final = (
+        sink.groupBy("event_type", "user_id")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = {(r.event_type, r.user_id, r.cnt) for r in final.collect()}
+    b = {(r.event_type, r.user_id, r.cnt) for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_heavy_hitters_shrink_path_bounds(spark):
+    """Tiny capacity forces shrinks across micro-batches: state stays
+    ≤ 2k rows, every emitted count is a lower bound on the truth, and
+    any user missing from the final emission has true count
+    ≤ n_type/(k+1) — the MG guarantee surviving batch boundaries."""
+    k = 8
+    sink = S.run_available_now(
+        S.type_heavy_hitters(_stage_split(spark, n_files=3), k=k), "update")
+    # shrinks can DECREASE a stored count between emissions, so max over
+    # emissions is not the final state — but it is still a lower bound on
+    # the true count (every emission under-counts), which is what we pin
+    last = (
+        sink.groupBy("event_type", "user_id")
+        .agg(F.max("cnt").alias("cnt"))
+    ).collect()
+    truth = {
+        (r.event_type, r.user_id): r.cnt
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt")).collect()
+    }
+    n_by_type = {}
+    for (et, _), c in truth.items():
+        n_by_type[et] = n_by_type.get(et, 0) + c
+    emitted = {(r.event_type, r.user_id) for r in last}
+    for r in last:
+        assert r.cnt <= truth[(r.event_type, r.user_id)]
+    for (et, uid), c in truth.items():
+        if (et, uid) not in emitted:
+            assert c <= n_by_type[et] / (k + 1)

@@ -42,7 +42,11 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            "dedup_boilerplate",
            # modality dedups: media derives deterministically from the
            # documents table, so the 10× corpus scales them too
-           "dedup_phash", "dedup_audio", "dedup_video"]
+           "dedup_phash", "dedup_audio", "dedup_video",
+           # two-pass Misra-Gries: phase-1 summary rows are bounded by
+           # partitions×(k+1), so the measured cost should track the raw
+           # token scan, never the vocabulary
+           "heavy_hitters"]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
