@@ -491,6 +491,7 @@ def _load_extended() -> None:
     import parquetaivectorsearch_spark.queries_curation  # noqa: F401
     import parquetaivectorsearch_spark.queries_extended  # noqa: F401
     import parquetaivectorsearch_spark.queries_functions  # noqa: F401
+    import parquetaivectorsearch_spark.queries_mining  # noqa: F401
     import parquetaivectorsearch_spark.queries_multimodal  # noqa: F401
     import parquetaivectorsearch_spark.queries_pipeline  # noqa: F401
     import parquetaivectorsearch_spark.queries_relational  # noqa: F401
