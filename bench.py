@@ -145,6 +145,10 @@ HEADLINE = [
     "heavy_hitters",       # two-pass Misra-Gries exact frequent bigrams
     "psi_drift",           # per-source PSI vs corpus length profile
     "ks_statistic",        # two-sample KS drift over event values
+    # r9 mining-suite additions (judge compares shared subset):
+    "hard_negative_mining",# contrastive negatives: broadcast anchors + window
+    "snapshot_diff",       # corpus version diff: hash-projected full outer
+    "skipgram_pairs",      # word2vec pairs: row-local zip-slices + count agg
 ]
 
 
