@@ -571,3 +571,52 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_docs", "total_chars")
         rows = one if rows is None else rows.unionAll(one)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# nested sample ladder — scaling-law subsets from one hash
+# ---------------------------------------------------------------------------
+
+# A second multiplicative constant (Knuth's other golden-ratio companion,
+# public idiom) so the ladder decorrelates from split_assign's buckets.
+_HASH2 = 2246822519
+
+
+@register("sample_ladder", f"""
+    WITH b AS (
+      SELECT doc_id, n_chars, (doc_id * {_HASH2}) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT tier, pct,
+           CAST(count(CASE WHEN bucket < thr THEN 1 END) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum(CASE WHEN bucket < thr THEN n_chars END), 0)
+                AS BIGINT) AS total_chars
+    FROM b, (VALUES ('p0_1', 0.1, 1), ('p1', 1.0, 10),
+                    ('p10', 10.0, 100), ('p100', 100.0, 1000))
+           AS t(tier, pct, thr)
+    GROUP BY tier, pct
+""")
+def q_sample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED subsample ladder (0.1% ⊂ 1% ⊂ 10% ⊂ 100%) from ONE
+    deterministic hash bucket per doc — the scaling-law experiment input:
+    every smaller corpus is a strict subset of every larger one (bucket
+    thresholds nest by construction), so loss curves across ladder rungs
+    differ only by data VOLUME, never by data identity churn. One scan,
+    one 4-group agg (the tier table is a broadcast literal); at 100 TB the
+    ladder materializes as partition filters on a persisted bucket column
+    — the count here is the audit of those filters."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select("doc_id", "n_chars",
+                 ((F.col("doc_id") * F.lit(_HASH2)) % 1000).alias("bucket"))
+    tiers = spark.createDataFrame(
+        [("p0_1", 0.1, 1), ("p1", 1.0, 10), ("p10", 10.0, 100),
+         ("p100", 100.0, 1000)], "tier string, pct double, thr int")
+    return (
+        b.join(F.broadcast(tiers))
+        .groupBy("tier", "pct")
+        .agg(F.count(F.when(F.col("bucket") < F.col("thr"), 1))
+              .cast("bigint").alias("n_docs"),
+             F.coalesce(F.sum(F.when(F.col("bucket") < F.col("thr"),
+                                     F.col("n_chars"))), F.lit(0))
+              .cast("bigint").alias("total_chars"))
+    )

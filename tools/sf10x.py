@@ -46,7 +46,12 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # two-pass Misra-Gries: phase-1 summary rows are bounded by
            # partitions×(k+1), so the measured cost should track the raw
            # token scan, never the vocabulary
-           "heavy_hitters"]
+           "heavy_hitters",
+           # r9 mining suite: skipgram's shuffle is vocab²-bounded (the 10×
+           # corpus rotates the alphabet, so vocab grows 10× but stays tiny
+           # vs bytes); snapshot_diff ships only (doc_id, md5) rows;
+           # hard_negative_mining is a broadcast batch over one corpus scan
+           "skipgram_pairs", "snapshot_diff", "hard_negative_mining"]
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
