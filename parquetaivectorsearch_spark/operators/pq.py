@@ -67,12 +67,15 @@ def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
 
 
 def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode every vector to its m subspace codes (one mapInPandas pass).
 
-    Output: (vec_id, codes array<int>) — the compressed corpus table; write
-    it as parquet and search it instead of the raw vectors.
-    """
+    Output: (vec_id, codes array<int>[, extra_cols…]) — the compressed
+    corpus table; write it as parquet and search it instead of the raw
+    vectors. ``extra_cols`` threads narrow columns (e.g. the IVF
+    ``list_id``) through unchanged, so an IVFPQ codes table is one pass,
+    not an encode-then-join."""
     m, k, dsub = codebooks.shape
     books = codebooks  # closure-captured; broadcast by task serialization
 
@@ -84,13 +87,16 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
                 xj = x[:, j * dsub:(j + 1) * dsub]
                 d2 = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "codes": list(codes),
-            })
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} BIGINT, codes ARRAY<INT>")
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in corpus.schema.fields if f.name in extra_cols)
+    return corpus.select(id_col, vec_col, *extra_cols).mapInPandas(
+        encode, f"{id_col} BIGINT, codes ARRAY<INT>{extra_schema}")
 
 
 def pq_adc_search(codes_df: DataFrame, codebooks: np.ndarray,
@@ -178,3 +184,88 @@ def pq_rerank(shortlist_df: DataFrame, corpus: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy("distance", id_col)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
+                  queries: DataFrame, k: int = 20, nprobe: int = 4,
+                  shortlist: int = 200, id_col: str = "vec_id") -> DataFrame:
+    """IVFPQ serve — the FAISS billion-scale recipe (Jégou 2011 §V +
+    the IVFADC variant): coarse-quantizer probe restricts the ADC scan to
+    nprobe inverted lists, PQ codes make the scanned bytes ~64× smaller,
+    and the exact re-rank fixes the final top-k. The two independent
+    levers compose: IVF cuts ROWS scanned (nprobe/nlist), PQ cuts BYTES
+    per row — at 100 TB this is the only tier where the hot working set
+    fits in cluster RAM.
+
+    ``codes_df`` must carry ``list_id`` (encode with
+    ``pq_encode(assigned, books, extra_cols=("list_id",))``); persist it
+    partitioned by list_id and the probe becomes a partition-pruned scan.
+
+    Probe semantics are bit-identical to ivf_search/ivf_search_bulk (the
+    same driver-side centroid arithmetic), and the mask follows
+    ivf_search_bulk: the probed-list UNION is scanned once, every batch
+    scores all queries with one LUT gather, and (query, row) pairs the
+    query did not probe are masked out after the gather — transfer =
+    probed code bytes, full stop. Boundary selection is lexsort on
+    (-score, id), not argpartition: exact ADC ties at the per-batch
+    shortlist cut must keep the id-winning row or the global
+    (approx_score desc, id) window can rank a different id than the flat
+    ADC scan (same reasoning as ivf_search_bulk, operators/ann.py:350).
+
+    Output: (query_id, vec_id, distance, rank) — exact distances from the
+    rerank, same schema family as pq_rerank. At nprobe = nlist the result
+    ids equal the flat pq_adc_search → pq_rerank pipeline bit-for-bit
+    (pinned in tests/test_pq.py)."""
+    from parquetaivectorsearch_spark.operators.ann import (_nearest,
+                                                           _pre_query)
+
+    m, kk, dsub = codebooks.shape
+    q_pdf = queries.toPandas()  # bounded: the serving batch
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.stack(q_pdf["query_vec"].to_numpy()).astype(np.float64)
+    luts = np.einsum("qjd,jcd->qjc",
+                     q_mat.reshape(len(q_ids), m, dsub), codebooks)
+
+    cents = index.centroids.astype(np.float32)
+    npb = min(nprobe, len(cents))
+    probes = _nearest(_pre_query(q_mat.astype(np.float32), index.metric),
+                      cents, n=npb).reshape(len(q_ids), npb)
+    union = np.array(sorted({int(l) for row in probes for l in row}),
+                     dtype=np.int64)
+    probe_sets = [set(int(x) for x in row) for row in probes]
+    mask_mat = np.array([[int(l) in s for s in probe_sets] for l in union])
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (batch, m)
+            scores = luts[:, np.arange(m)[None, :], codes].sum(-1)  # (q, batch)
+            allowed = mask_mat[np.searchsorted(union, lids)].T  # (q, batch)
+            scores[~allowed] = -np.inf
+            out_q, out_i, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                s = scores[qi]
+                finite = np.nonzero(np.isfinite(s))[0]
+                if not len(finite):
+                    continue
+                take = min(shortlist, len(finite))
+                cand = finite[np.lexsort((ids[finite], -s[finite]))[:take]]
+                out_q.extend([int(qid)] * len(cand))
+                out_i.extend(ids[cand].tolist())
+                out_s.extend(s[cand].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_i, "approx_score": out_s})
+
+    scan = codes_df.filter(
+        F.col("list_id").isin([int(x) for x in union])) \
+        .select("list_id", id_col, "codes")
+    survivors = scan.mapInPandas(
+        partial, f"query_id BIGINT, {id_col} BIGINT, approx_score DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), id_col)
+    return (survivors.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= shortlist)
+            .drop("rank"))

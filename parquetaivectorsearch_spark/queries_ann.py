@@ -258,6 +258,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         emb, queries, k=20)
 
 
+@register("ivf_pq_topk")  # rows-only: doubly-approximate (coarse probe + PQ)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ serve (operators/pq.ivf_pq_search — the FAISS IVFADC recipe):
+    coarse probe restricts the scan to nprobe inverted lists, ADC over
+    4-bit codes cuts the scanned bytes ~64×, exact re-rank restores
+    top-20 quality. The two approximations compose multiplicatively:
+    rows × bytes, the only tier whose hot set stays RAM-resident at the
+    reference's corpus × 1000 (Program.cs:26 holds raw floats). 8-query
+    serving batch; probe arithmetic identical to ivf_search, mask
+    identical to ivf_search_bulk; carries the standard recall column."""
+    from parquetaivectorsearch_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    books = PQ.train_pq(emb, m=16, k=16)
+    codes = PQ.pq_encode(index.lists, books, extra_cols=("list_id",))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    short = PQ.ivf_pq_search(index, codes, books, queries,
+                             nprobe=8, shortlist=500)
+    return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
+                        emb, queries, k=20)
+
+
 @register("mmr_rerank")  # rows-only: greedy iterative selection, not SQL-expressible
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: exact top-50 candidates per query (4 queries),

@@ -75,3 +75,72 @@ def test_pq_rerank_distances_match_exact_kernel(spark):
     ex = {(r.query_id, r.vec_id): r.distance for r in exact.itertuples()}
     for r in rr.itertuples():
         assert ex[(r.query_id, r.vec_id)] == r.distance
+
+
+def test_ivf_pq_equals_flat_pq_at_full_probe(spark):
+    """nprobe = nlist ⇒ the IVFPQ path scans every list with the same LUT
+    arithmetic as the flat ADC scan ⇒ identical final top-20 ids per
+    query (the mask is all-true, boundary selection is tie-safe)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    from parquetaivectorsearch_spark.operators import ann as ANN
+
+    queries = _queries(emb, n=4)
+    books = PQ.train_pq(emb, m=8, k=16)
+    flat_short = PQ.pq_adc_search(PQ.pq_encode(emb, books), books,
+                                  queries, shortlist=100)
+    flat = [(r.query_id, r.vec_id, r["rank"]) for r in
+            PQ.pq_rerank(flat_short, emb, queries, k=20).collect()]
+
+    index = ANN.IVFIndex.build(emb, nlist=8)
+    codes = PQ.pq_encode(index.lists, books, extra_cols=("list_id",))
+    ivf_short = PQ.ivf_pq_search(index, codes, books, queries,
+                                 nprobe=8, shortlist=100)
+    ivfpq = [(r.query_id, r.vec_id, r["rank"]) for r in
+             PQ.pq_rerank(ivf_short, emb, queries, k=20).collect()]
+    assert sorted(flat) == sorted(ivfpq)
+
+
+def test_ivf_pq_partial_probe_recall_planted(spark):
+    """nprobe < nlist on a planted-neighbor corpus: the probed lists must
+    still contain the true neighbors (they cluster with their query), so
+    shortlist+rerank holds recall@20 ≥ 0.9 while scanning a fraction of
+    the lists."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    from parquetaivectorsearch_spark.operators import ann as ANN
+
+    base = emb.toPandas()
+    x = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    rng = np.random.RandomState(17)
+    rows, next_id = [], int(base["vec_id"].max()) + 1
+    for q in range(4):
+        for _ in range(20):
+            v = x[q] + 0.05 * rng.randn(x.shape[1]).astype(np.float32)
+            v /= np.linalg.norm(v)
+            rows.append((next_id, [float(f) for f in v], -1))
+            next_id += 1
+    planted = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    corpus = emb.union(planted)
+
+    queries = _queries(emb)
+    exact = {(r.query_id, r.vec_id)
+             for r in knn.knn_join(corpus, queries, k=20).collect()}
+    books = PQ.train_pq(corpus, m=8, k=16)
+    index = ANN.IVFIndex.build(corpus, nlist=8)
+    codes = PQ.pq_encode(index.lists, books, extra_cols=("list_id",))
+    short = PQ.ivf_pq_search(index, codes, books, queries,
+                             nprobe=6, shortlist=200)
+    approx = {(r.query_id, r.vec_id)
+              for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_pq_encode_threads_extra_cols(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = PQ.train_pq(emb, m=8, k=16)
+    out = PQ.pq_encode(emb, books, extra_cols=("label",)).toPandas()
+    assert list(out.columns) == ["vec_id", "codes", "label"]
+    want = dict(emb.select("vec_id", "label").collect())
+    got = dict(zip(out["vec_id"], out["label"]))
+    assert {k: int(v) for k, v in got.items()} == want
