@@ -451,11 +451,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     single-scan entries — count_rows, sum_tokens, project_columns,
     #     concat_title_text, schema_introspect — ceded their slots to (e);
     #     they stay r1-green)
-    "centroid_per_label", "cohort_retention", "explode_words",
+    "centroid_per_label", "cohort_retention",
     "funnel_steps", "json_sample_sink", "json_source_roundtrip",
     "knn_filtered", "knn_join_bulk", "knn_topk_per_label", "knn_topk_sql",
     "mmr_rerank", "orc_roundtrip", "pivot_event_types", "pq_topk",
-    "quantize_embedding", "similarity_join_lsh", "stats_agg",
+    "quantize_embedding", "similarity_join_lsh",
     "zorder_layout",
     # (e) queries REGISTERED during r9 with zero driver evidence — new
     #     components (media dedup tier, curation-audit layer, training-pair
@@ -472,6 +472,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "skipgram_pairs", "code_detect", "quality_calibrate",
     "inverted_index", "tokenizer_fertility", "split_leakage",
     "ks_statistic", "psi_drift",
+    # (the r1-green explode_words / stats_agg slots ceded to the two
+    #  queries born after the (e) list above was drawn)
+    "sample_ladder", "ivf_pq_topk",
 )
 
 
