@@ -133,8 +133,12 @@ def pq_adc_search(codes_df: DataFrame, codebooks: np.ndarray,
             take = min(shortlist, len(ids))
             for qi, qid in enumerate(q_ids):
                 s = scores[qi]
-                cand = np.argpartition(-s, take - 1)[:take] if take < len(s) \
-                    else np.arange(len(s))
+                # lexsort, not argpartition: exact ADC ties at the batch
+                # boundary (duplicate codes) must keep the id-winning row
+                # or the final (approx_score desc, id) window can surface
+                # a different id — same reasoning as ivf_search_bulk
+                # (operators/ann.py:350) and ivf_pq_search below
+                cand = np.lexsort((ids, -s))[:take]
                 heap = best[int(qid)]
                 for i in cand:
                     # (score, -id): on equal score the SMALLER id is the
