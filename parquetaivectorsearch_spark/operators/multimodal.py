@@ -606,7 +606,8 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
 
 def audio_fp_matches(media: DataFrame,
                      min_containment: float = 0.8,
-                     fp: DataFrame | None = None) -> DataFrame:
+                     fp: DataFrame | None = None,
+                     df_cap: int | None = None) -> DataFrame:
     """Near-duplicate audio pairs: equality self-join on landmark hashes
     (each fp value is a candidate bucket — the classic inverted-index
     shape; no pair enumeration outside genuine collisions), then keep
@@ -622,9 +623,36 @@ def audio_fp_matches(media: DataFrame,
     shorter clip's set. Pass ``fp`` to reuse an already-materialized
     fingerprint tier; otherwise it is localCheckpoint'ed here so the
     counts agg and both self-join sides read ONE landmark extraction
-    (the spectrogram FFT is the whole cost) instead of three."""
+    (the spectrogram FFT is the whole cost) instead of three.
+
+    ``df_cap`` is the SCALE lever: the landmark vocabulary is bounded
+    (anchor_bin × target_bin × Δframe ≈ 83k values at the defaults), so
+    at a growing corpus every bucket's occupancy grows linearly and the
+    bucket join's pair count grows QUADRATICALLY — measured 5.6 s →
+    130 s (α ≈ 1.35) on the 10× stress before this cap existed. Capping
+    drops landmarks held by more than ``df_cap`` clips from BOTH the
+    pair numerator and each clip's denominator (the same stop-element
+    treatment as dedup_substring's stop-window cap and the boilerplate
+    ≥2-doc rule): an everybody-has-it landmark carries zero containment
+    signal, while true duplicates keep sharing their RARE landmarks, so
+    dup containment stays ≈1.0 and the join's output is bounded by
+    df_cap × |landmark rows| — linear at fixed cap. Measured at sf0.1
+    against identical-source-text ground truth: true-dup recall 1.0 at
+    every cap in {16, 64, 256}, while the uncapped ≥0.8 set (35,665
+    pairs — almost all common-landmark background that CROSSED the
+    threshold as the corpus grew; the sf0.01 "clean gap" does not
+    survive 10× more clips sharing one small vocabulary) shrinks to
+    1,063 / 8,229 / 26,006 — the cap is a precision fix as much as a
+    cost fix. At extreme scale add offset-coherence verification (the
+    full Wang 2003 histogram step) on the surviving pairs."""
     if fp is None:
         fp = audio_fingerprints(media).localCheckpoint(eager=False)
+    if df_cap is not None:
+        rare = (fp.groupBy("fp")
+                .agg(F.count_distinct("media_id").alias("df"))
+                .filter(F.col("df") <= df_cap)
+                .select("fp"))
+        fp = fp.join(rare, "fp", "left_semi")
     counts = fp.groupBy("media_id").agg(F.count("*").alias("n"))
     a = fp.select(F.col("media_id").alias("id_a"), "fp")
     b = fp.select(F.col("media_id").alias("id_b"), "fp")

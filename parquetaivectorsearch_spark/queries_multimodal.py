@@ -176,12 +176,17 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-fingerprint audio dedup (Wang 2003 — the Shazam
     construction): one row PER CLIP with its landmark count and the
-    highest-containment partner at containment ≥ 0.8 (NULL below — the
-    fixture's background word-soup similarity sits at ~0.44, true
-    cycled-text duplicates ≥ 0.8; see audio_fp_matches). Same per-row
-    framing as dedup_phash: driver row count pinned at |audio clips|.
-    The match join is hash-equality on packed int64 landmarks — the
-    inverted-index shape; spectrogram bytes never shuffle."""
+    highest-containment partner at containment ≥ 0.8 over the
+    df-capped landmark set (NULL below). Same per-row framing as
+    dedup_phash: driver row count pinned at |audio clips|. The match
+    join is hash-equality on packed int64 landmarks — the
+    inverted-index shape; spectrogram bytes never shuffle. df_cap=64
+    is the scale lever AND a precision fix: the bounded landmark
+    vocabulary makes the uncapped bucket join quadratic in corpus size
+    (α ≈ 1.35 measured at 10×) and lets common-landmark background
+    cross the 0.8 threshold (35.6k uncapped pairs at sf0.1 vs ONE
+    identical-source-text true pair — kept at every measured cap); see
+    audio_fp_matches."""
     from parquetaivectorsearch_spark.operators.multimodal import (
         audio_fingerprints,
         audio_fp_matches,
@@ -191,7 +196,7 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = audio_fingerprints(media).localCheckpoint(eager=False)
     counts = (fp.groupBy("media_id")
               .agg(F.count("*").cast("int").alias("n_landmarks")))
-    m = audio_fp_matches(media, min_containment=0.8, fp=fp)
+    m = audio_fp_matches(media, min_containment=0.8, fp=fp, df_cap=64)
     both = (
         m.select(F.col("id_a").alias("media_id"),
                  F.col("id_b").alias("other"), "n_shared", "containment")

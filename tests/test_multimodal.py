@@ -506,3 +506,32 @@ def test_audio_fingerprint_degenerate_clip_lengths(spark):
     assert 0 not in per_clip
     assert 1 not in per_clip
     assert per_clip.get(2, 0) > 0
+
+
+def test_audio_fingerprint_df_cap_keeps_true_dups(spark):
+    """The stop-hash cap must not break what dedup is FOR: identical
+    clips and truncation variants share their landmarks (rare ones
+    included) and stay matched at the same containment; the independent
+    clip stays out. cap=3 here: the landmarks shared by (full, copy,
+    trunc) have df=3 and survive, anything more common would not."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(-20000, 20000, 4000, dtype=np.int16)
+    trunc = a[: int(len(a) * 0.6)]
+    other = rng.integers(-20000, 20000, 4000, dtype=np.int16)
+
+    def row(mid, pcm):
+        return (mid, "audio", pcm.tobytes(), ("pcm16", None, None, 1, 8000,
+                                              None))
+
+    media = _manual_media(spark, [row(0, a), row(1, a.copy()),
+                                  row(2, trunc), row(3, other)])
+    pairs = {(p.id_a, p.id_b): p.containment
+             for p in MM.audio_fp_matches(media, min_containment=0.0,
+                                          df_cap=3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] >= 0.95, pairs[(0, 2)]
+    assert pairs.get((0, 3), 0.0) < 0.5, pairs.get((0, 3))
+    high = {(p.id_a, p.id_b)
+            for p in MM.audio_fp_matches(media, min_containment=0.8,
+                                         df_cap=3).collect()}
+    assert (0, 1) in high and (0, 2) in high and (0, 3) not in high

@@ -109,7 +109,19 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> float:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.monotonic() - t0, 3)
+        dt = round(time.monotonic() - t0, 3)
+        # The media queries cut lineage with localCheckpoint; those blocks
+        # are only released when the driver-side DataFrame is GC'd, so a
+        # 13-query × 8-run session accumulates checkpoint blocks until the
+        # block manager churns under memory pressure. Adjudicated r9: the
+        # long-lived session recorded dedup_video@10× at 21.0s where a
+        # fresh process measures 3.1s. Collect per run so every
+        # measurement sees the same (empty) block-manager state.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return dt
 
     for name in QUERIES:  # one full warm pass, untimed
         run(name, BASE)
@@ -136,11 +148,23 @@ def main() -> None:
         "replicas / hash-perturbed embedding replicas — see the tool's\n"
         "docstring for why that preserves workload shape). min-of-3 per\n"
         "cell after a full warm pass; alpha = log10(t_10x / t_sf0.1),\n"
-        "1.0 = data-linear. These four carry the 100 TB shuffle-shape\n"
+        "1.0 = data-linear. These rows carry the 100 TB shuffle-shape\n"
         "claims; sub-linear alphas mean fixed job overhead still floors\n"
-        "part of the cost at this size.\n\n"
+        "part of the cost at this size. (Block-manager hygiene: the tool\n"
+        "GCs driver references per run, or accumulated localCheckpoint\n"
+        "blocks inflate late media rows — adjudicated in r9.)\n\n"
         "| query | sf0.1 s | 10x s | alpha |\n|---|---|---|---|\n"
         + "\n".join(lines) + "\n"
+        "\nheavy_hitters (two-pass Misra-Gries over millions of word\n"
+        "bigrams at 10×) stays well below data-linear because both of its\n"
+        "claims hold: phase-1 summary output is partitions×(k+1) rows at\n"
+        "ANY corpus size, and the phase-2 shuffle carries only\n"
+        "candidate-matching tokens. skipgram_pairs tracks the raw token\n"
+        "scan (its shuffle is vocabulary²-bounded — and the rotated-\n"
+        "alphabet replicas grow the vocabulary 10×, the worst case for\n"
+        "it); snapshot_diff ships only (doc_id, md5) rows through its\n"
+        "full-outer join; hard_negative_mining is a broadcast batch over\n"
+        "one corpus scan, near-flat at this size.\n"
         "\nThe media dedups ride the same synthetic replicas. Their hash\n"
         "tiers (pHash DCT, landmark FFT, frame signatures) are extracted\n"
         "ONCE per query via a localCheckpoint lineage cut — before r9's\n"
