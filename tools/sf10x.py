@@ -169,12 +169,15 @@ def main() -> None:
         "tiers (pHash DCT, landmark FFT, frame signatures) are extracted\n"
         "ONCE per query via a localCheckpoint lineage cut — before r9's\n"
         "fix the self-join recomputed the mapInPandas extraction per\n"
-        "consumer, which quadrupled audio's FFT cost and made it look\n"
-        "data-linear. Per-clip extraction is embarrassingly parallel, so\n"
-        "at cluster scale the media tier is throughput-bound, not\n"
-        "shuffle-bound; the containment pair joins stay a small fraction\n"
-        "(inverted-index candidate generation prunes the word-soup\n"
-        "background early).\n")
+        "consumer. Per-clip extraction is embarrassingly parallel and\n"
+        "measured in seconds; what actually went superlinear was AUDIO's\n"
+        "landmark bucket join (bounded hash vocabulary ⇒ bucket occupancy\n"
+        "grows with corpus ⇒ quadratic pairs: 5.6 s → 130 s fresh-process\n"
+        "at 10× uncapped). The r9 df_cap=64 stop-hash filter bounds the\n"
+        "join at df_cap × |landmark rows| and drops only zero-signal\n"
+        "common landmarks — identical-source-text true-dup recall stays\n"
+        "1.0 at every measured cap while the ≥0.8 background pair count\n"
+        "falls ~4-30×; the audio row above is the capped query.\n")
     if marker in text:
         start = text.index(marker) - 1
         nxt = text.find("\n## ", start + len(marker))
