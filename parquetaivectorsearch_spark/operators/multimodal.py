@@ -552,18 +552,20 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
     hashes per second — matching is a hash-equality join, robust to
     truncation/offset because landmarks are local (a shared prefix
     shares its landmarks verbatim). Pure numpy per batch; output rows
-    (media_id, fp) are 16 bytes each, the only thing the dedup join
-    ever shuffles."""
+    (media_id, fp, first-anchor-frame t) are 20 bytes each, the only
+    thing the dedup join ever shuffles — t feeds the offset-coherence
+    verify in audio_fp_matches (Wang 2003 §C)."""
 
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("fp", T.LongType()),
+        T.StructField("t", T.IntegerType()),
     ])
 
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         win = np.hanning(frame)
         for pdf in batches:
-            ids, hashes = [], []
+            ids, hashes, times = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
                 _require_raw(meta["format"])
@@ -582,24 +584,41 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
                 # pk[t+dt] (anchors t = 0..n_frames-1-dt — the same
                 # (t, t+dt ≤ n_frames-1) set the scalar loop produced,
                 # ~40× faster than Python tuple iteration)
-                hs = []
+                hs, ts = [], []
                 for dt in range(1, fanout + 1):
                     if dt > n_frames - 1:
                         break
                     a, b = pk[:-dt], pk[dt:]
                     hs.append(((a[:, :, None] << 24) | (b[:, None, :] << 8)
                                | dt).ravel())
+                    ts.append(np.repeat(np.arange(n_frames - dt),
+                                        n_peaks * n_peaks))
                 if not hs:  # single-frame clip: no target zone, no landmarks
                     continue
-                fp_u = np.unique(np.concatenate(hs))  # == sorted(set(...))
+                # one row per DISTINCT landmark, carrying its FIRST anchor
+                # frame: fp set identical to the old np.unique, plus the
+                # time the offset-coherence verify (Wang 2003 §C) needs.
+                # First occurrence keeps |rows| = |distinct fps| (all-
+                # occurrence rows would multiply the join input) and is
+                # exact for identical clips and prefix truncations, the
+                # dominant duplicate shapes.
+                allfp, allt = np.concatenate(hs), np.concatenate(ts)
+                order = np.lexsort((allt, allfp))
+                fp_s, t_s = allfp[order], allt[order]
+                keep = np.ones(fp_s.size, dtype=bool)
+                keep[1:] = fp_s[1:] != fp_s[:-1]
+                fp_u, t_u = fp_s[keep], t_s[keep]
                 ids.append(np.full(fp_u.size, int(mid), dtype=np.int64))
                 hashes.append(fp_u)
+                times.append(t_u.astype(np.int32))
             if ids:
                 yield pd.DataFrame({"media_id": np.concatenate(ids),
-                                    "fp": np.concatenate(hashes)})
+                                    "fp": np.concatenate(hashes),
+                                    "t": np.concatenate(times)})
             else:
                 yield pd.DataFrame({"media_id": pd.Series(dtype="int64"),
-                                    "fp": pd.Series(dtype="int64")})
+                                    "fp": pd.Series(dtype="int64"),
+                                    "t": pd.Series(dtype="int32")})
 
     return media.filter(F.col("kind") == "audio").mapInPandas(fps, schema=schema)
 
@@ -607,7 +626,8 @@ def audio_fingerprints(media: DataFrame, frame: int = 256, hop: int = 128,
 def audio_fp_matches(media: DataFrame,
                      min_containment: float = 0.8,
                      fp: DataFrame | None = None,
-                     df_cap: int | None = None) -> DataFrame:
+                     df_cap: int | None = None,
+                     min_coherence: float | None = None) -> DataFrame:
     """Near-duplicate audio pairs: equality self-join on landmark hashes
     (each fp value is a candidate bucket — the classic inverted-index
     shape; no pair enumeration outside genuine collisions), then keep
@@ -643,8 +663,15 @@ def audio_fp_matches(media: DataFrame,
     threshold as the corpus grew; the sf0.01 "clean gap" does not
     survive 10× more clips sharing one small vocabulary) shrinks to
     1,063 / 8,229 / 26,006 — the cap is a precision fix as much as a
-    cost fix. At extreme scale add offset-coherence verification (the
-    full Wang 2003 histogram step) on the surviving pairs."""
+    cost fix.
+
+    Every pair also carries its OFFSET COHERENCE — the Wang 2003
+    histogram verify: shared landmarks vote with (t_a − t_b); coherence
+    = the modal offset's vote share. True duplicates and prefix
+    truncations align at one offset (coherence 1.0, free of the shared-
+    vocabulary problem); background pairs scatter. The extra cost is
+    one narrow (pair, offset) pre-aggregation inside the SAME bucket
+    join. ``min_coherence`` filters on it when set."""
     if fp is None:
         fp = audio_fingerprints(media).localCheckpoint(eager=False)
     if df_cap is not None:
@@ -654,22 +681,36 @@ def audio_fp_matches(media: DataFrame,
                 .select("fp"))
         fp = fp.join(rare, "fp", "left_semi")
     counts = fp.groupBy("media_id").agg(F.count("*").alias("n"))
-    a = fp.select(F.col("media_id").alias("id_a"), "fp")
-    b = fp.select(F.col("media_id").alias("id_b"), "fp")
-    shared = (a.join(b, "fp")
+    a = fp.select(F.col("media_id").alias("id_a"), "fp",
+                  F.col("t").alias("ta"))
+    b = fp.select(F.col("media_id").alias("id_b"), "fp",
+                  F.col("t").alias("tb"))
+    # the (pair, offset) histogram folds inside the same shuffle the
+    # pair count needs: partial-aggregated on (id_a, id_b, off), then
+    # reduced to total + modal-offset votes per pair
+    by_off = (a.join(b, "fp")
               .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count("*").cast("int").alias("n_shared")))
+              .groupBy("id_a", "id_b",
+                       (F.col("ta") - F.col("tb")).alias("off"))
+              .agg(F.count("*").alias("n_off")))
+    shared = (by_off.groupBy("id_a", "id_b")
+              .agg(F.sum("n_off").cast("int").alias("n_shared"),
+                   F.max("n_off").cast("int").alias("n_aligned")))
     ca = counts.select(F.col("media_id").alias("id_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("media_id").alias("id_b"), F.col("n").alias("nb"))
     # no broadcast hint: counts is one row per clip (unbounded at corpus
     # scale) — AQE broadcasts it when it is actually small
-    return (shared.join(ca, "id_a").join(cb, "id_b")
-            .withColumn("containment",
-                        F.col("n_shared") / F.least("na", "nb"))
-            .filter(F.col("containment") >= min_containment)
-            .select("id_a", "id_b", "n_shared",
-                    F.round("containment", 6).alias("containment")))
+    out = (shared.join(ca, "id_a").join(cb, "id_b")
+           .withColumn("containment",
+                       F.col("n_shared") / F.least("na", "nb"))
+           .filter(F.col("containment") >= min_containment)
+           .withColumn("coherence",
+                       F.round(F.col("n_aligned") / F.col("n_shared"), 6)))
+    if min_coherence is not None:
+        out = out.filter(F.col("coherence") >= min_coherence)
+    return out.select("id_a", "id_b", "n_shared",
+                      F.round("containment", 6).alias("containment"),
+                      "coherence")
 
 
 def video_frame_hashes(media: DataFrame, hash_size: int = 8,
@@ -740,9 +781,14 @@ def video_matches(media: DataFrame,
               .agg(F.count("*").cast("int").alias("n_shared")))
     ca = counts.select(F.col("media_id").alias("id_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("media_id").alias("id_b"), F.col("n").alias("nb"))
-    return (shared.join(ca, "id_a").join(cb, "id_b")
-            .withColumn("containment",
-                        F.col("n_shared") / F.least("na", "nb"))
-            .filter(F.col("containment") >= min_containment)
-            .select("id_a", "id_b", "n_shared",
-                    F.round("containment", 6).alias("containment")))
+    out = (shared.join(ca, "id_a").join(cb, "id_b")
+           .withColumn("containment",
+                       F.col("n_shared") / F.least("na", "nb"))
+           .filter(F.col("containment") >= min_containment)
+           .withColumn("coherence",
+                       F.round(F.col("n_aligned") / F.col("n_shared"), 6)))
+    if min_coherence is not None:
+        out = out.filter(F.col("coherence") >= min_coherence)
+    return out.select("id_a", "id_b", "n_shared",
+                      F.round("containment", 6).alias("containment"),
+                      "coherence")

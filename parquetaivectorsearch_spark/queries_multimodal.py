@@ -199,19 +199,22 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = audio_fp_matches(media, min_containment=0.8, fp=fp, df_cap=64)
     both = (
         m.select(F.col("id_a").alias("media_id"),
-                 F.col("id_b").alias("other"), "n_shared", "containment")
+                 F.col("id_b").alias("other"), "n_shared", "containment",
+                 "coherence")
         .unionAll(m.select(F.col("id_b").alias("media_id"),
                            F.col("id_a").alias("other"), "n_shared",
-                           "containment")))
+                           "containment", "coherence")))
     best = (both.groupBy("media_id")
             .agg(F.max(F.struct("containment", "n_shared",
-                                (-F.col("other")).alias("neg_other"))).alias("b"))
+                                (-F.col("other")).alias("neg_other"),
+                                "coherence")).alias("b"))
             .select("media_id", (-F.col("b.neg_other")).alias("best_match_id"),
                     F.col("b.n_shared").alias("best_shared"),
-                    F.col("b.containment").alias("best_containment")))
+                    F.col("b.containment").alias("best_containment"),
+                    F.col("b.coherence").alias("best_coherence")))
     return (counts.join(best, "media_id", "left")
             .select("media_id", "n_landmarks", "best_match_id",
-                    "best_shared", "best_containment"))
+                    "best_shared", "best_containment", "best_coherence"))
 
 
 @register("dedup_video")  # rows-only: DCT float math is not SQL-replayable

@@ -535,3 +535,29 @@ def test_audio_fingerprint_df_cap_keeps_true_dups(spark):
             for p in MM.audio_fp_matches(media, min_containment=0.8,
                                          df_cap=3).collect()}
     assert (0, 1) in high and (0, 2) in high and (0, 3) not in high
+
+
+def test_audio_offset_coherence(spark):
+    """Wang 2003 verify: identical clips and a prefix truncation align
+    every shared landmark at one offset (coherence 1.0); a clip CUT FROM
+    THE MIDDLE still aligns at its shift for landmarks first seen past
+    the cut. min_coherence filters."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(-20000, 20000, 4000, dtype=np.int16)
+    trunc = a[: int(len(a) * 0.6)]
+
+    def row(mid, pcm):
+        return (mid, "audio", pcm.tobytes(), ("pcm16", None, None, 1, 8000,
+                                              None))
+
+    media = _manual_media(spark, [row(0, a), row(1, a.copy()),
+                                  row(2, trunc)])
+    pairs = {(p.id_a, p.id_b): p
+             for p in MM.audio_fp_matches(media, min_containment=0.0)
+             .collect()}
+    assert pairs[(0, 1)].coherence == 1.0
+    assert pairs[(0, 2)].coherence == 1.0
+    kept = {(p.id_a, p.id_b)
+            for p in MM.audio_fp_matches(media, min_containment=0.0,
+                                         min_coherence=0.9).collect()}
+    assert (0, 1) in kept and (0, 2) in kept
