@@ -464,8 +464,26 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         ANN2.ivf_search_bulk(loaded, queries8, k=20, nprobe=8) \
             .write.format("noop").mode("overwrite").save()
 
+    # IVFPQ at width — both levers at once: nprobe/nlist of the ROWS ×
+    # ~64× fewer BYTES per row (4-bit codes vs 1536 float32). Codes
+    # carry list_id from one encode pass over the assigned corpus
+    # (untimed: index build, like the PQ train/encode above); the
+    # planted-corpus books are retrained because the plain-PQ books
+    # were fit to the unplanted corpus.
+    wbooks = PQ.train_pq(wcorpus, m=16, k=16, sample_cap=8192)
+    PQ.pq_encode(widx.lists, wbooks, extra_cols=("list_id",)) \
+        .write.mode("overwrite").parquet(f"{base}/ivfpq_codes")
+    wcodes = spark.read.parquet(f"{base}/ivfpq_codes")
+
+    def ivfpq_serve():
+        short = PQ.ivf_pq_search(loaded, wcodes, wbooks, queries8,
+                                 nprobe=8, shortlist=500)
+        PQ.pq_rerank(short, wcorpus, queries8, k=20) \
+            .write.format("noop").mode("overwrite").save()
+
     for fn, name in ((ivf_serve, "wide_ivf_search_8q"),
-                     (ivf_bulk, "wide_ivf_bulk_8q")):
+                     (ivf_bulk, "wide_ivf_bulk_8q"),
+                     (ivfpq_serve, "wide_ivfpq_serve_8q")):
         extras[name], extras[f"{name}_reps"] = _timed_min(fn)
     extras["wide_ivf_pruned_frac"] = 0.25
     # Reference bracket: the converged mid-tier wide_knn_bulk_8q number
@@ -492,6 +510,14 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         got.setdefault(r.query_id, set()).add(r.vec_id)
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     extras["wide_ivf_recall@20"] = round(
+        hits / sum(len(v) for v in exact.values()), 4)
+    gotpq = {}
+    short = PQ.ivf_pq_search(loaded, wcodes, wbooks, queries8,
+                             nprobe=8, shortlist=500)
+    for r in PQ.pq_rerank(short, wcorpus, queries8, k=20).collect():
+        gotpq.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & gotpq.get(q, set())) for q in exact)
+    extras["wide_ivfpq_recall@20"] = round(
         hits / sum(len(v) for v in exact.values()), 4)
     shutil.rmtree(base, ignore_errors=True)
 
