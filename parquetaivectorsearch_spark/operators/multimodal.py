@@ -784,11 +784,6 @@ def video_matches(media: DataFrame,
     out = (shared.join(ca, "id_a").join(cb, "id_b")
            .withColumn("containment",
                        F.col("n_shared") / F.least("na", "nb"))
-           .filter(F.col("containment") >= min_containment)
-           .withColumn("coherence",
-                       F.round(F.col("n_aligned") / F.col("n_shared"), 6)))
-    if min_coherence is not None:
-        out = out.filter(F.col("coherence") >= min_coherence)
+           .filter(F.col("containment") >= min_containment))
     return out.select("id_a", "id_b", "n_shared",
-                      F.round("containment", 6).alias("containment"),
-                      "coherence")
+                      F.round("containment", 6).alias("containment"))
