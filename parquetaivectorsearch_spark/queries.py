@@ -435,7 +435,39 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero-evidence components outrank re-refreshing green canaries. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 9 window ---
+    # --- round 10 window ---
+    # (a) the 13 queries with ZERO driver evidence (all r9-born after the
+    #     mid-round window freeze) — the r9 VERDICT's explicit ask
+    "semdedup_prune", "dedup_keep_best", "bigram_logprob", "dedup_cdc",
+    "zipf_fit", "heaps_law", "ngram_novelty", "embedding_outlier",
+    "domain_cap_sample", "streaming_heavy_hitters", "decontaminate_bloom",
+    "decontaminate_spans", "pps_sample",
+    # (b) dedup_video — ERR in r9 (audio-coherence paste), fixed first
+    #     commit of r10; needs a green driver row to clear the weak flag
+    "dedup_video",
+    # (c) changed-impl canaries for the r10 rewrites: curation_funnel
+    #     (single-pass plan), the knn.py tie-safety fix (every query
+    #     through operators/knn.py batch cuts), ngram_novelty +
+    #     domain_cap_sample already in (a)
+    "curation_funnel", "knn_join", "knn_join_bulk", "knn_topk_arrow",
+    "knn_join_int8_bulk", "knn_topk_int8",
+    # (d) the 7 queries whose ONLY evidence is r1 (ceded slots in r9)
+    "schema_introspect", "project_columns", "concat_title_text",
+    "count_rows", "sum_tokens", "explode_words", "stats_agg",
+    # (e) oldest-evidence refreshes: the r5 cohort (spread across the
+    #     relational/text/streaming/pipeline suites)
+    "csv_roundtrip", "knn_checksum", "regional_revenue",
+    "top_revenue_orders", "partitioned_write_prune", "bm25_rank",
+    "asof_join", "range_join", "percentile_agg", "join_salted",
+    "string_functions", "datetime_functions", "variant_json",
+    "udtf_split_words", "vocab_top_words", "stratified_sample",
+    "incremental_rollup", "session_window_agg", "big_orders",
+    "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
+    "streaming_session_agg",
+)
+
+_DRIVER_WINDOW_R9: tuple[str, ...] = (
+    # --- round 9 window (kept for the rotation audit trail) ---
     # (a) the 4 queries registered in r8, never driver-sampled
     #     (dedup_substring_removal + ranking_metrics are oracle-gated)
     "dedup_substring_removal", "ranking_metrics", "image_features_jpeg",
