@@ -524,19 +524,24 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLAG conjunction computed with the same machinery as its standalone
     query (decontaminate's broadcast shingle semi-join, split_assign's
     multiplicative hash) — no new semantics, just the composition a
-    real pipeline runs nightly. Scale shape: two broadcast semi-joins
-    (keepers is |distinct texts| keys, bench shingles tiny) + one final
-    5-row aggregate; the conjunction never materializes intermediate
-    corpora."""
+    real pipeline runs nightly. SINGLE-PASS scale shape (r10 rewrite;
+    the r9 plan unioned five separate aggregates over the same flag
+    lineage = 14 parquet scans): the keeper flag is a min-over-pfx
+    WINDOW on the slim (doc_id, n_chars, q, pfx) projection — one
+    shuffle, no join-back, and unlike a groupBy+rejoin it never needs
+    the keeper set to be broadcastable — then ONE aggregate computes
+    all 10 stage metrics (5 conditional counts + 5 conditional char
+    sums) and stack() unfolds them to 5 rows. Physical plan: 3 parquet
+    scans total (flags lineage 1 + the two contamination shingle
+    branches, bench side pruned to doc_id < 10 at the scan), pinned by
+    tests/test_plans.py."""
     d = _t(spark, sf_dir, "documents")
     words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
     q = (F.size(words) >= 20) & F.col("lang").isin("en", "de")
     pfx = F.substring(
         F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 80)
-    base = d.select("doc_id", "n_chars", "text", pfx.alias("pfx"),
+    base = d.select("doc_id", "n_chars", pfx.alias("pfx"),
                     q.alias("q"), words.alias("words"))
-    keepers = (base.filter("q").groupBy("pfx")
-               .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
     idx = F.when(
         F.size("words") >= 5, F.sequence(F.lit(1), F.size("words") - 4)
     ).otherwise(F.array().cast("array<int>"))
@@ -547,30 +552,30 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = (sh.filter(F.col("doc_id") >= 10)
               .join(F.broadcast(bench), "shingle", "left_semi")
               .select("doc_id").distinct())
-    flags = (base
-             .join(keepers.withColumn("k", F.lit(True)), "doc_id", "left")
+    # keep-min dedup as a window: doc survives iff it IS the min quality
+    # doc_id of its prefix group (doc_id is unique, so == min ⇔ IN keepers)
+    min_q = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+        Window.partitionBy("pfx"))
+    flags = (base.select("doc_id", "n_chars", "q", "pfx")
+             .withColumn("d", F.col("q") & (F.col("doc_id") == min_q))
              .join(contam.withColumn("ct", F.lit(True)), "doc_id", "left")
-             .select(
-                 "doc_id", "n_chars", "q",
-                 (F.col("q") & F.coalesce("k", F.lit(False))).alias("d"),
-                 (F.col("q") & F.coalesce("k", F.lit(False))
-                  & ~F.coalesce("ct", F.lit(False))).alias("c"))
+             .withColumn("c", F.col("d") & ~F.coalesce("ct", F.lit(False)))
              .withColumn("s", F.col("c")
                          & ((F.col("doc_id") * F.lit(_HASH)) % 100 < 80)))
     labels = [(0, "raw"), (1, "quality"), (2, "dedup"),
               (3, "decontaminated"), (4, "train_split")]
-    flagcols = [None, "q", "d", "c", "s"]
-    rows = None
-    for (no, label), flag in zip(labels, flagcols):
-        cond = F.lit(True) if flag is None else F.col(flag)
-        one = flags.agg(
-            F.sum(cond.cast("long")).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum(F.when(cond, F.col("n_chars"))), F.lit(0))
-            .cast("bigint").alias("total_chars"),
-        ).select(F.lit(no).alias("stage_no"), F.lit(label).alias("stage"),
-                 "n_docs", "total_chars")
-        rows = one if rows is None else rows.unionAll(one)
-    return rows
+    conds = [F.lit(True), F.col("q"), F.col("d"), F.col("c"), F.col("s")]
+    aggs = []
+    for i, cond in enumerate(conds):
+        aggs.append(F.sum(cond.cast("long")).cast("bigint").alias(f"n{i}"))
+        aggs.append(F.coalesce(F.sum(F.when(cond, F.col("n_chars"))),
+                               F.lit(0)).cast("bigint").alias(f"ch{i}"))
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{no}, '{label}', n{i}, ch{i}"
+        for i, (no, label) in enumerate(labels))
+    return one.select(F.expr(
+        f"stack(5, {stack_args}) AS (stage_no, stage, n_docs, total_chars)"))
 
 
 # ---------------------------------------------------------------------------

@@ -198,3 +198,18 @@ def test_maxsim_is_row_local_take_ordered(spark):
     assert "HashAggregate" not in plan, plan
     assert "Generate" not in plan, plan
     assert P.has_take_ordered(df)
+
+
+def test_curation_funnel_single_pass(spark):
+    """The funnel's 5 stage rows must come from ONE aggregate over one
+    corpus scan (r9 shipped a 5-way union re-executing the flag lineage
+    per stage: 14 parquet scans, zero reuse). Pinned shape: exactly 3
+    parquet scans — the flags lineage plus the two contamination shingle
+    branches — and the keeper flag as a window, never a join-back."""
+    import re
+
+    df = QUERIES["curation_funnel"](spark, SF_SMOKE)
+    plan = P.formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 3, tree
+    assert "Window" in tree, tree
