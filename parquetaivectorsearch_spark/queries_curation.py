@@ -284,9 +284,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's distinct shingles that appear in NO other document — the
     cheap memorization/boilerplate audit (low novelty ⇒ the doc is
     assembled from corpus-common fragments). Same explode machinery as
-    dedup_substring; shingle df is a map-side-combinable hash agg and
-    the doc join is on the shingle key. Exact integers until one final
-    division."""
+    dedup_substring. JOIN-FREE attribution (r10 rewrite; r9 shipped the
+    full per-doc shingle stream through a second shingle-keyed shuffle
+    just to mark df==1 rows): a df==1 shingle belongs to exactly ONE
+    doc, so the shingle-keyed agg carries min(doc_id) alongside df and
+    the unique-holder rows reduce straight to per-doc novel counts —
+    the |corpus-shingles| join-back becomes a doc-keyed join of two
+    |docs|-row aggregates. Exact integers until one final division."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= _NOVEL_N)
     sh = (
         d.select(
@@ -297,17 +301,23 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(f"substring(text, i, {_NOVEL_N})").alias("sh"))
         .distinct()
     )
-    g = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("holder"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("holder").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("novel_shingles"))
+    )
     return (
-        sh.join(g, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-            .cast("bigint")
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("novel_shingles", F.lit(0)).cast("bigint")
             .alias("novel_shingles"),
             F.round(
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)) / F.count("*"), 6
+                F.coalesce("novel_shingles", F.lit(0)) / F.col("n_shingles"), 6
             ).alias("novel_frac"),
         )
     )
