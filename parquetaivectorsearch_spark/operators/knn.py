@@ -136,8 +136,12 @@ def knn_join_bulk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             take = min(k, len(ids))
             for j, qid in enumerate(q_ids):
                 dj = dist[:, j]
-                # batch-local k smallest in C (argpartition), then ≤k heap ops
-                cand = np.argpartition(dj, take - 1)[:take] if take < len(dj) \
+                # lexsort, not argpartition: exact distance ties at the
+                # batch-k boundary (duplicate vectors) must keep the
+                # id-winning row BEFORE the tie-aware heap sees it, or the
+                # final (distance, id) window ranks a different id than the
+                # exact path — same fix as operators/ann.py:355
+                cand = np.lexsort((ids, dj))[:take] if take < len(dj) \
                     else np.arange(len(dj))
                 heap = best[int(qid)]
                 for i in cand:
@@ -346,7 +350,10 @@ def int8_knn_join_bulk(quantized: DataFrame, corpus: DataFrame,
             take = min(shortlist, len(ids))
             for j, qid in enumerate(q_ids):
                 dj = dist[:, j]
-                cand = np.argpartition(dj, take - 1)[:take] if take < len(dj) \
+                # lexsort, not argpartition: tie-safe at the shortlist cut
+                # (duplicate vectors quantize identically) — see the
+                # knn_join note above and operators/ann.py:355
+                cand = np.lexsort((ids, dj))[:take] if take < len(dj) \
                     else np.arange(len(dj))
                 heap = best[int(qid)]
                 for i in cand:

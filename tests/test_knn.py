@@ -222,3 +222,49 @@ def test_arrow_topk_tie_break_on_duplicate_vectors(spark):
     got2 = [r.vec_id for r in
             knn.maxsim_topk_arrow(df, q, k=10, n_tok=4).collect()]
     assert got2 == list(range(10))
+
+
+def test_bulk_paths_tie_safe_with_duplicate_vectors(spark):
+    """Exact-tie regression (ADVICE r8 / VERDICT r9 #5): duplicate vectors
+    straddling the batch-k cut must surface the SMALLEST id, matching the
+    exact window's (distance, id) order — the old argpartition cut could
+    drop the id-winning twin before the tie-aware heap saw it. Corpus: a
+    query vector duplicated many times under ids sorted so the duplicates
+    span partition/batch boundaries, k smaller than the duplicate count."""
+    import numpy as np
+
+    from parquetaivectorsearch_spark.functions.vector import int8_quantize
+
+    dim, n_dup, n_bg, k = 8, 30, 40, 6
+    rng = np.random.RandomState(3)
+    v = rng.randn(dim); v /= np.linalg.norm(v)
+    rows = []
+    # duplicates get the HIGHEST ids except one low id placed LAST in row
+    # order: argpartition over the all-equal distance block keeps early
+    # indices, so the pre-fix cut verifiably drops the id-winning twin
+    # (numpy sim: argpartition keeps 1018-1024, lexsort keeps 5,1000-1004)
+    dup_ids = list(range(1000, 1000 + n_dup - 1))
+    for i in dup_ids:
+        rows.append((i, [float(x) for x in v]))
+    for i in range(100, 100 + n_bg):
+        u = rng.randn(dim); u /= np.linalg.norm(u)
+        rows.append((i, [float(x) for x in u]))
+    rows.append((5, [float(x) for x in v]))
+    dup_ids.append(5)
+    corpus = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").coalesce(1)
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in v])],
+        "query_id BIGINT, query_vec ARRAY<FLOAT>")
+
+    expect = sorted(dup_ids)[:k]
+    got_bulk = [r.vec_id for r in knn.knn_join_bulk(corpus, queries, k=k)
+                .orderBy("rank").collect()]
+    assert got_bulk == expect, got_bulk
+
+    quant = int8_quantize(corpus).select("vec_id", "scale", "qvec")
+    got_int8 = [r.vec_id
+                for r in knn.int8_knn_join_bulk(quant, corpus, queries,
+                                                k=k, shortlist=k)
+                .orderBy("rank").collect()]
+    assert got_int8 == expect, got_int8
