@@ -216,9 +216,10 @@ def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
     (approx_score desc, id) window can rank a different id than the flat
     ADC scan (same reasoning as ivf_search_bulk, operators/ann.py:350).
 
-    Output: (query_id, vec_id, distance, rank) — exact distances from the
-    rerank, same schema family as pq_rerank. At nprobe = nlist the result
-    ids equal the flat pq_adc_search → pq_rerank pipeline bit-for-bit
+    Output: (query_id, vec_id, approx_score) — the ADC SHORTLIST, to be
+    fed through ``pq_rerank`` for exact distances and ranks (the caller
+    composes the two, e.g. queries_ann.q_ivf_pq_topk). At nprobe = nlist
+    the shortlist ids equal the flat pq_adc_search pipeline bit-for-bit
     (pinned in tests/test_pq.py)."""
     from parquetaivectorsearch_spark.operators.ann import (_nearest,
                                                            _pre_query)
