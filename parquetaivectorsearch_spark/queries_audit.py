@@ -116,10 +116,12 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a deterministic md5(doc_id) ranking — the standard
     over-representation control in web-crawl curation (a mega-domain
     must not dominate the mixture), made hash-replayable instead of
-    rng-seeded. One shuffle on source + one window; at 100 TB a skewed
-    domain still sorts its full group here, so the scale upgrade is a
-    per-partition partial top-cap before the window (knn_topk's partial
-    top-k trick) — output is bounded at cap × domains either way."""
+    rng-seeded. Scale shape: Catalyst's rank-limit pushdown plans a
+    MAP-SIDE WindowGroupLimit before the exchange (the knn partial
+    top-k trick, declaratively), so each input partition ships at most
+    cap rows per source into the shuffle and a skewed mega-domain
+    never materializes its full group on one reducer — pinned in
+    tests/test_plans.py; output bounded at cap × domains."""
     w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
     return (
         _t(spark, sf_dir, "documents")

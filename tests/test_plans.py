@@ -213,3 +213,17 @@ def test_curation_funnel_single_pass(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 3, tree
     assert "Window" in tree, tree
+
+
+def test_domain_cap_partial_window_group_limit(spark):
+    """The per-domain cap must plan a MAP-SIDE WindowGroupLimit below the
+    exchange (rank-limit pushdown): each input partition ships at most
+    cap rows per source, so a skewed mega-domain never full-sorts its
+    group on one reducer. Shape: WindowGroupLimit → Exchange →
+    WindowGroupLimit → Window."""
+    df = QUERIES["domain_cap_sample"](spark, SF_SMOKE)
+    tree = P.formatted_plan(df).split("\n\n")[0]
+    import re
+    limits = len(re.findall(r"WindowGroupLimit", tree))
+    assert limits == 2, tree
+    assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree

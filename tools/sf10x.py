@@ -51,7 +51,19 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # corpus rotates the alphabet, so vocab grows 10× but stays tiny
            # vs bytes); snapshot_diff ships only (doc_id, md5) rows;
            # hard_negative_mining is a broadcast batch over one corpus scan
-           "skipgram_pairs", "snapshot_diff", "hard_negative_mining"]
+           "skipgram_pairs", "snapshot_diff", "hard_negative_mining",
+           # r10 additions (VERDICT r9 #9): the funnel's single-pass plan,
+           # the join-free novelty attribution, the IVFPQ serve path, and
+           # the rank-limit-pushdown domain cap
+           "curation_funnel", "ngram_novelty", "ivf_pq_topk",
+           "domain_cap_sample"]
+
+# Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
+# replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
+# single source value — the worst case for a per-source window. The
+# map-side WindowGroupLimit must keep the shuffle bounded at cap rows per
+# (source, input-partition) regardless.
+TENX_SKEW = "/tmp/sf10x_skew"
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
@@ -96,6 +108,22 @@ def build_10x(spark) -> None:
     Path(f"{TENX}/_done").touch()
 
 
+def build_10x_skew(spark) -> None:
+    """10× documents with replicas r>0 collapsed onto one mega-domain."""
+    from pyspark.sql import functions as F
+
+    if Path(f"{TENX_SKEW}/_done").exists():
+        return
+    docs = spark.read.parquet(f"{TENX}/documents.parquet")
+    (docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") >= 1_000_000, F.lit("megadomain"))
+         .otherwise(F.col("source")))
+     .repartition(32).write.mode("overwrite")
+     .parquet(f"{TENX_SKEW}/documents.parquet"))
+    Path(f"{TENX_SKEW}/_done").touch()
+
+
 def main() -> None:
     import __spark_entry__ as E
     from parquetaivectorsearch_spark.session import get_spark
@@ -104,6 +132,7 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     build_10x(spark)
+    build_10x_skew(spark)
     qs = E.queries()
 
     def run(name: str, sf_dir: str) -> float:
@@ -138,6 +167,13 @@ def main() -> None:
         alpha = math.log(t10 / t1) / math.log(10)
         lines.append(f"| {name} | {t1:.3f} | {t10:.3f} | {alpha:.2f} |")
         print(lines[-1])
+
+    # skew point: domain_cap_sample on the mega-domain corpus (same 10×
+    # volume, ~90% of rows in ONE source group)
+    run("domain_cap_sample", TENX_SKEW)  # warm
+    skew_reps = [run("domain_cap_sample", TENX_SKEW) for _ in range(REPS)]
+    skew_t = min(skew_reps)
+    print(f"domain_cap_sample@10x_skew: {skew_t:.3f}")
 
     md = Path(_REPO) / "SCALING.md"
     text = md.read_text()
@@ -177,7 +213,20 @@ def main() -> None:
         "join at df_cap × |landmark rows| and drops only zero-signal\n"
         "common landmarks — identical-source-text true-dup recall stays\n"
         "1.0 at every measured cap while the ≥0.8 background pair count\n"
-        "falls ~4-30×; the audio row above is the capped query.\n")
+        "falls ~4-30×; the audio row above is the capped query.\n"
+        "\nr10 rows: curation_funnel is the single-pass plan (3 parquet\n"
+        "scans, one 10-metric aggregate); ngram_novelty is the join-free\n"
+        "min(doc_id) attribution — both alphas carry the rewrite's scale\n"
+        "claim. ivf_pq_topk includes its per-invocation index build at\n"
+        "this size; the serve-only number lives in the bench wide tier.\n"
+        "domain_cap_sample relies on Catalyst's map-side WindowGroupLimit\n"
+        "(pinned in test_plans); the SKEW point below runs the same query\n"
+        "on a 10× corpus with ~90% of rows collapsed onto ONE mega-domain\n"
+        "source — if the full group ever materialized on a reducer this\n"
+        "would blow up, instead it stays at the uniform-10× number:\n"
+        f"\ndomain_cap_sample @ 10× skewed (megadomain): {skew_t:.3f}s\n"
+        f"(vs uniform 10×: {min(t['domain_cap_sample'][TENX]):.3f}s; reps\n"
+        f"{skew_reps})\n")
     if marker in text:
         start = text.index(marker) - 1
         nxt = text.find("\n## ", start + len(marker))
