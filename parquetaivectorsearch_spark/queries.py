@@ -460,8 +460,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "top_revenue_orders", "partitioned_write_prune", "bm25_rank",
     "asof_join", "range_join", "percentile_agg", "join_salted",
     "string_functions", "datetime_functions", "variant_json",
-    "udtf_split_words", "vocab_top_words", "stratified_sample",
-    "incremental_rollup", "session_window_agg", "big_orders",
+    "udtf_split_words", "vocab_top_words",
+    # (f) queries BORN during r10 — zero-evidence newborns outrank
+    #     re-refreshing green canaries (standing rule); each cedes one
+    #     (e) oldest-evidence slot (stratified_sample r5,
+    #     incremental_rollup r5 — both multiply re-passed)
+    "priority_sample", "temperature_mixture",
+    "session_window_agg", "big_orders",
     "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
     "streaming_session_agg",
 )

@@ -625,3 +625,119 @@ def q_sample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("n_chars"))), F.lit(0))
               .cast("bigint").alias("total_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling — priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+@register("priority_sample", """
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / ((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0) AS p
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars, p,
+             row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+      FROM pr
+    ),
+    t AS (SELECT MIN(p) AS tau FROM r WHERE rn <= 65)
+    SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars,
+           GREATEST(CAST(r.n_chars AS DOUBLE), t.tau) AS est_weight
+    FROM r, t WHERE r.rn <= 64
+""")
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each doc gets priority
+    p = weight/u with u a deterministic Knuth-hash uniform in (0, 1], the k=64
+    highest priorities are the sample, and each kept doc's
+    Horvitz-Thompson weight estimator is max(weight, tau) where tau is
+    the (k+1)-th priority — sums of est_weight over any subset are
+    unbiased for that subset's true char mass. Chosen over A-ES
+    (exponential races) because p needs only IEEE-754 divisions —
+    correctly rounded, hence bit-identical across engines — where A-ES
+    keys need ln(u)/pow, whose last ulp is libm-specific (the same
+    representation-sensitivity argument as pps_sample's).
+
+    Plan shape: orderBy(p).limit(65) compiles to TakeOrderedAndProject —
+    per-partition top-65 partials merged on the driver, never a global
+    sort; at 100 TB each of 10^6 tasks ships 65 rows. The rank/tau
+    windows then run on the 65-row frame (single tiny partition,
+    deliberate)."""
+    d = _t(spark, sf_dir, "documents")
+    pr = d.select(
+        "doc_id", "lang", "n_chars",
+        (F.col("n_chars").cast("double")
+         / ((((F.col("doc_id") * F.lit(2654435761)) % 1000003) + 1)
+            / F.lit(1000004.0))).alias("p"))
+    top = pr.orderBy(F.desc("p"), "doc_id").limit(65)
+    w = Window.partitionBy().orderBy(F.desc("p"), F.col("doc_id"))
+    wall = Window.partitionBy()
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .withColumn("tau", F.min("p").over(wall))
+        .filter(F.col("rn") <= 64)
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+                F.greatest(F.col("n_chars").cast("double"),
+                           F.col("tau")).alias("est_weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened mixture (multilingual-style size^alpha re-weighting)
+# ---------------------------------------------------------------------------
+
+@register("temperature_mixture", """
+    WITH cnt AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+    m AS (SELECT MAX(n_s) AS n_max FROM cnt),
+    q AS (
+      SELECT lang,
+             LEAST(n_s, CAST(CEIL(120.0 * SQRT(CAST(n_s AS DOUBLE) / n_max))
+                             AS BIGINT)) AS quota
+      FROM cnt, m
+    ),
+    r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * 2654435761) % 1000003,
+                                         doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source, CAST(r.rn AS INTEGER) AS rn
+    FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+""")
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (the multilingual-pretraining
+    size^alpha re-weighting, alpha = 0.5): per-language quota scales with
+    sqrt(n_s / n_max), so the over-represented language is down-sampled
+    toward parity while small languages keep everything (LEAST cap). The
+    quota arithmetic stays bit-exact across engines because sqrt and
+    division are IEEE-754 correctly-rounded (a pow(x, 0.61) temperature
+    would not be — same portability discipline as priority_sample).
+    Member selection is the Knuth-hash order, so the drawn subset is
+    reproducible under any partitioning.
+
+    Plan shape: the quota table is |languages| rows (broadcast); the
+    static rn <= 120 pre-filter under the per-lang window (120 bounds
+    every quota since sqrt(ratio) <= 1) lets Spark's WindowGroupLimit cut
+    each language's sort before the dynamic quota join — a skewed
+    mega-source never full-sorts."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    nmax = cnt.agg(F.max("n_s").alias("n_max"))
+    quota = cnt.crossJoin(F.broadcast(nmax)).select(
+        "lang",
+        F.least(F.col("n_s"),
+                F.ceil(F.lit(120.0)
+                       * F.sqrt(F.col("n_s").cast("double") / F.col("n_max")))
+                ).alias("quota"))
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * F.lit(2654435761)) % 1000003, F.col("doc_id"))
+    ranked = d.select("doc_id", "lang", "source",
+                      F.row_number().over(w).alias("rn")) \
+              .filter(F.col("rn") <= 120)
+    return (ranked.join(F.broadcast(quota), "lang")
+            .filter(F.col("rn") <= F.col("quota"))
+            .select("doc_id", "lang", "source", "rn"))

@@ -338,3 +338,52 @@ def test_curation_funnel_monotone_and_consistent(spark):
     assert all(a >= b for a, b in zip(chars, chars[1:])), chars
     assert counts[2] < counts[1], "dedup stage must remove cut variants"
     assert counts[4] < counts[3], "train split must drop ~20%"
+
+
+def test_priority_sample_invariants(spark):
+    """Priority sampling (Duffield-Lund-Thorup): exactly k=64 rows; every
+    estimator >= its true weight (HT estimator is max(w, tau)); the total
+    estimate is within a loose factor of the true char mass (sanity, not
+    a distributional claim); and the plan takes the TakeOrdered path —
+    never a global sort."""
+    from parquetaivectorsearch_spark.queries_traindata import q_priority_sample
+    from parquetaivectorsearch_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    df = q_priority_sample(spark, SF_CORRECT)
+    rows = df.collect()
+    assert len(rows) == 64
+    assert all(r.est_weight >= r.n_chars for r in rows)
+    total = load_table(spark, SF_CORRECT, "documents") \
+        .agg(F.sum("n_chars")).collect()[0][0]
+    est = sum(r.est_weight for r in rows)
+    assert 0.2 * total < est < 5.0 * total, (est, total)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_temperature_mixture_invariants(spark):
+    """alpha=0.5 mixture: per-language draw counts equal the
+    least(n_s, ceil(120*sqrt(n_s/n_max))) quota exactly; the dominant
+    language is actually down-sampled (non-vacuous flattening) while the
+    smallest keeps everything; rn values are the 1..quota prefix of the
+    Knuth-hash order (reproducibility)."""
+    from parquetaivectorsearch_spark.queries_traindata import (
+        q_temperature_mixture)
+    from parquetaivectorsearch_spark.sources import load_table
+    import math
+    import pyspark.sql.functions as F
+
+    rows = q_temperature_mixture(spark, SF_CORRECT).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.lang, []).append(r.rn)
+    cnt = {r.lang: r.n for r in load_table(spark, SF_CORRECT, "documents")
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_max = max(cnt.values())
+    for s, n_s in cnt.items():
+        quota = min(n_s, math.ceil(120.0 * math.sqrt(n_s / n_max)))
+        assert sorted(got.get(s, [])) == list(range(1, quota + 1)), s
+    fracs = sorted((n_s, len(got.get(s, [])) / n_s) for s, n_s in cnt.items())
+    assert fracs[-1][1] < 1.0, "dominant language must be down-sampled"
+    assert fracs[0][1] == 1.0, "smallest language must keep everything"
