@@ -38,14 +38,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
-             vec_col: str = "embedding", sample_cap: int = 50_000,
-             iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Train per-subspace codebooks on a capped sample; returns
-    float64[m, k, d/m]. Deterministic: seeded init, fixed iteration count,
-    vectorized L2 k-means per subspace."""
-    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
-    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+def _kmeans_books(x: np.ndarray, m: int, k: int,
+                  iters: int, seed: int) -> np.ndarray:
+    """Per-subspace L2 k-means over a driver-resident sample matrix;
+    returns float64[m, k, d/m]. Deterministic: seeded init, fixed
+    iteration count."""
     n, d = x.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -66,22 +63,67 @@ def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
     return books
 
 
+def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
+             vec_col: str = "embedding", sample_cap: int = 50_000,
+             iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Train per-subspace codebooks on a capped sample; returns
+    float64[m, k, d/m]. Deterministic: seeded init, fixed iteration count,
+    vectorized L2 k-means per subspace."""
+    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return _kmeans_books(x, m, k, iters, seed)
+
+
+def train_pq_residual(index, m: int = 8, k: int = 16,
+                      vec_col: str = "embedding", sample_cap: int = 50_000,
+                      iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Train codebooks on COARSE RESIDUALS x − c(list(x)) — the IVFADC
+    variant FAISS ships as its billion-scale default (Jégou 2011 §V.B
+    'IVFADC'): after the coarse quantizer explains the list-level mean,
+    the residual distribution is far tighter than the raw one, so the
+    same m×k code budget spends its centroids on a smaller cell — lower
+    quantization error, better shortlist quality at equal bytes (pinned
+    in tests/test_pq.py::test_residual_encoding_cuts_quantization_error).
+
+    ``index.centroids[:, :d]`` are the raw-space list means even under
+    the 'ip' metric's norm-augmented assignment geometry (k-means means
+    of the members' raw coordinates — operators/ann.py:_pre_corpus only
+    APPENDS the augmentation column, never rescales the first d)."""
+    pdf = index.lists.select(vec_col, "list_id").limit(sample_cap).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    lids = pdf["list_id"].to_numpy()
+    rc = index.centroids.astype(np.float64)[:, :x.shape[1]]
+    return _kmeans_books(x - rc[lids], m, k, iters, seed)
+
+
 def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              extra_cols: tuple[str, ...] = ()) -> DataFrame:
+              extra_cols: tuple[str, ...] = (),
+              residual_centroids: np.ndarray | None = None) -> DataFrame:
     """Encode every vector to its m subspace codes (one mapInPandas pass).
 
     Output: (vec_id, codes array<int>[, extra_cols…]) — the compressed
     corpus table; write it as parquet and search it instead of the raw
     vectors. ``extra_cols`` threads narrow columns (e.g. the IVF
     ``list_id``) through unchanged, so an IVFPQ codes table is one pass,
-    not an encode-then-join."""
+    not an encode-then-join.
+
+    ``residual_centroids`` (raw-space (nlist, d), e.g.
+    ``index.centroids[:, :d]``) switches to IVFADC residual encoding:
+    each vector is encoded as x − rc[list_id] (requires ``list_id`` in
+    ``extra_cols``); the codebooks must come from ``train_pq_residual``."""
     m, k, dsub = codebooks.shape
     books = codebooks  # closure-captured; broadcast by task serialization
+    if residual_centroids is not None and "list_id" not in extra_cols:
+        raise ValueError("residual encoding needs list_id in extra_cols")
+    rc = (None if residual_centroids is None
+          else residual_centroids.astype(np.float64))
 
     def encode(batches):
         for pdf in batches:
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rc is not None:
+                x = x - rc[pdf["list_id"].to_numpy()]
             codes = np.empty((len(x), m), dtype=np.int32)
             for j in range(m):
                 xj = x[:, j * dsub:(j + 1) * dsub]
@@ -192,7 +234,8 @@ def pq_rerank(shortlist_df: DataFrame, corpus: DataFrame, queries: DataFrame,
 
 def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
                   queries: DataFrame, k: int = 20, nprobe: int = 4,
-                  shortlist: int = 200, id_col: str = "vec_id") -> DataFrame:
+                  shortlist: int = 200, id_col: str = "vec_id",
+                  residual: bool = False) -> DataFrame:
     """IVFPQ serve — the FAISS billion-scale recipe (Jégou 2011 §V +
     the IVFADC variant): coarse-quantizer probe restricts the ADC scan to
     nprobe inverted lists, PQ codes make the scanned bytes ~64× smaller,
@@ -215,6 +258,14 @@ def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
     shortlist cut must keep the id-winning row or the global
     (approx_score desc, id) window can rank a different id than the flat
     ADC scan (same reasoning as ivf_search_bulk, operators/ann.py:350).
+
+    ``residual=True`` is the IVFADC scoring rule for residual-encoded
+    codes (train_pq_residual + pq_encode(residual_centroids=…)):
+    <q, x> ≈ <q, c_list> + Σ_j lut[j, code_j], where the LUT is the same
+    raw-query einsum (residual codebooks live in the same linear space)
+    and the per-row <q, c_list> offset is a (|queries| × |probed lists|)
+    driver matmul gathered by each row's list_id — no extra shuffle, no
+    per-row work beyond one add.
 
     Output: (query_id, vec_id, approx_score) — the ADC SHORTLIST, to be
     fed through ``pq_rerank`` for exact distances and ranks (the caller
@@ -239,6 +290,10 @@ def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
                      dtype=np.int64)
     probe_sets = [set(int(x) for x in row) for row in probes]
     mask_mat = np.array([[int(l) in s for s in probe_sets] for l in union])
+    # residual offsets: off[q, u] = <query_q, raw-space centroid of
+    # union list u> — the coarse term of the IVFADC decomposition
+    off = (q_mat @ index.centroids.astype(np.float64)[union, :q_mat.shape[1]].T
+           if residual else None)
 
     def partial(batches):
         for pdf in batches:
@@ -248,7 +303,10 @@ def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
             lids = pdf["list_id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy())  # (batch, m)
             scores = luts[:, np.arange(m)[None, :], codes].sum(-1)  # (q, batch)
-            allowed = mask_mat[np.searchsorted(union, lids)].T  # (q, batch)
+            upos = np.searchsorted(union, lids)
+            if off is not None:
+                scores = scores + off[:, upos]
+            allowed = mask_mat[upos].T  # (q, batch)
             scores[~allowed] = -np.inf
             out_q, out_i, out_s = [], [], []
             for qi, qid in enumerate(q_ids):

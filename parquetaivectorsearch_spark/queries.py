@@ -464,9 +464,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (f) queries BORN during r10 — zero-evidence newborns outrank
     #     re-refreshing green canaries (standing rule); each cedes one
     #     (e) oldest-evidence slot (stratified_sample r5,
-    #     incremental_rollup r5 — both multiply re-passed)
-    "priority_sample", "temperature_mixture",
-    "session_window_agg", "big_orders",
+    #     incremental_rollup r5, big_orders r5 — all multiply re-passed)
+    "priority_sample", "temperature_mixture", "ivf_pq_residual",
+    "session_window_agg",
     "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
     "streaming_session_agg",
 )

@@ -614,3 +614,31 @@ def q_bq_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register("ivf_pq_residual")  # rows-only: doubly-approximate (coarse probe + residual PQ)
+def q_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ serve — the exact IVFADC construction of Jégou 2011
+    §V.B (FAISS's billion-scale default): codes quantize the COARSE
+    RESIDUAL x − c(list(x)) instead of x, so the same m×k budget models a
+    tighter distribution (strictly lower reconstruction MSE, pinned in
+    tests/test_pq.py), and the ADC score adds the per-list <q, c_list>
+    offset back — one driver matmul over the probed lists, gathered per
+    row by list_id inside the same masked scan as ivf_pq_topk. Exact
+    rerank restores top-20; carries the standard recall column."""
+    from parquetaivectorsearch_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    d = len(emb.first()["embedding"])
+    rc = index.centroids.astype("float64")[:, :d]
+    books = PQ.train_pq_residual(index, m=16, k=16)
+    codes = PQ.pq_encode(index.lists, books, extra_cols=("list_id",),
+                         residual_centroids=rc)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    short = PQ.ivf_pq_search(index, codes, books, queries,
+                             nprobe=8, shortlist=500, residual=True)
+    return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
+                        emb, queries, k=20)
