@@ -74,6 +74,59 @@ def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
     return _kmeans_books(x, m, k, iters, seed)
 
 
+def _encode_mat(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized driver-side encode of a sample matrix; int32[n, m]."""
+    m, k, dsub = books.shape
+    codes = np.empty((len(x), m), dtype=np.int32)
+    for j in range(m):
+        xj = x[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = (((xj[:, None, :] - books[j][None, :, :]) ** 2)
+                       .sum(-1).argmin(1))
+    return codes
+
+
+def _decode_mat(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruction x̂ from codes; float64[n, d]."""
+    m = books.shape[0]
+    return np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def train_opq(corpus: DataFrame, m: int = 8, k: int = 16,
+              vec_col: str = "embedding", sample_cap: int = 50_000,
+              iters: int = 10, opq_iters: int = 8,
+              seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013,
+    non-parametric solution): learn an orthogonal rotation R jointly with
+    the codebooks by alternating (1) codebook k-means on the rotated
+    sample and (2) the orthogonal-Procrustes update R = UVᵀ from
+    SVD(XᵀX̂) — each step is non-increasing in ‖XR − X̂‖²_F, so the final
+    quantization MSE is ≤ plain PQ's from the same init (test-pinned).
+    Rotation redistributes variance across the m subspaces so no single
+    subspace starves the code budget — the standard fix for PQ's
+    axis-aligned blindness.
+
+    Returns (R float64[d, d], books float64[m, k, d/m]); encode with
+    ``pq_encode(…, rotation=R)`` and search with
+    ``pq_adc_search(…, rotation=R)``. Inner products are preserved by
+    orthogonality (<qR, xR> = <q, x>), so ADC scores in rotated space
+    rank identically to raw-space scores at zero quantization error —
+    the rerank stays in raw space, unchanged.
+
+    All driver-side over the same capped sample train_pq uses; the SVD
+    is d×d (64×64 here, 1536×1536 at the reference's width — trivial)."""
+    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    R = np.eye(d)
+    books = _kmeans_books(x, m, k, iters, seed)
+    for _ in range(opq_iters):
+        dec = _decode_mat(_encode_mat(x @ R, books), books)
+        u, _s, vt = np.linalg.svd(x.T @ dec)
+        R = u @ vt
+        books = _kmeans_books(x @ R, m, k, iters, seed)
+    return R, books
+
+
 def train_pq_residual(index, m: int = 8, k: int = 16,
                       vec_col: str = "embedding", sample_cap: int = 50_000,
                       iters: int = 10, seed: int = 42) -> np.ndarray:
@@ -99,7 +152,8 @@ def train_pq_residual(index, m: int = 8, k: int = 16,
 def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
               extra_cols: tuple[str, ...] = (),
-              residual_centroids: np.ndarray | None = None) -> DataFrame:
+              residual_centroids: np.ndarray | None = None,
+              rotation: np.ndarray | None = None) -> DataFrame:
     """Encode every vector to its m subspace codes (one mapInPandas pass).
 
     Output: (vec_id, codes array<int>[, extra_cols…]) — the compressed
@@ -111,24 +165,26 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
     ``residual_centroids`` (raw-space (nlist, d), e.g.
     ``index.centroids[:, :d]``) switches to IVFADC residual encoding:
     each vector is encoded as x − rc[list_id] (requires ``list_id`` in
-    ``extra_cols``); the codebooks must come from ``train_pq_residual``."""
+    ``extra_cols``); the codebooks must come from ``train_pq_residual``.
+
+    ``rotation`` (orthogonal (d, d) from ``train_opq``) encodes x @ R —
+    the OPQ path; applied AFTER residual subtraction if both are given."""
     m, k, dsub = codebooks.shape
     books = codebooks  # closure-captured; broadcast by task serialization
     if residual_centroids is not None and "list_id" not in extra_cols:
         raise ValueError("residual encoding needs list_id in extra_cols")
     rc = (None if residual_centroids is None
           else residual_centroids.astype(np.float64))
+    rot = None if rotation is None else rotation.astype(np.float64)
 
     def encode(batches):
         for pdf in batches:
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if rc is not None:
                 x = x - rc[pdf["list_id"].to_numpy()]
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for j in range(m):
-                xj = x[:, j * dsub:(j + 1) * dsub]
-                d2 = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1)
+            if rot is not None:
+                x = x @ rot
+            codes = _encode_mat(x, books)
             out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             for c in extra_cols:
                 out[c] = pdf[c].to_numpy()
@@ -143,7 +199,8 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
 
 def pq_adc_search(codes_df: DataFrame, codebooks: np.ndarray,
                   queries: DataFrame, shortlist: int = 200,
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  rotation: np.ndarray | None = None) -> DataFrame:
     """ADC shortlist search over the compressed table.
 
     Per query: lut[j, c] = <q_subj, codebook[j, c]> (computed once on the
@@ -159,6 +216,10 @@ def pq_adc_search(codes_df: DataFrame, codebooks: np.ndarray,
     q_pdf = queries.toPandas()  # bounded: the query batch, not the corpus
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = np.stack(q_pdf["query_vec"].to_numpy()).astype(np.float64)
+    if rotation is not None:
+        # OPQ: rotate queries into code space; orthogonality preserves
+        # inner products, so the ADC ranking is the raw-space ranking
+        q_mat = q_mat @ rotation.astype(np.float64)
     # luts[q, j, c] = <query_q subspace j, centroid c>
     luts = np.einsum("qjd,jcd->qjc",
                      q_mat.reshape(len(q_ids), m, dsub), codebooks)

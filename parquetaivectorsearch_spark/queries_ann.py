@@ -642,3 +642,27 @@ def q_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                              nprobe=8, shortlist=500, residual=True)
     return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
                         emb, queries, k=20)
+
+
+@register("opq_topk")  # rows-only: quantization is approximate by construction
+def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-compressed search (operators/pq.train_opq — Ge et al. CVPR
+    2013, non-parametric alternation): a learned orthogonal rotation
+    redistributes variance across the m subspaces before quantization,
+    so the same 16×16 code budget reconstructs with ≤ plain-PQ MSE
+    (test-pinned); the ADC scan runs in rotated space (rotated query
+    LUT — orthogonality preserves inner products) and the exact rerank
+    stays in raw space. Same serve shape and byte budget as pq_topk;
+    tighter shortlist quality is the whole difference."""
+    from parquetaivectorsearch_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    R, books = PQ.train_opq(emb, m=16, k=16)
+    codes = PQ.pq_encode(emb, books, rotation=R)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    short = PQ.pq_adc_search(codes, books, queries, shortlist=500,
+                             rotation=R)
+    return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
+                        emb, queries, k=20)

@@ -222,3 +222,55 @@ def test_ivf_pq_residual_recall_planted(spark):
               for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_opq_rotation_is_orthogonal_and_cuts_mse(spark):
+    """The OPQ claim, measured: the learned R is orthogonal (RᵀR = I) and
+    the rotated-space quantization MSE is ≤ plain PQ's at the same m×k
+    budget and seed (each alternation step is non-increasing in the
+    Frobenius objective). Orthogonality also guarantees the ADC ranking
+    is the raw-space ranking at zero quantization error."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    x = np.stack(emb.toPandas()["embedding"].to_numpy()).astype(np.float64)
+
+    pq_books = PQ.train_pq(emb, m=8, k=16)
+    e_pq = float(((x - PQ._decode_mat(
+        PQ._encode_mat(x, pq_books), pq_books)) ** 2).sum(1).mean())
+
+    R, opq_books = PQ.train_opq(emb, m=8, k=16)
+    assert np.allclose(R.T @ R, np.eye(R.shape[0]), atol=1e-10)
+    xr = x @ R
+    e_opq = float(((xr - PQ._decode_mat(
+        PQ._encode_mat(xr, opq_books), opq_books)) ** 2).sum(1).mean())
+    assert e_opq <= e_pq + 1e-12, (e_opq, e_pq)
+
+
+def test_opq_adc_rerank_recall_planted(spark):
+    """OPQ end-to-end (rotate-encode → rotated-LUT ADC → raw-space exact
+    rerank) holds recall@20 ≥ 0.9 on the planted-neighbor corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.toPandas()
+    x = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    rng = np.random.RandomState(31)
+    rows, next_id = [], int(base["vec_id"].max()) + 1
+    for q in range(4):
+        for _ in range(20):
+            v = x[q] + 0.05 * rng.randn(x.shape[1]).astype(np.float32)
+            v /= np.linalg.norm(v)
+            rows.append((next_id, [float(f) for f in v], -1))
+            next_id += 1
+    planted = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    corpus = emb.union(planted)
+
+    queries = _queries(emb)
+    exact = {(r.query_id, r.vec_id)
+             for r in knn.knn_join(corpus, queries, k=20).collect()}
+    R, books = PQ.train_opq(corpus, m=8, k=16)
+    codes = PQ.pq_encode(corpus, books, rotation=R)
+    short = PQ.pq_adc_search(codes, books, queries, shortlist=200,
+                             rotation=R)
+    approx = {(r.query_id, r.vec_id)
+              for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
