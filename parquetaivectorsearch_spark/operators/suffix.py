@@ -1,0 +1,101 @@
+"""Distributed suffix array via prefix doubling (Manber & Myers 1990,
+the sort-based formulation used by every distributed SA construction —
+e.g. Flick & Aluru, "Parallel distributed memory construction of suffix
+and LCP arrays", SC'15).
+
+The suffix array is THE exact-substring-dedup index (Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" builds one
+over the whole corpus); the engine's winnowing path (operators/dedup.py)
+is the probabilistic scale tier, this is the exact tier.
+
+Algorithm: rank every suffix by its first character, then repeatedly
+re-rank by the pair (rank[i], rank[i+h]) with h doubling — after
+⌈log₂ n⌉ rounds ranks are the suffix array. Everything is data-parallel:
+
+- each re-rank is ONE range-partitioned sort of (k1, k2) pairs plus a
+  two-phase dense rank (per-partition local dense ranks + the
+  partition-offset prefix sum — the same pattern pack_sequences and the
+  knn partials use: P scalars to the driver, never rows);
+- the (rank[i], rank[i+h]) pairing is ONE equi-join on position;
+- convergence is max(rank) == n (all ranks distinct), one scalar agg.
+
+Cost: O(log n) sort-class shuffle rounds — the Spark terasort shape. At
+100 TB the corpus is processed as document-boundary-respecting shards
+(a suffix never crosses a document boundary past the separator, so
+shards are independent after a global alphabet rank); the fixture query
+builds one shard end-to-end.
+
+Range-partition correctness: repartitionByRange puts EQUAL keys in the
+same partition, so per-partition dense ranks + offsets compose to the
+exact global dense rank; partition ids follow range order by
+construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dense_rank_2key(df: DataFrame, parts: int) -> DataFrame:
+    """Exact global dense rank of (k1, k2) → (pos, rank), distributed:
+    range-partition on the key, locally dense-rank each partition, then
+    add the prefix sum of per-partition distinct counts (P scalars via
+    the driver, broadcast back as a literal map join)."""
+    rp = (df.repartitionByRange(parts, "k1", "k2")
+          .withColumn("pid", F.spark_partition_id()))
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["k1", "k2"], kind="mergesort")
+        new = (pdf["k1"].ne(pdf["k1"].shift()) |
+               pdf["k2"].ne(pdf["k2"].shift()))
+        lrank = new.cumsum()
+        return pd.DataFrame({"pos": pdf["pos"].to_numpy(),
+                             "pid": pdf["pid"].to_numpy(),
+                             "lrank": lrank.to_numpy()})
+
+    loc = rp.groupBy("pid").applyInPandas(
+        local, "pos BIGINT, pid INT, lrank BIGINT").localCheckpoint()
+    counts = {r.pid: r.nd for r in
+              loc.groupBy("pid").agg(F.max("lrank").alias("nd")).collect()}
+    offset, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = offset
+        offset += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col("pid"))
+    return loc.select("pos", (F.col("lrank") + off_expr).alias("rank"))
+
+
+def suffix_array(chars: DataFrame, pos_col: str = "pos",
+                 char_col: str = "ch", parts: int = 8) -> DataFrame:
+    """(pos, ch) single-character rows → (pos, rank): rank r means the
+    suffix starting at pos is the r-th smallest of all n suffixes
+    (1-based; ranks are a permutation of 1..n — suffixes of one string
+    are always distinct). Positions must be contiguous 1..n.
+
+    Binary/code-point character ordering (matches Spark's and DuckDB's
+    default VARCHAR collation on UTF-8); a missing pos+h (suffix shorter
+    than 2h) ranks as 0 < every real rank, which is exactly the
+    shorter-string-is-a-prefix-sorts-first rule of lexicographic
+    comparison."""
+    df = _dense_rank_2key(
+        chars.select(F.col(pos_col).alias("pos"),
+                     F.col(char_col).alias("k1"), F.lit(0).alias("k2")),
+        parts)
+    n = df.count()
+    h = 1
+    while df.agg(F.max("rank")).first()[0] < n:
+        nxt = df.select((F.col("pos") - h).alias("pos"),
+                        F.col("rank").alias("k2"))
+        paired = (df.select("pos", F.col("rank").alias("k1"))
+                  .join(nxt, "pos", "left")
+                  .fillna(0, subset=["k2"]))
+        # localCheckpoint inside _dense_rank_2key already cut the lineage;
+        # each round starts from materialized (pos, rank) rows
+        df = _dense_rank_2key(paired, parts)
+        h *= 2
+    return df

@@ -458,16 +458,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     relational/text/streaming/pipeline suites)
     "csv_roundtrip", "knn_checksum", "regional_revenue",
     "top_revenue_orders", "partitioned_write_prune", "bm25_rank",
-    "asof_join", "range_join", "percentile_agg",
+    "asof_join", "range_join",
     "string_functions", "datetime_functions", "variant_json",
     "udtf_split_words", "vocab_top_words",
     # (f) queries BORN during r10 — zero-evidence newborns outrank
     #     re-refreshing green canaries (standing rule); each cedes one
     #     (e) oldest-evidence slot (stratified_sample r5,
     #     incremental_rollup r5, big_orders r5, join_salted r5 (r2-green
-    #     too) — all multiply re-passed)
+    #     too), percentile_agg r5 — all multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
-    "opq_topk",
+    "opq_topk", "suffix_array_rank",
     "session_window_agg",
     "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
     "streaming_session_agg",

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parquetaivectorsearch_spark.functions import text as TX
 from parquetaivectorsearch_spark.queries import _t, register
@@ -402,3 +403,54 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z > 2.0).cast("int").alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact suffix array (prefix doubling) — the Lee et al. 2022 dedup index
+# ---------------------------------------------------------------------------
+
+@register("suffix_array_rank", """
+    WITH d16 AS (
+      SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+      WHERE lang = 'en' ORDER BY doc_id LIMIT 16
+    ),
+    s AS (SELECT string_agg(t || chr(1), '' ORDER BY doc_id) AS shard
+          FROM d16),
+    p AS (SELECT unnest(generate_series(
+            1, length((SELECT shard FROM s)))) AS pos),
+    suf AS (SELECT pos, substr((SELECT shard FROM s), pos) AS sfx FROM p)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(row_number() OVER (ORDER BY sfx) AS BIGINT) AS rank
+    FROM suf
+""")
+def q_suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT suffix array over a corpus shard by distributed prefix
+    doubling (operators/suffix.py, Manber-Myers) — the index Lee et al.
+    2022 build for exact substring dedup; the engine's winnowing path is
+    the probabilistic tier, this is the exact tier. 16 en docs
+    (truncated to 256 chars, each terminated by the \\x01 sentinel)
+    concatenate into one shard; the operator never sees the string as a
+    whole — it gets (pos, char) rows and runs ⌈log₂ n⌉ rounds of
+    pair-join + range-partitioned two-phase dense rank (terasort shape;
+    per-round driver traffic is P partition-distinct counts, never
+    rows). The oracle sorts the n suffixes directly — O(n²)-ish in
+    DuckDB but exact, so the hash gate checks every rank of a ~4k-suffix
+    array against an independent construction."""
+    from parquetaivectorsearch_spark.operators.suffix import suffix_array
+
+    d16 = (_t(spark, sf_dir, "documents")
+           .filter(F.col("lang") == "en")
+           .orderBy("doc_id").limit(16)
+           .select("doc_id", F.substring("text", 1, 256).alias("t")))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    off = d16.select(
+        "doc_id", "t",
+        F.coalesce(F.sum(F.length("t") + 1).over(w), F.lit(0)).alias("off"))
+    chars = off.select(
+        "off",
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(t) + 1),"
+            " i -> substring(concat(t, chr(1)), i, 1))")).alias("i", "ch")
+    ).select((F.col("off") + F.col("i") + 1).alias("pos"), "ch")
+    return suffix_array(chars, parts=8)

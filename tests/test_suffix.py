@@ -1,0 +1,49 @@
+"""Suffix-array semantics: the distributed prefix-doubling ranks must
+equal a trusted O(n² log n) driver-side suffix sort, including on inputs
+engineered with long repeats (where early rounds tie heavily and the
+doubling actually has to work)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from parquetaivectorsearch_spark.operators.suffix import suffix_array
+
+
+def _chars_df(spark, s: str):
+    rows = [(i + 1, c) for i, c in enumerate(s)]
+    return spark.createDataFrame(rows, "pos BIGINT, ch STRING")
+
+
+def _expected_ranks(s: str) -> dict[int, int]:
+    order = sorted(range(1, len(s) + 1), key=lambda p: s[p - 1:])
+    return {p: r + 1 for r, p in enumerate(order)}
+
+
+def test_suffix_array_banana(spark):
+    s = "banana"
+    got = {r.pos: r["rank"] for r in
+           suffix_array(_chars_df(spark, s), parts=3).collect()}
+    assert got == _expected_ranks(s)
+
+
+def test_suffix_array_heavy_repeats(spark):
+    """abab…×20 + aaaa…×17: ranks tie until h exceeds the repeat period —
+    a wrong pair-join or a non-global dense rank diverges here."""
+    s = "ab" * 20 + "a" * 17 + "ab" * 5
+    got = {r.pos: r["rank"] for r in
+           suffix_array(_chars_df(spark, s), parts=4).collect()}
+    assert got == _expected_ranks(s)
+
+
+def test_suffix_array_is_permutation_and_cross_doc(spark):
+    """Two docs joined by the \\x01 separator: ranks are a permutation of
+    1..n and the separator suffixes sort below letter suffixes (binary
+    order), matching the corpus-concatenation convention of the
+    suffix_array_rank query."""
+    s = "the cat sat" + "\x01" + "the cat ran"
+    df = suffix_array(_chars_df(spark, s), parts=3)
+    ranks = [r["rank"] for r in df.collect()]
+    assert sorted(ranks) == list(range(1, len(s) + 1))
+    got = {r.pos: r["rank"] for r in df.collect()}
+    assert got == _expected_ranks(s)
