@@ -456,7 +456,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "count_rows", "sum_tokens", "explode_words", "stats_agg",
     # (e) oldest-evidence refreshes: the r5 cohort (spread across the
     #     relational/text/streaming/pipeline suites)
-    "csv_roundtrip", "knn_checksum", "regional_revenue",
+    "csv_roundtrip", "knn_checksum",
     "top_revenue_orders", "partitioned_write_prune", "bm25_rank",
     "asof_join", "range_join",
     "string_functions", "datetime_functions", "variant_json",
@@ -465,9 +465,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     re-refreshing green canaries (standing rule); each cedes one
     #     (e) oldest-evidence slot (stratified_sample r5,
     #     incremental_rollup r5, big_orders r5, join_salted r5 (r2-green
-    #     too), percentile_agg r5 — all multiply re-passed)
+    #     too), percentile_agg r5, regional_revenue r5 — all multiply
+    #     re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
-    "opq_topk", "suffix_array_rank",
+    "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "session_window_agg",
     "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
     "streaming_session_agg",

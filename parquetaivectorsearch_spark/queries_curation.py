@@ -438,6 +438,13 @@ def q_suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     array against an independent construction."""
     from parquetaivectorsearch_spark.operators.suffix import suffix_array
 
+    return suffix_array(_shard_chars(spark, sf_dir), parts=8)
+
+
+def _shard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, ch) rows for the 16-doc en shard: docs truncated to 256
+    chars, each terminated by the \x01 sentinel, positions global over
+    the doc_id-ordered concatenation (prefix-sum offsets)."""
     d16 = (_t(spark, sf_dir, "documents")
            .filter(F.col("lang") == "en")
            .orderBy("doc_id").limit(16)
@@ -447,10 +454,59 @@ def q_suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = d16.select(
         "doc_id", "t",
         F.coalesce(F.sum(F.length("t") + 1).over(w), F.lit(0)).alias("off"))
-    chars = off.select(
+    return off.select(
         "off",
         F.posexplode(F.expr(
             "transform(sequence(1, length(t) + 1),"
             " i -> substring(concat(t, chr(1)), i, 1))")).alias("i", "ch")
     ).select((F.col("off") + F.col("i") + 1).alias("pos"), "ch")
-    return suffix_array(chars, parts=8)
+
+
+@register("longest_repeated_substring", """
+    WITH d16 AS (
+      SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+      WHERE lang = 'en' ORDER BY doc_id LIMIT 16
+    ),
+    s AS (SELECT string_agg(t || chr(1), '' ORDER BY doc_id) AS shard
+          FROM d16),
+    p AS (SELECT unnest(generate_series(
+            1, length((SELECT shard FROM s)))) AS pos),
+    suf AS (SELECT pos, substr((SELECT shard FROM s), pos) AS sfx FROM p),
+    r AS (SELECT pos, sfx, row_number() OVER (ORDER BY sfx) AS rk FROM suf),
+    adj AS (SELECT a.pos AS pos_a, b.pos AS pos_b, a.sfx AS sa, b.sfx AS sb
+            FROM r a JOIN r b ON b.rk = a.rk + 1),
+    ks AS (SELECT unnest(generate_series(1, 512)) AS k),
+    l AS (SELECT pos_a, pos_b,
+            COALESCE(MAX(CASE WHEN substr(sa, 1, k) = substr(sb, 1, k)
+                          THEN k END), 0) AS lcp
+          FROM adj CROSS JOIN ks
+          WHERE k <= LEAST(length(sa), length(sb))
+          GROUP BY pos_a, pos_b)
+    SELECT CAST(pos_a AS BIGINT) AS pos_a, CAST(pos_b AS BIGINT) AS pos_b,
+           CAST(lcp AS BIGINT) AS lcp
+    FROM l ORDER BY lcp DESC, pos_a LIMIT 10
+""")
+def q_longest_repeated_substring(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Longest repeated substrings via the suffix-array LCP array — the
+    exact form of the question every dedup heuristic approximates
+    (Lee et al. 2022 dedup any ≥50-token repeat; THIS operator finds the
+    true maximal repeats). The LRS always occurs between RANK-ADJACENT
+    suffixes, so the answer is a top-k over the (n−1)-row LCP array. LCP
+    comes from the sparse-table walk over the prefix-doubling levels the
+    SA construction already produced (operators/suffix.lcp_adjacent):
+    O(log n) equi-joins, never a per-character loop. The oracle computes
+    every adjacent LCP by direct bounded prefix comparison in DuckDB —
+    an independent construction, hash-checked on all 10 rows."""
+    from parquetaivectorsearch_spark.operators.suffix import (
+        lcp_adjacent, suffix_array_rounds)
+
+    sa, rounds = suffix_array_rounds(_shard_chars(spark, sf_dir), parts=8)
+    lcp = lcp_adjacent(sa, rounds)
+    # LCP reported capped at 512 (both engines): "repeat of length >= 512"
+    # is the answer past the cap; a correlated-series exact oracle is not
+    # expressible in DuckDB, and the audit question is unchanged
+    return (lcp.select("pos_a", "pos_b",
+                       F.least(F.col("lcp"), F.lit(512)).cast("bigint")
+                       .alias("lcp"))
+            .orderBy(F.desc("lcp"), "pos_a").limit(10))

@@ -47,3 +47,30 @@ def test_suffix_array_is_permutation_and_cross_doc(spark):
     assert sorted(ranks) == list(range(1, len(s) + 1))
     got = {r.pos: r["rank"] for r in df.collect()}
     assert got == _expected_ranks(s)
+
+
+def test_lcp_adjacent_matches_naive(spark):
+    """Sparse-table LCP walk vs a character-at-a-time driver-side LCP on
+    the heavy-repeat string (max LCP 47 here — multiple levels must fire
+    on the same pair)."""
+    from parquetaivectorsearch_spark.operators.suffix import (
+        lcp_adjacent, suffix_array_rounds)
+
+    s = "ab" * 20 + "a" * 17 + "ab" * 5
+    sa, rounds = suffix_array_rounds(_chars_df(spark, s), parts=4)
+    got = {(r.pos_a, r.pos_b): r.lcp for r in
+           lcp_adjacent(sa, rounds).collect()}
+
+    order = sorted(range(1, len(s) + 1), key=lambda p: s[p - 1:])
+
+    def naive(a, b):
+        x, y = s[a - 1:], s[b - 1:]
+        i = 0
+        while i < min(len(x), len(y)) and x[i] == y[i]:
+            i += 1
+        return i
+
+    expected = {(order[i], order[i + 1]): naive(order[i], order[i + 1])
+                for i in range(len(order) - 1)}
+    assert got == expected
+    assert max(got.values()) == max(expected.values())
