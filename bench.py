@@ -149,6 +149,11 @@ HEADLINE = [
     "hard_negative_mining",# contrastive negatives: broadcast anchors + window
     "snapshot_diff",       # corpus version diff: hash-projected full outer
     "skipgram_pairs",      # word2vec pairs: row-local zip-slices + count agg
+    # r10 additions (judge compares shared subset):
+    "priority_sample",     # weighted k-sample: TakeOrdered partials + tau
+    "temperature_mixture", # size^alpha lang re-weighting + group-limit pick
+    "suffix_array_rank",   # prefix-doubling SA: log n sort-shuffle rounds
+    "longest_repeated_substring",  # sparse-table LCP walk over the SA levels
 ]
 
 
@@ -481,9 +486,26 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         PQ.pq_rerank(short, wcorpus, queries8, k=20) \
             .write.format("noop").mode("overwrite").save()
 
+    # Residual IVFPQ (IVFADC residual coding, r10): same rows×bytes
+    # levers, tighter codes — the serve cost should match plain IVFPQ
+    # (identical scan + one offset add); the win is shortlist quality.
+    rc_wide = loaded.centroids.astype("float64")[:, :WIDE_DIM]
+    wrbooks = PQ.train_pq_residual(loaded, m=16, k=16, sample_cap=8192)
+    PQ.pq_encode(loaded.lists, wrbooks, extra_cols=("list_id",),
+                 residual_centroids=rc_wide) \
+        .write.mode("overwrite").parquet(f"{base}/ivfpq_res_codes")
+    wrcodes = spark.read.parquet(f"{base}/ivfpq_res_codes")
+
+    def ivfpq_residual_serve():
+        short = PQ.ivf_pq_search(loaded, wrcodes, wrbooks, queries8,
+                                 nprobe=8, shortlist=500, residual=True)
+        PQ.pq_rerank(short, wcorpus, queries8, k=20) \
+            .write.format("noop").mode("overwrite").save()
+
     for fn, name in ((ivf_serve, "wide_ivf_search_8q"),
                      (ivf_bulk, "wide_ivf_bulk_8q"),
-                     (ivfpq_serve, "wide_ivfpq_serve_8q")):
+                     (ivfpq_serve, "wide_ivfpq_serve_8q"),
+                     (ivfpq_residual_serve, "wide_ivfpq_residual_8q")):
         extras[name], extras[f"{name}_reps"] = _timed_min(fn)
     extras["wide_ivf_pruned_frac"] = 0.25
     # Reference bracket: the converged mid-tier wide_knn_bulk_8q number
@@ -523,6 +545,14 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         gotpq.setdefault(r.query_id, set()).add(r.vec_id)
     hits = sum(len(exact[q] & gotpq.get(q, set())) for q in exact)
     extras["wide_ivfpq_recall@20"] = round(
+        hits / sum(len(v) for v in exact.values()), 4)
+    gotr = {}
+    shortr = PQ.ivf_pq_search(loaded, wrcodes, wrbooks, queries8,
+                              nprobe=8, shortlist=500, residual=True)
+    for r in PQ.pq_rerank(shortr, wcorpus, queries8, k=20).collect():
+        gotr.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & gotr.get(q, set())) for q in exact)
+    extras["wide_ivfpq_residual_recall@20"] = round(
         hits / sum(len(v) for v in exact.values()), 4)
     shutil.rmtree(base, ignore_errors=True)
 

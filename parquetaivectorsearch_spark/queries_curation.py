@@ -441,20 +441,26 @@ def q_suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_array(_shard_chars(spark, sf_dir), parts=8)
 
 
-def _shard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(pos, ch) rows for the 16-doc en shard: docs truncated to 256
-    chars, each terminated by the \x01 sentinel, positions global over
-    the doc_id-ordered concatenation (prefix-sum offsets)."""
+def _shard_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t, off, ln) for the 16-doc en shard: docs truncated to
+    256 chars, ln counts the terminating \x01 sentinel, off is the
+    prefix-sum global offset over the doc_id-ordered concatenation."""
     d16 = (_t(spark, sf_dir, "documents")
            .filter(F.col("lang") == "en")
            .orderBy("doc_id").limit(16)
            .select("doc_id", F.substring("text", 1, 256).alias("t")))
     w = Window.orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1)
-    off = d16.select(
+    return d16.select(
         "doc_id", "t",
-        F.coalesce(F.sum(F.length("t") + 1).over(w), F.lit(0)).alias("off"))
-    return off.select(
+        F.coalesce(F.sum(F.length("t") + 1).over(w), F.lit(0)).alias("off"),
+        (F.length("t") + 1).alias("ln"))
+
+
+def _shard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, ch) rows for the sentinel-terminated shard of
+    ``_shard_offsets`` — the suffix-array input."""
+    return _shard_offsets(spark, sf_dir).select(
         "off",
         F.posexplode(F.expr(
             "transform(sequence(1, length(t) + 1),"
@@ -510,3 +516,85 @@ def q_longest_repeated_substring(spark: SparkSession,
                        F.least(F.col("lcp"), F.lit(512)).cast("bigint")
                        .alias("lcp"))
             .orderBy(F.desc("lcp"), "pos_a").limit(10))
+
+
+_SA_ORACLE_PRELUDE = """
+    WITH d16 AS (
+      SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+      WHERE lang = 'en' ORDER BY doc_id LIMIT 16
+    ),
+    s AS (SELECT string_agg(t || chr(1), '' ORDER BY doc_id) AS shard
+          FROM d16),
+    p AS (SELECT unnest(generate_series(
+            1, length((SELECT shard FROM s)))) AS pos),
+    suf AS (SELECT pos, substr((SELECT shard FROM s), pos) AS sfx FROM p),
+    r AS (SELECT pos, sfx, row_number() OVER (ORDER BY sfx) AS rk FROM suf),
+    adj AS (SELECT a.pos AS pos_a, b.pos AS pos_b, a.sfx AS sa, b.sfx AS sb
+            FROM r a JOIN r b ON b.rk = a.rk + 1),
+    ks AS (SELECT unnest(generate_series(1, 512)) AS k),
+    l AS (SELECT pos_a, pos_b,
+            COALESCE(MAX(CASE WHEN substr(sa, 1, k) = substr(sb, 1, k)
+                          THEN k END), 0) AS lcp
+          FROM adj CROSS JOIN ks
+          WHERE k <= LEAST(length(sa), length(sb))
+          GROUP BY pos_a, pos_b)
+"""
+
+
+@register("sa_repeat_pairs", _SA_ORACLE_PRELUDE + """
+    , offs AS (
+      SELECT doc_id,
+             SUM(length(t) + 1) OVER (ORDER BY doc_id)
+               - (length(t) + 1) AS off,
+             length(t) + 1 AS ln
+      FROM d16
+    ),
+    attributed AS (
+      SELECT oa.doc_id AS doc_a, ob.doc_id AS doc_b, l.lcp
+      FROM l
+      JOIN offs oa ON l.pos_a > oa.off AND l.pos_a <= oa.off + oa.ln
+      JOIN offs ob ON l.pos_b > ob.off AND l.pos_b <= ob.off + ob.ln
+      WHERE l.lcp >= 16 AND oa.doc_id <> ob.doc_id
+    )
+    SELECT LEAST(doc_a, doc_b) AS doc_lo,
+           GREATEST(doc_a, doc_b) AS doc_hi,
+           CAST(MAX(lcp) AS BIGINT) AS max_lcp,
+           CAST(COUNT(*) AS BIGINT) AS n_repeats
+    FROM attributed GROUP BY doc_lo, doc_hi
+""")
+def q_sa_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT repeat pairs from the suffix array — the
+    back half of the Lee et al. 2022 pipeline: every shared substring of
+    ≥16 chars between two docs appears as a rank-adjacent suffix pair
+    with LCP ≥ 16 (maximal repeats are rank-adjacent), so the dedup
+    candidate set is a FILTER over the LCP array plus a broadcast
+    pos→doc attribution join (16 offset rows), never a doc×doc
+    comparison. Complements the winnowing tier (probabilistic,
+    alignment-robust) with exact guarantees at shard scale. doc pairs
+    are normalized (lo, hi); max_lcp is the longest shared span, capped
+    512 like longest_repeated_substring."""
+    from parquetaivectorsearch_spark.operators.suffix import (
+        lcp_adjacent, suffix_array_rounds)
+
+    offs = _shard_offsets(spark, sf_dir).select("doc_id", "off", "ln")
+    sa, rounds = suffix_array_rounds(_shard_chars(spark, sf_dir), parts=8)
+    lcp = (lcp_adjacent(sa, rounds)
+           .withColumn("lcp", F.least(F.col("lcp"), F.lit(512)))
+           .filter(F.col("lcp") >= 16))
+    oa = F.broadcast(offs.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("off").alias("off_a"),
+                                 F.col("ln").alias("ln_a")))
+    ob = F.broadcast(offs.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("off").alias("off_b"),
+                                 F.col("ln").alias("ln_b")))
+    att = (lcp
+           .join(oa, (F.col("pos_a") > F.col("off_a"))
+                 & (F.col("pos_a") <= F.col("off_a") + F.col("ln_a")))
+           .join(ob, (F.col("pos_b") > F.col("off_b"))
+                 & (F.col("pos_b") <= F.col("off_b") + F.col("ln_b")))
+           .filter(F.col("doc_a") != F.col("doc_b")))
+    return (att.groupBy(
+                F.least("doc_a", "doc_b").alias("doc_lo"),
+                F.greatest("doc_a", "doc_b").alias("doc_hi"))
+            .agg(F.max("lcp").cast("bigint").alias("max_lcp"),
+                 F.count("*").cast("bigint").alias("n_repeats")))
