@@ -440,6 +440,95 @@ def audio_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(af, schema=schema)
 
 
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """HTK triangular mel filterbank (n_mels, n_fft//2 + 1): band edges
+    equally spaced in mel(f) = 2595·log10(1 + f/700) from 0 to sr/2."""
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    edges_hz = imel(np.linspace(0.0, mel(sr / 2.0), n_mels + 2))
+    bin_hz = np.arange(n_bins) * (sr / n_fft)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = edges_hz[m], edges_hz[m + 1], edges_hz[m + 2]
+        up = (bin_hz - lo) / max(mid - lo, 1e-12)
+        down = (hi - bin_hz) / max(hi - mid, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def _dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_out, n_in) — the log-mel→cepstrum
+    transform (scipy.fft.dct(type=2, norm='ortho') equivalent, numpy)."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    mat = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in))
+    mat *= np.sqrt(2.0 / n_in)
+    mat[0] *= np.sqrt(0.5)
+    return mat
+
+
+def mfcc_features(media: DataFrame, n_fft: int = 256, hop: int = 128,
+                  n_mels: int = 20, n_mfcc: int = 8) -> DataFrame:
+    """Clip-level MFCCs over int16 PCM — the standard speech/audio
+    representation (Davis & Mermelstein 1980; the librosa default
+    pipeline, reimplemented in pure numpy since no audio libs ship in
+    this container — every stage is real, not stubbed): pre-emphasis
+    (0.97) → Hann-windowed frames → |rfft|² power spectrum → HTK mel
+    filterbank → log → orthonormal DCT-II → first n_mfcc coefficients,
+    MEAN-POOLED over frames (the clip-level descriptor a curation
+    pipeline clusters/dedups on). The filterbank + DCT matrices build
+    once per distinct sample rate (tiny driver-free cache inside the
+    Arrow worker); per clip the whole chain is three matmuls.
+
+    Property pinned in tests: doubling the amplitude shifts ONLY c0
+    (log-power is additive in gain, and the DCT routes a constant
+    log-mel shift entirely into the DC coefficient) — a whole-chain
+    correctness check no single stage could pass alone.
+
+    Output: (media_id, n_frames, mfcc array<double>[n_mfcc])."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mfcc", T.ArrayType(T.DoubleType())),
+    ])
+
+    def mf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                _require_raw(meta["format"])
+                sr = int(meta["sample_rate"])
+                if sr not in cache:
+                    cache[sr] = (_mel_filterbank(sr, n_fft, n_mels),
+                                 _dct2_ortho(n_mfcc, n_mels))
+                fb, dct = cache[sr]
+                x = np.frombuffer(payload, dtype=np.int16).astype(np.float64)
+                x = np.append(x[0], x[1:] - 0.97 * x[:-1])  # pre-emphasis
+                if len(x) < n_fft:
+                    out.append((int(mid), 0, [0.0] * n_mfcc))
+                    continue
+                nfr = 1 + (len(x) - n_fft) // hop
+                idx = (np.arange(n_fft)[None, :]
+                       + hop * np.arange(nfr)[:, None])
+                frames = x[idx] * win                     # (nfr, n_fft)
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                logmel = np.log(power @ fb.T + 1e-10)     # (nfr, n_mels)
+                mfcc = logmel @ dct.T                     # (nfr, n_mfcc)
+                out.append((int(mid), int(nfr),
+                            [float(v) for v in mfcc.mean(0)]))
+            yield pd.DataFrame(out, columns=["media_id", "n_frames", "mfcc"])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(mf, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # perceptual-hash image dedup (LAION-style curation: pHash blocks the
 # candidate space, embedding/pixel verification follows)

@@ -457,7 +457,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (e) oldest-evidence refreshes: the r5 cohort (spread across the
     #     relational/text/streaming/pipeline suites)
     "csv_roundtrip", "knn_checksum",
-    "partitioned_write_prune", "bm25_rank",
+    "bm25_rank",
     "asof_join", "range_join",
     "string_functions", "datetime_functions", "variant_json",
     "udtf_split_words", "vocab_top_words",
@@ -466,10 +466,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     (e) oldest-evidence slot (stratified_sample r5,
     #     incremental_rollup r5, big_orders r5, join_salted r5 (r2-green
     #     too), percentile_agg r5, regional_revenue r5,
-    #     top_revenue_orders r5 — all multiply re-passed)
+    #     top_revenue_orders r5, partitioned_write_prune r5 — all
+    #     multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
-    "sa_repeat_pairs",
+    "sa_repeat_pairs", "audio_mfcc",
     "session_window_agg",
     "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
     "streaming_session_agg",

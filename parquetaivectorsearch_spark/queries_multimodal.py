@@ -252,3 +252,18 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.join(best, "media_id", "left")
             .select("media_id", "n_distinct_frames", "best_match_id",
                     "best_shared", "best_containment"))
+
+
+@register("audio_mfcc")  # rows-only: FFT/log float math is not SQL-replayable
+def q_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level MFCCs (operators/multimodal.mfcc_features — the
+    Davis-Mermelstein cepstral pipeline in pure numpy: pre-emphasis,
+    Hann frames, power rfft, HTK mel filterbank, log, orthonormal
+    DCT-II, mean-pool). The descriptor a speech-curation pipeline
+    clusters, dedups, and language-balances on — pairs with the
+    landmark fingerprints (dedup_audio) the way pHash pairs with
+    embedding dedup on the image side. mfcc rides as JSON for the
+    driver canonicalizer (see q_image_features)."""
+    f = MM.mfcc_features(_media(spark, sf_dir))
+    return f.select("media_id", "n_frames",
+                    F.to_json("mfcc").alias("mfcc_json"))

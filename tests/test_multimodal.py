@@ -561,3 +561,33 @@ def test_audio_offset_coherence(spark):
             for p in MM.audio_fp_matches(media, min_containment=0.0,
                                          min_coherence=0.9).collect()}
     assert (0, 1) in kept and (0, 2) in kept
+
+
+def test_mfcc_gain_shifts_only_c0(spark):
+    """Whole-chain MFCC property: doubling the amplitude multiplies the
+    power spectrum by 4, adds log(4) to every log-mel band, and the
+    orthonormal DCT routes a constant shift entirely into c0 — so
+    c1..c7 must be bit-close while c0 moves by exactly
+    sqrt(n_mels)·log(4)·(DCT dc scale). Also pins frame count and the
+    too-short-clip zero path."""
+    rng = np.random.RandomState(7)
+    x = ((rng.randn(1200) * 3000).astype(np.int16) // 2).astype(np.int16)
+    x2 = (x * 2).astype(np.int16)  # exact 2x gain, no clipping
+    media = _manual_media(spark, [
+        (1, "audio", x.tobytes(), ("pcm16", None, None, 1, 8000, None)),
+        (2, "audio", x2.tobytes(), ("pcm16", None, None, 1, 8000, None)),
+        (3, "audio", np.zeros(10, np.int16).tobytes(),
+         ("pcm16", None, None, 1, 8000, None)),
+    ])
+    rows = {r.media_id: r for r in MM.mfcc_features(media).collect()}
+    a, b = rows[1], rows[2]
+    assert a.n_frames == b.n_frames == 1 + (1200 - 256) // 128
+    for i in range(1, 8):
+        assert abs(a.mfcc[i] - b.mfcc[i]) < 1e-6, (i, a.mfcc[i], b.mfcc[i])
+    import math
+    # orthonormal DCT row 0 = sqrt(1/n_mels) per element; a constant
+    # log-mel shift s adds s * n_mels * sqrt(1/n_mels) = s*sqrt(n_mels)
+    expected_dc_shift = math.log(4.0) * math.sqrt(20)
+    assert b.mfcc[0] - a.mfcc[0] == pytest.approx(expected_dc_shift,
+                                                  abs=1e-3)
+    assert rows[3].n_frames == 0 and all(v == 0.0 for v in rows[3].mfcc)

@@ -56,7 +56,13 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # the join-free novelty attribution, the IVFPQ serve path, and
            # the rank-limit-pushdown domain cap
            "curation_funnel", "ngram_novelty", "ivf_pq_topk",
-           "domain_cap_sample"]
+           "domain_cap_sample",
+           # r10 second batch: weighted samplers are data-proportional
+           # (priority_sample's TakeOrdered partials, the mixture's
+           # group-limited window); the SA queries are EXCLUDED here —
+           # their 16-doc shard is bounded by design (flat at any sf);
+           # shard-size scaling lives in tools/suffix_scaling.py instead
+           "priority_sample", "temperature_mixture"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
