@@ -356,6 +356,64 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(feats, schema=schema)
 
 
+def hog_features(media: DataFrame, cell: int = 8,
+                 n_bins: int = 9) -> DataFrame:
+    """Histogram-of-Oriented-Gradients descriptor (Dalal & Triggs, CVPR
+    2005) per image — the classic pre-CNN shape descriptor a media
+    pipeline clusters/near-dups on alongside pHash (pHash keys global
+    layout, HOG keys local edge structure). Pure numpy per Arrow batch:
+    luminance → central-difference gradients → unsigned orientation
+    (n_bins over [0, π)) with magnitude-weighted votes → per-cell (8×8)
+    histograms, each L2-normalized — concatenated row-major. Descriptor
+    length varies with image size ((h//cell)·(w//cell)·n_bins), carried
+    as an array column plus the cell-grid dims.
+
+    Property-pinned in tests: a uniform image votes zero everywhere; a
+    vertical step edge puts every vote of its cell in the 0-radian bin
+    (gradient points along +x ⇒ unsigned orientation 0)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("cells_y", T.IntegerType()),
+        T.StructField("cells_x", T.IntegerType()),
+        T.StructField("hog", T.ArrayType(T.DoubleType())),
+    ])
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                img = decode_image_batch(payload, meta).astype(np.float64)
+                lum = img.mean(axis=2)  # (h, w) luminance
+                gx = np.zeros_like(lum)
+                gy = np.zeros_like(lum)
+                gx[:, 1:-1] = (lum[:, 2:] - lum[:, :-2]) / 2.0
+                gy[1:-1, :] = (lum[2:, :] - lum[:-2, :]) / 2.0
+                mag = np.hypot(gx, gy)
+                # unsigned orientation in [0, pi); atan2 then fold
+                ori = np.mod(np.arctan2(gy, gx), np.pi)
+                bins = np.minimum((ori / np.pi * n_bins).astype(np.int64),
+                                  n_bins - 1)
+                cy, cx = lum.shape[0] // cell, lum.shape[1] // cell
+                desc = np.zeros((cy, cx, n_bins))
+                for yy in range(cy):
+                    for xx in range(cx):
+                        b = bins[yy * cell:(yy + 1) * cell,
+                                 xx * cell:(xx + 1) * cell].ravel()
+                        m = mag[yy * cell:(yy + 1) * cell,
+                                xx * cell:(xx + 1) * cell].ravel()
+                        h = np.bincount(b, weights=m, minlength=n_bins)
+                        nrm = np.linalg.norm(h)
+                        desc[yy, xx] = h / nrm if nrm > 0 else h
+                out.append((int(mid), int(cy), int(cx),
+                            [float(v) for v in desc.ravel()]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "cells_y", "cells_x", "hog"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        feats, schema=schema)
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize on raw buffers → new payload + updated meta.
     Real numpy strided sampling — the thumbnailing stage of a media pipeline."""

@@ -267,3 +267,16 @@ def q_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = MM.mfcc_features(_media(spark, sf_dir))
     return f.select("media_id", "n_frames",
                     F.to_json("mfcc").alias("mfcc_json"))
+
+
+@register("image_hog")  # rows-only: gradient float math is not SQL-replayable
+def q_image_hog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOG descriptors (operators/multimodal.hog_features — Dalal-Triggs
+    2005 in pure numpy): luminance gradients → magnitude-weighted
+    unsigned-orientation votes → L2-normalized 8×8-cell histograms.
+    The local-edge-structure complement to pHash's global-layout key in
+    the image near-dup stack; descriptor rides as JSON for the driver
+    canonicalizer (see q_image_features)."""
+    f = MM.hog_features(_media(spark, sf_dir))
+    return f.select("media_id", "cells_y", "cells_x",
+                    F.to_json("hog").alias("hog_json"))

@@ -591,3 +591,23 @@ def test_mfcc_gain_shifts_only_c0(spark):
     assert b.mfcc[0] - a.mfcc[0] == pytest.approx(expected_dc_shift,
                                                   abs=1e-3)
     assert rows[3].n_frames == 0 and all(v == 0.0 for v in rows[3].mfcc)
+
+
+def test_hog_uniform_zero_and_edge_bin(spark):
+    """HOG property pins: a uniform image has zero gradients everywhere
+    (all-zero descriptor); a vertical step edge puts every vote of the
+    edge cell into the 0-radian bin (gradient along +x ⇒ unsigned
+    orientation 0), and the cell histogram is unit-norm."""
+    flat = np.full((8, 8, 1), 50, dtype=np.uint8)
+    edge = np.zeros((8, 8, 1), dtype=np.uint8)
+    edge[:, 4:, 0] = 200  # vertical step at x=4
+    media = _manual_media(spark, [
+        (1, "image", flat.tobytes(), ("raw", 8, 8, 1, None, None)),
+        (2, "image", edge.tobytes(), ("raw", 8, 8, 1, None, None)),
+    ])
+    rows = {r.media_id: r for r in MM.hog_features(media).collect()}
+    assert rows[1].cells_y == rows[1].cells_x == 1
+    assert all(v == 0.0 for v in rows[1].hog)
+    h = np.array(rows[2].hog)
+    assert h[0] == pytest.approx(1.0) and np.allclose(h[1:], 0.0)
+    assert np.linalg.norm(h) == pytest.approx(1.0)

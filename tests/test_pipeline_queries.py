@@ -387,3 +387,16 @@ def test_temperature_mixture_invariants(spark):
     fracs = sorted((n_s, len(got.get(s, [])) / n_s) for s, n_s in cnt.items())
     assert fracs[-1][1] < 1.0, "dominant language must be down-sampled"
     assert fracs[0][1] == 1.0, "smallest language must keep everything"
+
+
+def test_temperature_mixture_rank_limit_pushed(spark):
+    """The static rn <= 120 pre-filter must become a WindowGroupLimit so
+    the dominant language's sort is cut at 120 rows map-side — the
+    100 TB claim of the mixture plan; the dynamic quota join alone
+    cannot be pushed."""
+    from parquetaivectorsearch_spark import plans as P
+    from parquetaivectorsearch_spark.queries_traindata import (
+        q_temperature_mixture)
+
+    plan = P.formatted_plan(q_temperature_mixture(spark, SF_CORRECT))
+    assert "WindowGroupLimit" in plan, plan
