@@ -666,3 +666,94 @@ def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              rotation=R)
     return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
                         emb, queries, k=20)
+
+
+@register("dbscan_embeddings", """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v))
+               * sqrt(list_inner_product(b.v, b.v))) >= 0.35
+    ),
+    sym AS (SELECT va, vb FROM p UNION ALL SELECT vb AS va, va AS vb FROM p),
+    deg AS (SELECT va AS v, COUNT(*) AS d FROM sym GROUP BY va),
+    core AS (SELECT v FROM deg WHERE d >= 2),
+    ce AS (SELECT s.va, s.vb FROM sym s
+           JOIN core c1 ON s.va = c1.v JOIN core c2 ON s.vb = c2.v),
+    reach AS (
+      SELECT v AS node, v AS lab FROM core
+      UNION
+      SELECT ce.va AS node, r.lab FROM ce JOIN reach r ON ce.vb = r.node
+    ),
+    clab AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
+    bord AS (
+      SELECT s.va AS v, MIN(cl.cluster) AS cluster
+      FROM sym s JOIN clab cl ON s.vb = cl.node
+      WHERE s.va NOT IN (SELECT v FROM core)
+      GROUP BY s.va
+    )
+    SELECT emb.vec_id,
+           CASE WHEN c.v IS NOT NULL THEN 'core'
+                WHEN b.v IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cl.cluster, b.cluster) AS BIGINT) AS cluster
+    FROM e emb
+    LEFT JOIN core c ON emb.vec_id = c.v
+    LEFT JOIN clab cl ON emb.vec_id = cl.node
+    LEFT JOIN bord b ON emb.vec_id = b.v
+""")
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding corpus (Ester et al., KDD 1996) — the
+    density-clustering family, composed from the engine's exact pieces
+    so it is ORACLE-GATED (rare for clustering): ε-neighborhood pairs
+    from the tiled exact cosine θ-join (cosine ≥ 0.35 ≡ ε), core points
+    = ≥ minPts(3, counting self) neighbors, clusters = min-label
+    connected components over core-core edges (+ singleton cores),
+    border points attach to the min adjacent core cluster, rest is
+    noise. Every stage is integer/bit-deterministic arithmetic; the
+    oracle recomputes the closure with a recursive CTE. At 100 TB the
+    θ-join swaps for the IVF-blocked candidate generator
+    (dedup_embedding's shape) — the only approximate stage, exactly as
+    published distributed DBSCANs block with grids."""
+    from parquetaivectorsearch_spark.operators.components import (
+        connected_components)
+    from parquetaivectorsearch_spark.operators.simjoin import (
+        all_pairs_similarity_join)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = all_pairs_similarity_join(emb, threshold=0.35, n_blocks=8) \
+        .select("vec_a", "vec_b").localCheckpoint()
+    sym = pairs.union(pairs.select(F.col("vec_b").alias("vec_a"),
+                                   F.col("vec_a").alias("vec_b")))
+    core = (sym.groupBy(F.col("vec_a").alias("v")).count()
+            .filter(F.col("count") >= 2).select("v"))
+    ce = (pairs
+          .join(core.withColumnRenamed("v", "vec_a"), "vec_a")
+          .join(core.withColumnRenamed("v", "vec_b"), "vec_b"))
+    cc = connected_components(ce, a_col="vec_a", b_col="vec_b")
+    clab = (core.join(cc.withColumnRenamed("doc_id", "v"), "v", "left")
+            .select("v", F.coalesce("cluster_id", "v").alias("cluster")))
+    bord = (sym.join(clab.withColumnRenamed("v", "vec_b")
+                     .withColumnRenamed("cluster", "c2"), "vec_b")
+            .join(core.withColumnRenamed("v", "vec_a"), "vec_a",
+                  "left_anti")
+            .groupBy(F.col("vec_a").alias("v"))
+            .agg(F.min("c2").alias("cluster")))
+    return (emb.select("vec_id")
+            .join(clab.select(F.col("v").alias("vec_id"),
+                              F.col("cluster").alias("c_core")),
+                  "vec_id", "left")
+            .join(bord.select(F.col("v").alias("vec_id"),
+                              F.col("cluster").alias("c_bord")),
+                  "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("c_core").isNotNull(), F.lit("core"))
+                 .when(F.col("c_bord").isNotNull(), F.lit("border"))
+                 .otherwise(F.lit("noise")).alias("role"),
+                F.coalesce("c_core", "c_bord").cast("bigint")
+                 .alias("cluster")))

@@ -515,3 +515,33 @@ def test_bulk_topk_tie_break_on_id_with_duplicates(spark):
     for src, dsts in edges.items():
         want = [i for i in range(4) if i != src][:3]
         assert sorted(dsts) == want, (src, sorted(dsts), want)
+
+
+def test_dbscan_invariants(spark):
+    """DBSCAN output invariants at smoke scale: roles partition the
+    corpus; cluster label present iff not noise; every cluster label is
+    the min vec_id of its members that are cores (min-label canon);
+    cores exist whenever any pair exists (density 'ge' minPts must be
+    attainable or everything is noise - vacuity guard at sf0.001 only
+    if pairs exist)."""
+    from parquetaivectorsearch_spark.queries_ann import q_dbscan_embeddings
+    from tests.conftest import SF_CORRECT
+
+    rows = q_dbscan_embeddings(spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+        assert (r.cluster is None) == (r.role == "noise"), r
+    assert set(by_role) == {"core", "border", "noise"}
+    cores = {r.vec_id: r.cluster for r in by_role["core"]}
+    # min-label canon: each cluster's label equals min core vec_id in it
+    from collections import defaultdict
+    members = defaultdict(list)
+    for v, c in cores.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs), (c, vs)
+    # borders attach to an existing core cluster
+    core_clusters = set(cores.values())
+    assert all(r.cluster in core_clusters for r in by_role["border"])
