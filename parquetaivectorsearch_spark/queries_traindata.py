@@ -643,9 +643,12 @@ def q_sample_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (ORDER BY p DESC, doc_id) AS rn
       FROM pr
     ),
-    t AS (SELECT MIN(p) AS tau FROM r WHERE rn <= 65)
+    t AS (SELECT MIN(p) AS tau, COUNT(*) AS n_top
+          FROM r WHERE rn <= 65)
     SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars,
-           GREATEST(CAST(r.n_chars AS DOUBLE), t.tau) AS est_weight
+           CASE WHEN t.n_top = 65
+                THEN GREATEST(CAST(r.n_chars AS DOUBLE), t.tau)
+                ELSE CAST(r.n_chars AS DOUBLE) END AS est_weight
     FROM r, t WHERE r.rn <= 64
 """)
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,10 +681,17 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.withColumn("rn", F.row_number().over(w))
         .withColumn("tau", F.min("p").over(wall))
+        .withColumn("n_top", F.count("*").over(wall))
         .filter(F.col("rn") <= 64)
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
-                F.greatest(F.col("n_chars").cast("double"),
-                           F.col("tau")).alias("est_weight"))
+                # n < k+1 ⇒ the sample is the whole corpus and the HT
+                # estimator degenerates to the true weight (no threshold
+                # exists) — the Duffield-Lund-Thorup small-population case
+                F.when(F.col("n_top") == 65,
+                       F.greatest(F.col("n_chars").cast("double"),
+                                  F.col("tau")))
+                 .otherwise(F.col("n_chars").cast("double"))
+                 .alias("est_weight"))
     )
 
 

@@ -400,3 +400,22 @@ def test_temperature_mixture_rank_limit_pushed(spark):
 
     plan = P.formatted_plan(q_temperature_mixture(spark, SF_CORRECT))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_priority_sample_small_population_exact(spark):
+    """n ≤ k: the sample is the whole corpus and est_weight degenerates
+    to the TRUE weight (no threshold exists) — the small-population case
+    of Duffield-Lund-Thorup. Materialized as a 40-doc fixture dir."""
+    import tempfile
+
+    from parquetaivectorsearch_spark.queries_traindata import (
+        q_priority_sample)
+    from parquetaivectorsearch_spark.sources import load_table
+
+    small = tempfile.mkdtemp(prefix="ps_small_")
+    (load_table(spark, SF_SMOKE, "documents")
+     .filter("doc_id < 40").write.mode("overwrite")
+     .parquet(f"{small}/documents.parquet"))
+    rows = q_priority_sample(spark, small).collect()
+    assert len(rows) == 40
+    assert all(r.est_weight == float(r.n_chars) for r in rows)
