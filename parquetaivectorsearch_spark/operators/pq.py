@@ -127,6 +127,33 @@ def train_opq(corpus: DataFrame, m: int = 8, k: int = 16,
     return R, books
 
 
+def train_opq_residual(index, m: int = 8, k: int = 16,
+                       vec_col: str = "embedding", sample_cap: int = 50_000,
+                       iters: int = 10, opq_iters: int = 8,
+                       seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ over coarse residuals — the full FAISS billion-scale index
+    string ("OPQ16,IVF…,PQ16"): the rotation is learned on the residual
+    sample (the distribution the codes actually model), then codebooks
+    on rotated residuals. Returns (R, books); encode with
+    ``pq_encode(…, residual_centroids=rc, rotation=R)`` and search with
+    ``ivf_pq_search(…, residual=True, rotation=R)`` — orthogonality
+    preserves <q, r̂>, so the coarse offset term stays in raw space."""
+    pdf = index.lists.select(vec_col, "list_id").limit(sample_cap).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    lids = pdf["list_id"].to_numpy()
+    rc = index.centroids.astype(np.float64)[:, :x.shape[1]]
+    res = x - rc[lids]
+    d = res.shape[1]
+    R = np.eye(d)
+    books = _kmeans_books(res, m, k, iters, seed)
+    for _ in range(opq_iters):
+        dec = _decode_mat(_encode_mat(res @ R, books), books)
+        u, _s, vt = np.linalg.svd(res.T @ dec)
+        R = u @ vt
+        books = _kmeans_books(res @ R, m, k, iters, seed)
+    return R, books
+
+
 def train_pq_residual(index, m: int = 8, k: int = 16,
                       vec_col: str = "embedding", sample_cap: int = 50_000,
                       iters: int = 10, seed: int = 42) -> np.ndarray:
@@ -296,7 +323,8 @@ def pq_rerank(shortlist_df: DataFrame, corpus: DataFrame, queries: DataFrame,
 def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
                   queries: DataFrame, k: int = 20, nprobe: int = 4,
                   shortlist: int = 200, id_col: str = "vec_id",
-                  residual: bool = False) -> DataFrame:
+                  residual: bool = False,
+                  rotation: np.ndarray | None = None) -> DataFrame:
     """IVFPQ serve — the FAISS billion-scale recipe (Jégou 2011 §V +
     the IVFADC variant): coarse-quantizer probe restricts the ADC scan to
     nprobe inverted lists, PQ codes make the scanned bytes ~64× smaller,
@@ -340,8 +368,11 @@ def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
     q_pdf = queries.toPandas()  # bounded: the serving batch
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = np.stack(q_pdf["query_vec"].to_numpy()).astype(np.float64)
+    # rotation (OPQ) applies to the LUT query only; the coarse offset
+    # term below stays in raw space — orthogonality preserves <q, r̂>
+    lut_q = q_mat if rotation is None else q_mat @ rotation.astype(np.float64)
     luts = np.einsum("qjd,jcd->qjc",
-                     q_mat.reshape(len(q_ids), m, dsub), codebooks)
+                     lut_q.reshape(len(q_ids), m, dsub), codebooks)
 
     cents = index.centroids.astype(np.float32)
     npb = min(nprobe, len(cents))

@@ -467,13 +467,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     incremental_rollup r5, big_orders r5, join_salted r5 (r2-green
     #     too), percentile_agg r5, regional_revenue r5,
     #     top_revenue_orders r5, partitioned_write_prune r5,
-    #     variant_json r5/r7, vocab_top_words r5 — all multiply
-    #     re-passed)
+    #     variant_json r5/r7, vocab_top_words r5, lateral_topn r5 — all
+    #     multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
+    "ivf_opq_topk",
     "session_window_agg",
-    "correlated_scalar_subquery", "lateral_topn", "streaming_tumbling_agg",
+    "correlated_scalar_subquery", "streaming_tumbling_agg",
     "streaming_session_agg",
 )
 

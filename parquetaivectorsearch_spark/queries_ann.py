@@ -757,3 +757,31 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.lit("noise")).alias("role"),
                 F.coalesce("c_core", "c_bord").cast("bigint")
                  .alias("cluster")))
+
+
+@register("ivf_opq_topk")  # rows-only: triply-approximate (probe + rotation + PQ)
+def q_ivf_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS billion-scale index string — OPQ,IVF,PQ — composed
+    end-to-end: coarse probe cuts ROWS, the Procrustes rotation learned
+    on the residual sample re-balances variance across subspaces
+    (MSE ≤ un-rotated residual codes, test-pinned), 4-bit codes cut
+    BYTES, the raw-space <q, c_list> offset restores the coarse term,
+    and the exact rerank restores top-20. Same masked-scan serve shape
+    as ivf_pq_topk/ivf_pq_residual; the rotation is a free LUT-side
+    matmul at serve time."""
+    from parquetaivectorsearch_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10)
+    d = len(emb.first()["embedding"])
+    rc = index.centroids.astype("float64")[:, :d]
+    R, books = PQ.train_opq_residual(index, m=16, k=16)
+    codes = PQ.pq_encode(index.lists, books, extra_cols=("list_id",),
+                         residual_centroids=rc, rotation=R)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    short = PQ.ivf_pq_search(index, codes, books, queries, nprobe=8,
+                             shortlist=500, residual=True, rotation=R)
+    return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
+                        emb, queries, k=20)

@@ -274,3 +274,56 @@ def test_opq_adc_rerank_recall_planted(spark):
               for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_opq_residual_full_recipe(spark):
+    """The full FAISS index string (OPQ,IVF,PQ): rotation learned on the
+    residual sample cuts residual quantization MSE vs un-rotated
+    residual codebooks at the same budget and seed, and the end-to-end
+    serve (rotated-LUT masked scan + raw-space coarse offset + exact
+    rerank) holds recall@20 ≥ 0.9 on the planted corpus."""
+    from parquetaivectorsearch_spark.operators import ann as ANN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.toPandas()
+    x = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    rng = np.random.RandomState(41)
+    rows, next_id = [], int(base["vec_id"].max()) + 1
+    for q in range(4):
+        for _ in range(20):
+            v = x[q] + 0.05 * rng.randn(x.shape[1]).astype(np.float32)
+            v /= np.linalg.norm(v)
+            rows.append((next_id, [float(f) for f in v], -1))
+            next_id += 1
+    planted = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    corpus = emb.union(planted)
+
+    index = ANN.IVFIndex.build(corpus, nlist=8)
+    d = x.shape[1]
+    rc = index.centroids.astype(np.float64)[:, :d]
+
+    # MSE: OPQ-residual ≤ plain residual at the same budget
+    pdf = index.lists.select("embedding", "list_id").toPandas()
+    xs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    res = xs - rc[pdf["list_id"].to_numpy()]
+    plain = PQ.train_pq_residual(index, m=8, k=16)
+    e_plain = float(((res - PQ._decode_mat(
+        PQ._encode_mat(res, plain), plain)) ** 2).sum(1).mean())
+    R, books = PQ.train_opq_residual(index, m=8, k=16)
+    rr = res @ R
+    e_opq = float(((rr - PQ._decode_mat(
+        PQ._encode_mat(rr, books), books)) ** 2).sum(1).mean())
+    assert e_opq <= e_plain + 1e-12, (e_opq, e_plain)
+
+    queries = _queries(emb)
+    exact = {(r.query_id, r.vec_id)
+             for r in knn.knn_join(corpus, queries, k=20).collect()}
+    codes = PQ.pq_encode(index.lists, books, extra_cols=("list_id",),
+                         residual_centroids=rc, rotation=R)
+    short = PQ.ivf_pq_search(index, codes, books, queries, nprobe=6,
+                             shortlist=200, residual=True, rotation=R)
+    approx = {(r.query_id, r.vec_id)
+              for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
