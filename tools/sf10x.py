@@ -225,7 +225,10 @@ def main() -> None:
         "min(doc_id) attribution — both alphas carry the rewrite's scale\n"
         "claim. ivf_pq_topk includes its per-invocation index build at\n"
         "this size; the serve-only number lives in the bench wide tier.\n"
-        "domain_cap_sample relies on Catalyst's map-side WindowGroupLimit\n"
+        "priority_sample is a TakeOrdered partial merge (k+1 rows per
+task to the driver) and temperature_mixture a group-limited window
+plus broadcast quota join — both near-flat, as their plan shapes
+promise. domain_cap_sample relies on Catalyst's map-side WindowGroupLimit\n"
         "(pinned in test_plans); the SKEW point below runs the same query\n"
         "on a 10× corpus with ~90% of rows collapsed onto ONE mega-domain\n"
         "source — if the full group ever materialized on a reducer this\n"
