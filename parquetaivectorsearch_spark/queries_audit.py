@@ -398,3 +398,57 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("clustering", coeff)
+
+
+@register("blocklist_scan", f"""
+    WITH d AS (
+      SELECT {_DUCK_WORDS} AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS pat
+      FROM (SELECT ws FROM d WHERE len(ws) >= 2),
+           unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    top AS (
+      SELECT pat FROM bg GROUP BY pat
+      ORDER BY COUNT(*) DESC, pat LIMIT 20
+    )
+    SELECT doc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pats
+    FROM documents doc JOIN top p ON contains(doc.text, p.pat)
+    GROUP BY doc.doc_id
+""")
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern phrase-blocklist scan — the banned-phrase /
+    contamination-stoplist filter of a curation pipeline: how many of
+    the top-20 corpus bigram phrases does each doc CONTAIN (substring
+    semantics, not tokenized — catches phrases that cross the
+    tokenizer's splits). The blocklist derives deterministically from
+    the corpus (count desc, phrase tiebreak) and collects as 20 strings
+    (bounded driver pull, the heavy_hitters phase-collect shape); the
+    scan is then ONE narrow Catalyst pass — a codegen'd sum of
+    instr() > 0 over the broadcast literals, zero joins, zero Python,
+    zero explode. The oracle pays a |docs|×|patterns| contains() join
+    instead; at 10k+ patterns the engine side would swap instr chains
+    for an Aho-Corasick automaton in an Arrow closure (documented, not
+    needed at blocklist sizes the fixture exercises)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(TX.words("text").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    top = (
+        d.select(F.explode(F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+        )).alias("pat"))
+        .groupBy("pat").count()
+        .orderBy(F.desc("count"), "pat").limit(20)
+    )
+    pats = [r.pat for r in top.collect()]  # bounded: exactly 20 strings
+    hits = None
+    for p in pats:
+        term = F.when(F.instr(F.col("text"), F.lit(p)) > 0, 1).otherwise(0)
+        hits = term if hits is None else hits + term
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", hits.cast("bigint").alias("n_pats"))
+            .filter(F.col("n_pats") > 0))

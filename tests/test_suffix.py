@@ -74,3 +74,16 @@ def test_lcp_adjacent_matches_naive(spark):
                 for i in range(len(order) - 1)}
     assert got == expected
     assert max(got.values()) == max(expected.values())
+
+
+def test_suffix_array_degenerate_inputs(spark):
+    """1-char string (round 0 converges immediately); all-equal string
+    'aaaa' (ranks = reverse position order: shorter suffix sorts first,
+    doubling must break every tie)."""
+    got1 = {r.pos: r["rank"] for r in
+            suffix_array(_chars_df(spark, "z"), parts=2).collect()}
+    assert got1 == {1: 1}
+    s = "aaaa"
+    got = {r.pos: r["rank"] for r in
+           suffix_array(_chars_df(spark, s), parts=2).collect()}
+    assert got == _expected_ranks(s) == {1: 4, 2: 3, 3: 2, 4: 1}
