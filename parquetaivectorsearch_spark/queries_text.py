@@ -1389,3 +1389,40 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum(F.size("ws")).cast("bigint").alias("n_tokens")))
     return voc.join(tok, "decile").select(
         "decile", "n_docs", "n_tokens", "n_vocab")
+
+
+@register("compression_ratio")  # rows-only: zlib bytes are not SQL-replayable
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter — the repetitiveness signal the
+    Gopher/RefinedWeb family applies alongside rule filters: highly
+    compressible text (low ratio) is boilerplate/template/repetition;
+    near-incompressible text is noise or binary junk; natural prose
+    sits in a band. stdlib zlib level 6 over UTF-8 bytes in one Arrow
+    pass (C-speed per batch, zero joins — the decontaminate_bloom
+    narrow-pass shape); deterministic because zlib's output is fixed
+    for a given (input, level, strategy). Flags docs outside
+    [0.15, 1.0] — fixture docs sit at 0.40-1.02 (short docs carry zlib
+    header overhead past 1.0), heavy repetition lands near 0.01. Test
+    pins the regimes on known strings."""
+    import zlib
+
+    import pandas as pd
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            r = comp / n.clip(lower=1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n.astype("int64"),
+                "ratio": r.round(6),
+                "flagged": (r < 0.15) | (r > 1.0),
+            })
+
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .mapInPandas(ratios,
+                         "doc_id BIGINT, n_bytes BIGINT, ratio DOUBLE,"
+                         " flagged BOOLEAN"))

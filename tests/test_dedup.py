@@ -318,3 +318,31 @@ def test_boilerplate_removal_fixture_hashed_equals_raw(spark):
     a = sorted(map(key, boilerplate_segment_removal(docs, hashed=True).collect()))
     b = sorted(map(key, boilerplate_segment_removal(docs, hashed=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_compression_ratio_three_regimes(spark):
+    """zlib-ratio quality signal: pure repetition compresses hard (low
+    ratio, flagged); a tiny doc is header-overhead-dominated (ratio > 1,
+    flagged); word-salad prose and random hex sit in the accept band."""
+    import numpy as np
+
+    from parquetaivectorsearch_spark.queries_text import q_compression_ratio
+
+    rng = np.random.RandomState(3)
+    prose = " ".join(rng.choice(
+        ["table", "scan", "join", "vector", "merge", "query", "row",
+         "batch", "filter", "sort"], size=200))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400),
+         (2, "".join(rng.choice(list("0123456789abcdef"), size=2000))),
+         (3, prose),
+         (4, "hi")],
+        "doc_id BIGINT, text STRING")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="cr_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in q_compression_ratio(spark, d).collect()}
+    assert rows[1].ratio < 0.15 and rows[1].flagged
+    assert 0.15 <= rows[2].ratio <= 1.0 and not rows[2].flagged
+    assert 0.15 <= rows[3].ratio <= 1.0 and not rows[3].flagged
+    assert rows[4].ratio > 1.0 and rows[4].flagged
