@@ -87,3 +87,20 @@ def test_suffix_array_degenerate_inputs(spark):
     got = {r.pos: r["rank"] for r in
            suffix_array(_chars_df(spark, s), parts=2).collect()}
     assert got == _expected_ranks(s) == {1: 4, 2: 3, 3: 2, 4: 1}
+
+
+def test_suffix_array_random_strings_property(spark):
+    """Property (hypothesis): for random small-alphabet strings — the
+    tie-heavy regime where prefix doubling earns its keep — every rank
+    equals the trusted driver-side suffix sort. Few examples, bounded
+    length: each example is a full multi-round distributed run."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(s=st.text(alphabet="ab", min_size=2, max_size=48))
+    def check(s):
+        got = {r.pos: r["rank"] for r in
+               suffix_array(_chars_df(spark, s), parts=3).collect()}
+        assert got == _expected_ranks(s)
+
+    check()
