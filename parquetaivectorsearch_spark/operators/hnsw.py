@@ -544,6 +544,47 @@ def hnsw_search(graph: DataFrame, queries: DataFrame, k: int = 20,
     )
 
 
+def hnsw_search_filtered(graph: DataFrame, queries: DataFrame,
+                         allowed: DataFrame, k: int = 20,
+                         params: HNSWParams | None = None,
+                         oversample: float = 2.0,
+                         id_col: str = "vec_id") -> DataFrame:
+    """Metadata-FILTERED graph search — the FAISS IDSelector use case,
+    realized as the published pre/post-filter hybrid: measure the
+    filter's selectivity (two cheap aggs), OVER-SEARCH each partition
+    graph at k' = ceil(k / selectivity) · oversample (so the unfiltered
+    beam surfaces enough allowed survivors), then broadcast-semi-join
+    the allowed id set and keep the filtered top-k. Traversal stays
+    unfiltered — the graph's navigability must not be cut by the
+    predicate (filtering DURING traversal strands the beam in
+    disallowed regions; the standard failure mode) — only ADMISSION is
+    filtered, exactly FAISS's selector semantics.
+
+    ``allowed`` is any (vec_id) frame — typically metadata-filtered.
+    At very selective filters (k' approaching graph size) the honest
+    answer is the IVF pre-filter path (ann_filtered_topk) or exact
+    filtered KNN; the cap below keeps k' sane and the recall gate in
+    tests/test_hnsw.py measures the planted-corpus behavior."""
+    spark = graph.sparkSession
+    n_total = graph.count()
+    n_allowed = allowed.count()
+    if n_allowed == 0:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, vec_id BIGINT, distance DOUBLE")
+    sel = n_allowed / max(n_total, 1)
+    kk = min(int(np.ceil(k / max(sel, 1e-6)) * oversample), max(n_total, k))
+    cand = hnsw_search(graph, queries, k=kk, params=params)
+    hits = cand.join(
+        F.broadcast(allowed.select(F.col(id_col).alias("vec_id"))),
+        "vec_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank")
+            .orderBy("query_id", "distance", "vec_id"))
+
+
 def hnsw_compact(spark, path: str, n_partitions: int = 8,
                  params: HNSWParams | None = None) -> dict:
     """Segment merge (the compaction half of the append story): rebuild

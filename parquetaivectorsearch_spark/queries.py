@@ -457,7 +457,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (e) oldest-evidence refreshes: the r5 cohort (spread across the
     #     relational/text/streaming/pipeline suites)
     "knn_checksum",
-    "asof_join", "range_join",
+    "asof_join",
     "string_functions", "datetime_functions",
     "udtf_split_words",
     # (f) queries BORN during r10 — zero-evidence newborns outrank
@@ -468,11 +468,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     top_revenue_orders r5, partitioned_write_prune r5,
     #     variant_json r5/r7, vocab_top_words r5, lateral_topn r5,
     #     csv_roundtrip r5, bm25_rank r5 (hybrid_search exercises the
-    #     same scorer) — all multiply re-passed)
+    #     same scorer), range_join r2/r5 — all multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
+    "ann_hnsw_filtered",
     "session_window_agg",
     "correlated_scalar_subquery", "streaming_tumbling_agg",
     "streaming_session_agg",

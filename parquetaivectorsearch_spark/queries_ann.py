@@ -785,3 +785,24 @@ def q_ivf_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              shortlist=500, residual=True, rotation=R)
     return _with_recall(PQ.pq_rerank(short, emb, queries, k=20),
                         emb, queries, k=20)
+
+
+@register("ann_hnsw_filtered")  # rows-only: graph search is approximate
+def q_ann_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered HNSW serve (operators/hnsw.hnsw_search_filtered
+    — the FAISS IDSelector use case): traversal stays unfiltered so the
+    beam keeps the graph's navigability, admission is filtered, and the
+    selectivity-aware over-search (k' = ceil(k/sel)·2) keeps enough
+    allowed survivors in the beam. Filter here: label = 3 over the
+    embedding corpus (≈10% selectivity). Carries the standard recall
+    column vs the exact FILTERED oracle."""
+    from parquetaivectorsearch_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = H.build_hnsw(emb, n_partitions=4)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    res = H.hnsw_search_filtered(graph, queries, allowed, k=10)
+    return _with_recall(res, emb.join(allowed, "vec_id"), queries, k=10)

@@ -203,3 +203,57 @@ def test_hnsw_append_serves_new_vectors_without_rebuild(spark):
     assert recall >= 0.9, recall
     # odd (appended) ids must actually appear in results — both halves serve
     assert any(i % 2 == 1 for s in got.values() for i in s)
+
+
+def test_hnsw_filtered_search_recall_planted(spark):
+    """Filtered serve: plant 20 near-neighbors per query, give HALF of
+    them the target label, filter to that label — filtered recall@10
+    vs the exact filtered KNN must hold ≥ 0.9 (admission-filtered,
+    traversal unfiltered, selectivity-aware over-search). Also: empty
+    filter returns an empty frame with the right schema."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators import knn
+    from parquetaivectorsearch_spark.operators.hnsw import (
+        build_hnsw, hnsw_search_filtered)
+    from parquetaivectorsearch_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.toPandas()
+    x = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    rng = np.random.RandomState(53)
+    rows, next_id = [], int(base["vec_id"].max()) + 1
+    for q in range(4):
+        for j in range(20):
+            v = x[q] + 0.05 * rng.randn(x.shape[1]).astype(np.float32)
+            v /= np.linalg.norm(v)
+            rows.append((next_id, [float(f) for f in v], 99 if j % 2 else -1))
+            next_id += 1
+    planted = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    corpus = emb.union(planted)
+    graph = build_hnsw(corpus, n_partitions=4)
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    allowed = corpus.filter(F.col("label") == 99).select("vec_id")
+
+    exact = {}
+    for r in knn.knn_join(corpus.join(allowed, "vec_id"), queries,
+                          k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in hnsw_search_filtered(graph, queries, allowed, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.9, recall
+
+    empty = hnsw_search_filtered(
+        graph, queries, corpus.filter("label = 12345").select("vec_id"),
+        k=10)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "vec_id", "distance"]
