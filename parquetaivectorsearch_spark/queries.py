@@ -458,7 +458,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     relational/text/streaming/pipeline suites)
     "knn_checksum",
     "asof_join",
-    "string_functions", "datetime_functions",
+    "string_functions",
     "udtf_split_words",
     # (f) queries BORN during r10 — zero-evidence newborns outrank
     #     re-refreshing green canaries (standing rule); each cedes one
@@ -473,7 +473,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
-    "ann_hnsw_filtered",
+    "ann_hnsw_filtered", "hilbert_layout",
     "session_window_agg",
     "correlated_scalar_subquery", "streaming_tumbling_agg",
     "streaming_session_agg",

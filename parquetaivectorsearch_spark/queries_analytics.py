@@ -549,3 +549,66 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint")
         .format("xml").option("rowTag", "doc").load(xml_dir)
     )
+
+
+def _hilbert_oracle() -> str:
+    """Generate the hilbert_layout oracle at import: the SAME 16-step
+    unroll as operators/layout.hilbert_index, emitted as DuckDB CTEs by
+    layout.hilbert_sql_ctes — the oracle cannot drift from the operator
+    because both come from one generator (and the bit-parity test in
+    tests/test_layout.py pins the pair on random 16-bit points)."""
+    from parquetaivectorsearch_spark.operators.layout import hilbert_sql_ctes
+
+    ctes, final = hilbert_sql_ctes(
+        "o_custkey % 65536",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000",
+        "o_orderkey", "orders", bits=16)
+    return f"""
+    WITH {ctes},
+    b AS (SELECT k, hval,
+                 ntile(16) OVER (ORDER BY hval, k) AS bucket
+          FROM {final}),
+    t AS (SELECT o_orderkey, o_custkey % 65536 AS xb,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS yb
+          FROM orders)
+    SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(t.xb) AS min_cust, MAX(t.xb) AS max_cust,
+           MIN(t.yb) AS min_price_k, MAX(t.yb) AS max_price_k
+    FROM b JOIN t ON b.k = t.o_orderkey
+    GROUP BY b.bucket
+"""
+
+
+@register("hilbert_layout", _hilbert_oracle())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering of orders on (custkey, price-band) — the
+    strictly-better-locality upgrade over zorder_layout: consecutive
+    curve positions are always grid-adjacent (unit manhattan step,
+    property-pinned in tests/test_layout.py), so the same 16
+    file-buckets get tighter (custkey, price) bounding boxes than the
+    Morton curve's, which jumps across the grid at power-of-two
+    boundaries — the reason liquid-clustering implementations moved
+    from Z-order to Hilbert. The index is 16 chained integer-CASE
+    projections (operators/layout.hilbert_index — whole-stage codegen,
+    no UDF, linear expression tree); the ORACLE recomputes the exact
+    same unroll as generated DuckDB CTEs (layout.hilbert_sql_ctes), so
+    the curve arithmetic is hash-checked bit-for-bit end-to-end, bucket
+    boxes and all."""
+    from parquetaivectorsearch_spark.operators.layout import hilbert_index
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xb"),
+        F.expr("div(CAST(ROUND(o_totalprice * 100) AS BIGINT), 100000)")
+        .alias("yb"),
+    )
+    h = hilbert_index(t, "xb", "yb", bits=16)
+    b = h.withColumn(
+        "bucket", F.ntile(16).over(Window.orderBy("hval", "o_orderkey"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("xb").alias("min_cust"), F.max("xb").alias("max_cust"),
+        F.min("yb").alias("min_price_k"), F.max("yb").alias("max_price_k"),
+    )

@@ -69,3 +69,60 @@ def test_zorder_repartition_clusters_both_dimensions(spark):
     full_area = full.xs * full.ys
     mean_area = sum(r.xspan * r.yspan for r in stats) / len(stats)
     assert mean_area < 0.5 * full_area, (mean_area, full_area)
+
+
+def test_hilbert_bijection_and_unit_steps(spark):
+    """The two defining Hilbert properties on the full 32x32 grid
+    (bits=5): codes are a bijection onto 0..1023, and CONSECUTIVE codes
+    are grid-adjacent (manhattan distance exactly 1) - the locality
+    guarantee Z-order lacks. Also quantifies the Z comparison: total
+    manhattan travel along the curve is 1023 for Hilbert vs strictly
+    more for Morton order."""
+    import pyspark.sql.functions as F
+
+    from parquetaivectorsearch_spark.operators.layout import (
+        hilbert_value, zorder_value)
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x INT, y INT")
+    rows = grid.select(
+        "x", "y",
+        hilbert_value(F.col("x"), F.col("y"), bits=5).alias("h"),
+        zorder_value(F.col("x"), F.col("y")).alias("z"),
+    ).collect()
+    hs = sorted(rows, key=lambda r: r.h)
+    assert [r.h for r in hs] == list(range(1024))  # bijection
+    steps = [abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(hs, hs[1:])]
+    assert all(s == 1 for s in steps)  # unit-step continuity
+    zs = sorted(rows, key=lambda r: r.z)
+    z_travel = sum(abs(a.x - b.x) + abs(a.y - b.y)
+                   for a, b in zip(zs, zs[1:]))
+    assert z_travel > 1023  # Morton jumps; Hilbert never does
+
+
+def test_hilbert_sql_matches_column_version(spark):
+    """The generated DuckDB CTE unroll computes bit-identical Hilbert
+    codes to the Catalyst Column version over a random sample of the
+    16-bit domain."""
+    import duckdb
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from parquetaivectorsearch_spark.operators.layout import (
+        hilbert_sql_ctes)
+
+    rng = np.random.RandomState(9)
+    pts = [(int(i), int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.randint(0, 65536, 300), rng.randint(0, 65536, 300)))]
+    df = spark.createDataFrame(pts, "k INT, x INT, y INT")
+    from parquetaivectorsearch_spark.operators.layout import hilbert_index
+    got = {r.k: r.hval for r in
+           hilbert_index(df, "x", "y", bits=16).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(k INT, x INT, y INT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+    ctes, final = hilbert_sql_ctes("x", "y", "k", "pts", bits=16)
+    want = dict(con.execute(
+        f"WITH {ctes}\nSELECT k, hval FROM {final}").fetchall())
+    assert got == want
