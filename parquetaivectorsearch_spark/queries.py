@@ -459,7 +459,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "knn_checksum",
     "asof_join",
     "string_functions",
-    "udtf_split_words",
+
     # (f) queries BORN during r10 — zero-evidence newborns outrank
     #     re-refreshing green canaries (standing rule); each cedes one
     #     (e) oldest-evidence slot (stratified_sample r5,
@@ -473,7 +473,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
-    "ann_hnsw_filtered", "hilbert_layout",
+    "ann_hnsw_filtered", "hilbert_layout", "bq_asymmetric_rank",
     "session_window_agg",
     "correlated_scalar_subquery", "streaming_tumbling_agg",
     "streaming_session_agg",

@@ -806,3 +806,54 @@ def q_ann_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = emb.filter(F.col("label") == 3).select("vec_id")
     res = H.hnsw_search_filtered(graph, queries, allowed, k=10)
     return _with_recall(res, emb.join(allowed, "vec_id"), queries, k=10)
+
+
+@register("bq_asymmetric_rank", """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 4),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(range(0, len(e.embedding)),
+                  j -> CASE WHEN e.embedding[j + 1] > 0
+                            THEN CAST(q.qv[j + 1] AS DOUBLE)
+                            ELSE -CAST(q.qv[j + 1] AS DOUBLE) END)) AS score
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id)
+                     AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+""")
+def q_bq_asymmetric_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC binary-quantization ranking — the standard recall
+    upgrade over symmetric Hamming (bq_hamming_rank): keep the QUERY at
+    full float precision and only quantize the corpus side, scoring
+    Σⱼ qⱼ·sign(xⱼ) — a strictly finer-grained ordering than bit
+    mismatch counts at the same 1-bit/dim corpus storage (the RaBitQ /
+    FAISS-asymmetric observation). Exact top-10 per query with an exact
+    oracle: the score is a sequential left fold of ±qⱼ terms (Catalyst
+    aggregate HOF ≡ DuckDB list_sum fold — the same bit-determinism
+    contract every dot-product oracle here relies on). Scale shape
+    unchanged from the symmetric tier: broadcast queries × narrow
+    sign-bit scan, window top-10."""
+    from pyspark.sql.window import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    signed = F.zip_with(
+        "embedding", "query_vec",
+        lambda x, q: F.when(x > 0, q.cast("double"))
+                      .otherwise(-q.cast("double")))
+    scored = emb.join(F.broadcast(queries)).select(
+        "query_id", "vec_id",
+        F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        .alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10))
