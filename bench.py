@@ -154,6 +154,11 @@ HEADLINE = [
     "temperature_mixture", # size^alpha lang re-weighting + group-limit pick
     "suffix_array_rank",   # prefix-doubling SA: log n sort-shuffle rounds
     "longest_repeated_substring",  # sparse-table LCP walk over the SA levels
+    "hilbert_layout",      # 16 chained CASE projections + ntile boxes
+    "blocklist_scan",      # top-20 phrase collect + one codegen instr pass
+    "compression_ratio",   # zlib quality filter: one Arrow pass
+    "bq_asymmetric_rank",  # float-query x 1-bit-corpus fold ranking
+    "dbscan_blocked",      # IVF-blocked density clustering + min-label CC
 ]
 
 

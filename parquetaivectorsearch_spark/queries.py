@@ -468,14 +468,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     top_revenue_orders r5, partitioned_write_prune r5,
     #     variant_json r5/r7, vocab_top_words r5, lateral_topn r5,
     #     csv_roundtrip r5, bm25_rank r5 (hybrid_search exercises the
-    #     same scorer), range_join r2/r5 — all multiply re-passed)
+    #     same scorer), range_join r2/r5, datetime_functions,
+    #     udtf_split_words, string_functions, vocab_top_words,
+    #     correlated_scalar_subquery — all r5-evidence, multiply
+    #     re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
     "ann_hnsw_filtered", "hilbert_layout", "bq_asymmetric_rank",
-    "session_window_agg",
-    "correlated_scalar_subquery", "streaming_tumbling_agg",
+    "dbscan_blocked",
+    "session_window_agg", "streaming_tumbling_agg",
     "streaming_session_agg",
 )
 

@@ -719,18 +719,30 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     θ-join swaps for the IVF-blocked candidate generator
     (dedup_embedding's shape) — the only approximate stage, exactly as
     published distributed DBSCANs block with grids."""
-    from parquetaivectorsearch_spark.operators.components import (
-        connected_components)
     from parquetaivectorsearch_spark.operators.simjoin import (
         all_pairs_similarity_join)
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = all_pairs_similarity_join(emb, threshold=0.35, n_blocks=8) \
-        .select("vec_a", "vec_b").localCheckpoint()
+        .select("vec_a", "vec_b")
+    return _dbscan_from_pairs(emb, pairs, min_deg=2)
+
+
+def _dbscan_from_pairs(emb: DataFrame, pairs: DataFrame,
+                       min_deg: int = 2) -> DataFrame:
+    """DBSCAN label assignment given the ε-neighborhood PAIR table —
+    shared by the exact (θ-join) and blocked (IVF candidate) variants:
+    cores at degree ≥ min_deg, min-label CC over core-core edges (+
+    singleton cores), borders to the min adjacent core cluster, rest
+    noise. Output (vec_id, role, cluster)."""
+    from parquetaivectorsearch_spark.operators.components import (
+        connected_components)
+
+    pairs = pairs.localCheckpoint()
     sym = pairs.union(pairs.select(F.col("vec_b").alias("vec_a"),
                                    F.col("vec_a").alias("vec_b")))
     core = (sym.groupBy(F.col("vec_a").alias("v")).count()
-            .filter(F.col("count") >= 2).select("v"))
+            .filter(F.col("count") >= min_deg).select("v"))
     ce = (pairs
           .join(core.withColumnRenamed("v", "vec_a"), "vec_a")
           .join(core.withColumnRenamed("v", "vec_b"), "vec_b"))
@@ -757,6 +769,25 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.lit("noise")).alias("role"),
                 F.coalesce("c_core", "c_bord").cast("bigint")
                  .alias("cluster")))
+
+
+@register("dbscan_blocked")  # rows-only: IVF blocking is approximate by design
+def q_dbscan_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB DBSCAN: identical label machinery
+    (_dbscan_from_pairs) fed by the IVF-BLOCKED ε-pair generator
+    (operators/ann.embedding_dedup — within-cluster candidates only,
+    O(Σ nᵢ²) with nlist growing with N, exact-cosine-verified) instead
+    of the exact O(N²) θ-join. Blocked pairs ⊆ exact pairs (every
+    emitted pair is exact-verified; blocking only MISSES cross-list
+    pairs), so blocked clusters can only under-merge — and for the
+    regime density clustering targets (near-dup families, cosine ≈ 1,
+    co-listed by construction) the planted-clone test pins exact
+    agreement. This is the same exact-tier/blocked-tier split as
+    similarity_join vs dedup_embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ANN.embedding_dedup(emb, threshold=0.35, nlist=8) \
+        .select("vec_a", "vec_b")
+    return _dbscan_from_pairs(emb, pairs, min_deg=2)
 
 
 @register("ivf_opq_topk")  # rows-only: triply-approximate (probe + rotation + PQ)

@@ -545,3 +545,55 @@ def test_dbscan_invariants(spark):
     # borders attach to an existing core cluster
     core_clusters = set(cores.values())
     assert all(r.cluster in core_clusters for r in by_role["border"])
+
+
+def test_dbscan_blocked_agrees_on_planted_clones(spark):
+    """The blocked (IVF-candidate) DBSCAN must agree with the exact
+    (θ-join) variant on the regime blocking targets: planted clone
+    families (cosine ≈ 1, co-listed by construction) form the same
+    clusters with the same roles; and blocked pairs can only UNDER-merge
+    (blocked noise set ⊇ exact noise set)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from parquetaivectorsearch_spark.operators import ann as ANN
+    from parquetaivectorsearch_spark.operators.simjoin import (
+        all_pairs_similarity_join)
+    from parquetaivectorsearch_spark.queries_ann import _dbscan_from_pairs
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.toPandas()
+    x = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    rng = np.random.RandomState(61)
+    rows, next_id = [], int(base["vec_id"].max()) + 1
+    family_ids = []
+    for fam in range(3):
+        ids = []
+        for _ in range(4):
+            v = x[fam] + 0.01 * rng.randn(x.shape[1]).astype(np.float32)
+            v /= np.linalg.norm(v)
+            rows.append((next_id, [float(f) for f in v], -1))
+            ids.append(next_id)
+            next_id += 1
+        family_ids.append(ids)
+    planted = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    corpus = emb.union(planted)
+
+    exact_pairs = all_pairs_similarity_join(
+        corpus, threshold=0.9, n_blocks=8).select("vec_a", "vec_b")
+    blocked_pairs = ANN.embedding_dedup(
+        corpus, threshold=0.9, nlist=8).select("vec_a", "vec_b")
+    exact = {r.vec_id: (r.role, r.cluster) for r in
+             _dbscan_from_pairs(corpus, exact_pairs).collect()}
+    blocked = {r.vec_id: (r.role, r.cluster) for r in
+               _dbscan_from_pairs(corpus, blocked_pairs).collect()}
+    for fam in family_ids:
+        assert all(exact[v] == blocked[v] for v in fam), fam
+        assert len({blocked[v][1] for v in fam}) == 1  # one cluster
+        assert all(blocked[v][0] == "core" for v in fam)
+    exact_noise = {v for v, (r, _c) in exact.items() if r == "noise"}
+    blocked_noise = {v for v, (r, _c) in blocked.items() if r == "noise"}
+    assert exact_noise <= blocked_noise  # blocking only under-merges
