@@ -264,3 +264,72 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "price_cents",
         F.count("*").over(w).alias("n_within_5k"),
     )
+
+
+@register("seasonal_decompose", """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day,
+             CAST(date_diff('day', DATE '2024-01-01', day) % 7
+                  AS INTEGER) AS dow,
+             total_cents,
+             SUM(total_cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+      FROM daily
+    ),
+    t AS (SELECT day, dow, total_cents, wsum,
+                 7 * total_cents - wsum AS dt7
+          FROM w WHERE wn = 7),
+    s AS (SELECT dow,
+                 CAST(SUM(dt7) AS DOUBLE) / (7.0 * COUNT(*)) AS seasonal
+          FROM t GROUP BY dow)
+    SELECT t.day, t.dow, t.total_cents,
+           CAST(t.wsum AS DOUBLE) / 7.0 AS trend,
+           s.seasonal,
+           CAST(t.dt7 AS DOUBLE) / 7.0 - s.seasonal AS remainder
+    FROM t JOIN s USING (dow)
+""")
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event-value
+    series (the moving-average construction STL generalizes): trend =
+    centered 7-day moving average, weekly seasonal = per-slot mean of
+    the detrended series, remainder = the rest. Hash-exact BY
+    CONSTRUCTION: daily totals are integer cents, the 7·c − Σwindow
+    numerator stays integral through every aggregate, and each double
+    is produced by ONE correctly-rounded division (never a float sum —
+    the usual decomposition accumulates detrended doubles in
+    group-order, which no cross-engine hash survives). Day-of-week is
+    days-since-epoch-anchor mod 7, dodging the Spark(1=Sun..7) vs
+    DuckDB(0=Sun..6) dayofweek mismatch. One scan, one day-keyed agg,
+    one 7-row broadcast seasonal join — trivially 100 TB-shaped (the
+    daily series is |days| rows regardless of event volume)."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("bigint").alias("total_cents")))
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    w = daily.select(
+        "day",
+        (F.datediff("day", F.lit("2024-01-01").cast("date")) % 7)
+        .cast("int").alias("dow"),
+        "total_cents",
+        F.sum("total_cents").over(win).alias("wsum"),
+        F.count("*").over(win).alias("wn"))
+    t = (w.filter(F.col("wn") == 7)
+         .withColumn("dt7", 7 * F.col("total_cents") - F.col("wsum")))
+    s = (t.groupBy("dow")
+         .agg((F.sum("dt7").cast("double")
+               / (7.0 * F.count("*"))).alias("seasonal")))
+    return (t.join(F.broadcast(s), "dow")
+            .select("day", "dow", "total_cents",
+                    (F.col("wsum").cast("double") / 7.0).alias("trend"),
+                    "seasonal",
+                    (F.col("dt7").cast("double") / 7.0
+                     - F.col("seasonal")).alias("remainder")))

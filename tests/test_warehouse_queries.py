@@ -56,3 +56,27 @@ def test_latest_by_key_matches_max_ts(spark):
         .collect()
     }
     assert got == want
+
+
+def test_seasonal_decompose_additive_identity(spark):
+    """Decomposition must reassemble: trend + seasonal + remainder equals
+    the daily total (to fp round-off), trend is only defined where the
+    full 7-day window exists (30 days -> 24 rows), and the weekly
+    seasonal slots average to ~0 (the detrended series' mean is split
+    between seasonal and remainder by construction)."""
+    from parquetaivectorsearch_spark.queries_warehouse import (
+        q_seasonal_decompose)
+    from tests.conftest import SF_CORRECT
+
+    rows = q_seasonal_decompose(spark, SF_CORRECT).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert abs((r.trend + r.seasonal + r.remainder)
+                   - r.total_cents) < 1e-6, r
+    slots = {}
+    for r in rows:
+        slots.setdefault(r.dow, r.seasonal)
+    assert len(slots) == 7
+    mean_season = sum(slots.values()) / 7
+    spread = max(slots.values()) - min(slots.values())
+    assert abs(mean_season) < max(1.0, 0.5 * spread)
