@@ -457,7 +457,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (e) oldest-evidence refreshes: the r5 cohort (spread across the
     #     relational/text/streaming/pipeline suites)
     "knn_checksum",
-    "asof_join",
     "string_functions",
 
     # (f) queries BORN during r10 — zero-evidence newborns outrank
@@ -470,14 +469,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     csv_roundtrip r5, bm25_rank r5 (hybrid_search exercises the
     #     same scorer), range_join r2/r5, datetime_functions,
     #     udtf_split_words, string_functions, vocab_top_words,
-    #     correlated_scalar_subquery, session_window_agg — all
-    #     r5-evidence, multiply re-passed)
+    #     correlated_scalar_subquery, session_window_agg, asof_join
+    #     (r2-green too) — all r5-evidence, multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
     "ann_hnsw_filtered", "hilbert_layout", "bq_asymmetric_rank",
-    "dbscan_blocked", "seasonal_decompose",
+    "dbscan_blocked", "seasonal_decompose", "rolling_distinct_users",
     "streaming_tumbling_agg",
     "streaming_session_agg",
 )

@@ -333,3 +333,42 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "seasonal",
                     (F.col("dt7").cast("double") / 7.0
                      - F.col("seasonal")).alias("remainder")))
+
+
+@register("rolling_distinct_users", """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS eday, user_id
+      FROM events
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+    FROM days d JOIN e
+      ON e.eday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+""")
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DISTINCT active users per day — the ops metric a
+    sliding COUNT(DISTINCT) window cannot express (distinct does not
+    decompose across window slides; Spark rejects DISTINCT aggregates
+    over window frames outright). Exact construction: pre-reduce events
+    to DISTINCT (day, user) pairs — the only volume-dependent pass,
+    one shuffle — then a |days|-row broadcast grid joins each day to
+    its trailing week and a (day, user)-keyed distinct count finishes.
+    Work after the pre-reduce is |days| × active-users-per-week rows,
+    independent of raw event volume — the 100 TB shape (the naive
+    grid ⋈ raw-events join re-ships every event 7×)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.date_trunc("day", "ts").cast("date").alias("eday"),
+                  "user_id")
+          .distinct())
+    days = ev.select(F.col("eday").alias("day")).distinct()
+    return (ev.join(F.broadcast(days),
+                    (F.col("eday") >= F.date_sub(F.col("day"), 6))
+                    & (F.col("eday") <= F.col("day")))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("active_users_7d")))
