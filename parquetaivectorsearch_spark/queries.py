@@ -456,7 +456,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "count_rows", "sum_tokens", "explode_words", "stats_agg",
     # (e) oldest-evidence refreshes: the r5 cohort (spread across the
     #     relational/text/streaming/pipeline suites)
-    "knn_checksum",
+
     "string_functions",
 
     # (f) queries BORN during r10 — zero-evidence newborns outrank
@@ -470,13 +470,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     same scorer), range_join r2/r5, datetime_functions,
     #     udtf_split_words, string_functions, vocab_top_words,
     #     correlated_scalar_subquery, session_window_agg, asof_join
-    #     (r2-green too) — all r5-evidence, multiply re-passed)
+    #     (r2-green too), knn_checksum (r1+r5, exercised by every knn
+    #     canary) — all r5-evidence, multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
     "ann_hnsw_filtered", "hilbert_layout", "bq_asymmetric_rank",
     "dbscan_blocked", "seasonal_decompose", "rolling_distinct_users",
+    "priority_sample_grouped",
     "streaming_tumbling_agg",
     "streaming_session_agg",
 )

@@ -751,3 +751,59 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.join(F.broadcast(quota), "lang")
             .filter(F.col("rn") <= F.col("quota"))
             .select("doc_id", "lang", "source", "rn"))
+
+
+@register("priority_sample_grouped", """
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / ((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0) AS p
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars, p,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY p DESC, doc_id) AS rn
+      FROM pr
+    ),
+    t AS (
+      SELECT lang, MIN(p) AS tau, COUNT(*) AS n_top
+      FROM r WHERE rn <= 17 GROUP BY lang
+    )
+    SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars,
+           CASE WHEN t.n_top = 17
+                THEN GREATEST(CAST(r.n_chars AS DOUBLE), t.tau)
+                ELSE CAST(r.n_chars AS DOUBLE) END AS est_weight
+    FROM r JOIN t USING (lang) WHERE r.rn <= 16
+""")
+def q_priority_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP priority sampling — k=16 weighted docs per language
+    with an INDEPENDENT threshold τ per group, so each language's
+    Horvitz-Thompson estimators are unbiased for that language's char
+    mass (the domain-balanced weighted sampler: priority_sample keeps
+    global totals honest, this keeps per-stratum totals honest — the
+    pair a mixture audit actually needs). Same IEEE-division keys as
+    priority_sample; the per-group (k+1)-th priority comes from a
+    rank-limited window — the static rn ≤ 17 filter is a
+    WindowGroupLimit, so a mega-language never full-sorts — and the
+    small-population rule applies per group (n_top < k+1 ⇒ est = w)."""
+    d = _t(spark, sf_dir, "documents")
+    pr = d.select(
+        "doc_id", "lang", "n_chars",
+        (F.col("n_chars").cast("double")
+         / ((((F.col("doc_id") * F.lit(2654435761)) % 1000003) + 1)
+            / F.lit(1000004.0))).alias("p"))
+    w = Window.partitionBy("lang").orderBy(F.desc("p"), F.col("doc_id"))
+    ranked = (pr.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 17))
+    t = ranked.groupBy("lang").agg(F.min("p").alias("tau"),
+                                   F.count("*").alias("n_top"))
+    return (ranked.filter(F.col("rn") <= 16)
+            .join(F.broadcast(t), "lang")
+            .select("doc_id", "lang",
+                    F.col("n_chars").cast("bigint").alias("n_chars"),
+                    F.when(F.col("n_top") == 17,
+                           F.greatest(F.col("n_chars").cast("double"),
+                                      F.col("tau")))
+                     .otherwise(F.col("n_chars").cast("double"))
+                     .alias("est_weight")))

@@ -419,3 +419,32 @@ def test_priority_sample_small_population_exact(spark):
     rows = q_priority_sample(spark, small).collect()
     assert len(rows) == 40
     assert all(r.est_weight == float(r.n_chars) for r in rows)
+
+
+def test_priority_sample_grouped_invariants(spark):
+    """Per-group sampler: exactly k=16 rows per language (corpus has
+    ≥ 17 docs per lang at sf0.01), every estimator ≥ its true weight,
+    the rank-limit filter compiles to a WindowGroupLimit, and each
+    group's estimate lands within a loose factor of that group's true
+    char mass (per-stratum HT sanity)."""
+    from parquetaivectorsearch_spark import plans as P
+    from parquetaivectorsearch_spark.queries_traindata import (
+        q_priority_sample_grouped)
+    from parquetaivectorsearch_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    df = q_priority_sample_grouped(spark, SF_CORRECT)
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+        assert r.est_weight >= r.n_chars
+    totals = {r.lang: r.t for r in
+              load_table(spark, SF_CORRECT, "documents")
+              .groupBy("lang").agg(F.sum("n_chars").alias("t")).collect()}
+    for lang, rs in per.items():
+        assert len(rs) == 16, lang
+        est = sum(r.est_weight for r in rs)
+        assert 0.1 * totals[lang] < est < 10.0 * totals[lang], (lang, est)
+    assert set(per) == set(totals)
+    assert "WindowGroupLimit" in P.formatted_plan(df)
