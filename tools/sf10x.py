@@ -62,7 +62,14 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # group-limited window); the SA queries are EXCLUDED here —
            # their 16-doc shard is bounded by design (flat at any sf);
            # shard-size scaling lives in tools/suffix_scaling.py instead
-           "priority_sample", "temperature_mixture"]
+           "priority_sample", "temperature_mixture",
+           # r10 second batch: one-pass filters (blocklist/compression),
+           # the pre-reduced rolling distinct, the bounded daily-series
+           # decomposition, the blocked DBSCAN tier, the group-limited
+           # per-stratum sampler
+           "blocklist_scan", "compression_ratio", "rolling_distinct_users",
+           "seasonal_decompose", "dbscan_blocked",
+           "priority_sample_grouped"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
@@ -111,6 +118,24 @@ def build_10x(spark) -> None:
                 .alias("embedding"), "label")
      .repartition(32).write.mode("overwrite")
      .parquet(f"{TENX}/embeddings.parquet"))
+
+    # events: 10× volume over the SAME 30-day span (more traffic per day,
+    # the realistic growth axis) — replicas shift event ids and user ids
+    # so both the distinct-(day, user) reduction and the daily totals
+    # scale ~10× while day count stays fixed
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = []
+    for r in range(10):
+        parts.append(ev.select(
+            (F.col("event_id") + r * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + r * 1_000_000).alias("user_id"),
+            "event_type", "value", "props"))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    out.repartition(32).write.mode("overwrite") \
+        .parquet(f"{TENX}/events.parquet")
     Path(f"{TENX}/_done").touch()
 
 
@@ -225,10 +250,15 @@ def main() -> None:
         "min(doc_id) attribution — both alphas carry the rewrite's scale\n"
         "claim. ivf_pq_topk includes its per-invocation index build at\n"
         "this size; the serve-only number lives in the bench wide tier.\n"
-        "priority_sample is a TakeOrdered partial merge (k+1 rows per
-task to the driver) and temperature_mixture a group-limited window
-plus broadcast quota join — both near-flat, as their plan shapes
-promise. domain_cap_sample relies on Catalyst's map-side WindowGroupLimit\n"
+        "priority_sample is a TakeOrdered partial merge (k+1 rows per\n"
+        "task to the driver) and temperature_mixture a group-limited\n"
+        "window plus broadcast quota join — both near-flat, as their\n"
+        "plan shapes promise. The r10 second batch: blocklist/\n"
+        "compression are one-pass filters, rolling_distinct_users\n"
+        "pre-reduces to (day, user) pairs, seasonal_decompose is\n"
+        "|days|-row work after one agg, dbscan_blocked rides the\n"
+        "nlist∝N blocked pair generator, priority_sample_grouped is\n"
+        "group-limited. domain_cap_sample relies on Catalyst's map-side WindowGroupLimit\n"
         "(pinned in test_plans); the SKEW point below runs the same query\n"
         "on a 10× corpus with ~90% of rows collapsed onto ONE mega-domain\n"
         "source — if the full group ever materialized on a reducer this\n"
