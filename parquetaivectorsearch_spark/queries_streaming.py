@@ -337,3 +337,16 @@ def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_mktsegment").alias("mktsegment"), "value")
     )
     return S.run_available_now(out, "append", state_partitions=None)
+
+
+@register("streaming_distinct_hll")  # rows-only: sketch estimate, tolerance-tested
+def q_streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming distinct users per event type
+    (streaming/events.type_distinct_hll): a 4 KiB HLL register array
+    per type in applyInPandasWithState — constant state at any stream
+    length, micro-batches merge by register-wise max. Estimates are
+    tolerance-pinned (±5%) against the exact batch countDistinct in
+    tests/test_streaming.py; the batch twin hll_distinct exercises
+    Spark's built-in Datasketches path."""
+    return S.run_available_now(
+        S.type_distinct_hll(_staged_stream(spark, sf_dir)), "update")

@@ -13,6 +13,7 @@ from parquetaivectorsearch_spark.streaming.events import (
     stream_stream_join,
     streaming_dedup,
     tumbling_counts,
+    type_distinct_hll,
     type_heavy_hitters,
     user_running_totals,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "stream_stream_join",
     "streaming_dedup",
     "tumbling_counts",
+    "type_distinct_hll",
     "type_heavy_hitters",
     "user_running_totals",
 ]

@@ -354,3 +354,64 @@ def run_latest_state_upsert(events: DataFrame, state_root: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(versions[-1])
+
+
+def type_distinct_hll(events: DataFrame, p: int = 12) -> DataFrame:
+    """Bounded-state streaming DISTINCT-USER estimation per event type:
+    the state per key is a 2^p-register HyperLogLog (Flajolet et al.
+    2007) — 4 KiB per type FOREVER, where a streaming
+    countDistinct's state grows with the user universe. The streaming
+    twin of the batch hll_distinct query (which uses Spark's built-in
+    Datasketches aggs; here the registers live in
+    applyInPandasWithState so micro-batches MERGE by register-wise max
+    — the defining HLL property). Hashing is md5-based (stdlib,
+    engine-portable, deterministic), rho = leading-zero count of the
+    suffix; the standard bias-corrected estimate with the small-range
+    linear-counting correction. Relative error ~1.04/sqrt(2^p) ≈ 1.6%
+    at p=12 (tolerance-pinned against the exact batch count in
+    tests/test_streaming.py)."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def update(key, pdfs, state):
+        regs = (np.array(state.get[0], dtype=np.int64) if state.exists
+                else np.zeros(m, dtype=np.int64))
+        for pdf in pdfs:
+            for uid in pdf["user_id"].unique():
+                h = int.from_bytes(
+                    hashlib.md5(str(int(uid)).encode()).digest()[:8], "big")
+                j = h >> (64 - p)
+                rest = h & ((1 << (64 - p)) - 1)
+                rho = (64 - p) - rest.bit_length() + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+        state.update(([int(r) for r in regs],))
+        raw = alpha * m * m / float(np.power(2.0, -regs).sum())
+        zeros = int((regs == 0).sum())
+        if raw <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)  # linear counting
+        else:
+            est = raw
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "distinct_users_est": [float(est)]})
+
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("distinct_users_est", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("regs", ArrayType(LongType())),
+    ])
+    return (events
+            .groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))

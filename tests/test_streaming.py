@@ -361,3 +361,56 @@ def test_streaming_heavy_hitters_shrink_path_bounds(spark):
     for (et, uid), c in truth.items():
         if (et, uid) not in emitted:
             assert c <= n_by_type[et] / (k + 1)
+
+
+def test_streaming_distinct_hll_tolerance_and_merge(spark):
+    """HLL streaming distinct: (a) single availableNow run lands within
+    ±5% of the exact per-type distinct count (p=12 ⇒ σ ≈ 1.6%); (b) a
+    TWO-micro-batch run (maxFilesPerTrigger=1 over a split source)
+    produces exactly the same final estimates — register-wise max is
+    order- and batching-invariant, the defining mergeability property."""
+    import shutil as _sh
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    exact = {r.event_type: r.n for r in
+             load_table(spark, SF_SMOKE, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+
+    d = tempfile.mkdtemp(prefix="hll_stream_")
+    _sh.copy(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    one = {r.event_type: r.distinct_users_est for r in
+           S.run_available_now(
+               S.type_distinct_hll(S.read_event_stream(spark, d)),
+               "update").collect()}
+    for t, n in exact.items():
+        assert abs(one[t] - n) / n < 0.05, (t, one[t], n)
+
+    # split the source into two flat files -> two micro-batches (the
+    # staged-stream convention is single parquet FILES, not dirs)
+    import glob as _glob
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d2 = tempfile.mkdtemp(prefix="hll_stream2_")
+    for name, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        tmp = tempfile.mkdtemp(prefix=f"hll_split_{name}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0],
+                 f"{d2}/{name}.parquet")
+    two_df = S.run_available_now(
+        S.type_distinct_hll(
+            S.read_event_stream(spark, d2, max_files_per_trigger=1)),
+        "update")
+    # update-mode emits one row per key per batch; the LAST emission per
+    # key carries the merged state
+    pdf = two_df.toPandas()
+    two = {t: g["distinct_users_est"].iloc[-1]
+           for t, g in pdf.groupby("event_type")}
+    for t in exact:
+        assert abs(two[t] - one[t]) < 1e-9, (t, two[t], one[t])
