@@ -221,3 +221,29 @@ def test_similarity_join_is_tiled_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_r10_queries_no_cartesian_no_row_python(spark):
+    """Hygiene sweep over the r10-born batch: no CartesianProduct node
+    and no row-at-a-time BatchEvalPython anywhere; the BNLJ occurrences
+    in the mixture/grid/offset queries are broadcast nested loops over
+    literally-tiny frames (1-row max agg, 16 offsets, 30 days, 4
+    queries) — exact BNLJ counts flex with AQE across scale factors, so
+    the regression bound is a loose cap (≤ 4 per query — sa_repeat_pairs
+    legitimately carries two broadcast range-attribution joins that AQE
+    can materialize twice in the final plan string) that still
+    catches an unbroadcast nested loop over a corpus-sized side (those
+    plan as CartesianProduct or blow past the cap)."""
+    names = [
+        "priority_sample", "temperature_mixture", "suffix_array_rank",
+        "longest_repeated_substring", "sa_repeat_pairs", "blocklist_scan",
+        "compression_ratio", "hilbert_layout", "bq_asymmetric_rank",
+        "seasonal_decompose", "rolling_distinct_users",
+        "priority_sample_grouped",
+    ]
+    for name in names:
+        plan = P.formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        got = plan.count("BroadcastNestedLoopJoin")
+        assert got <= 4, (name, got)
