@@ -26,7 +26,7 @@ if _REPO not in sys.path:
 
 SF_DIR = "/root/testdata/sf0.1"
 REPS = 3
-DOCS = [16, 64, 256]
+DOCS = [16, 64, 256, 1024]
 
 
 def _chars(spark, n_docs: int):
@@ -98,7 +98,7 @@ def main() -> None:
         f"\n{marker} (tools/suffix_scaling.py)\n\n"
         "suffix_array_rank's registered query is bounded by design (fixed\n"
         "16-doc shard), so the scale axis is shard LENGTH: SA build (prefix\n"
-        "doubling) + LCP walk at n ≈ 4k/16k/64k chars, min-of-3, en docs\n"
+        "doubling) + LCP walk at n ≈ 4k/16k/64k/219k chars, min-of-3, en docs\n"
         "at sf0.1 truncated to 256 chars. Expected t ~ n·log n + R·c where\n"
         "R = ⌈log₂ n⌉ rounds and c the fixed per-round job cost that\n"
         "dominates at these sizes — alpha (log-log slope of total vs n\n"
