@@ -471,16 +471,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     udtf_split_words, string_functions, vocab_top_words,
     #     correlated_scalar_subquery, session_window_agg, asof_join
     #     (r2-green too), knn_checksum (r1+r5, exercised by every knn
-    #     canary), streaming_session_agg r6-r8 — all multiply
-    #     re-passed)
+    #     canary), streaming_session_agg r6-r8, streaming_tumbling_agg
+    #     r6-r8 (bench headline canary) — all multiply re-passed)
     "priority_sample", "temperature_mixture", "ivf_pq_residual",
     "opq_topk", "suffix_array_rank", "longest_repeated_substring",
     "sa_repeat_pairs", "audio_mfcc", "image_hog", "dbscan_embeddings",
     "ivf_opq_topk", "blocklist_scan", "compression_ratio",
     "ann_hnsw_filtered", "hilbert_layout", "bq_asymmetric_rank",
     "dbscan_blocked", "seasonal_decompose", "rolling_distinct_users",
-    "priority_sample_grouped", "streaming_distinct_hll",
-    "streaming_tumbling_agg",
+    "priority_sample_grouped", "streaming_distinct_hll", "random_walks",
 )
 
 _DRIVER_WINDOW_R9: tuple[str, ...] = (

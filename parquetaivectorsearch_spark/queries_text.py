@@ -1426,3 +1426,108 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(ratios,
                          "doc_id BIGINT, n_bytes BIGINT, ratio DOUBLE,"
                          " flagged BOOLEAN"))
+
+
+@register("random_walks", """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 200
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_inner_product(a.v, b.v) AS dot
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY dot DESC, dst) AS rn
+        FROM sims) t WHERE rn <= 3
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM knn
+                 UNION ALL SELECT dst AS src, src AS dst FROM knn) u),
+    nbr AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY src) AS odeg
+      FROM edges
+    ),
+    w0 AS (SELECT src AS start, src AS cur, 0 AS step FROM nbr
+           GROUP BY src),
+    w1 AS (SELECT w.start, n.dst AS cur, 1 AS step FROM w0 w JOIN nbr n
+           ON n.src = w.cur
+           AND n.idx = (w.cur * 2654435761 + 1 * 2246822519) % n.odeg),
+    w2 AS (SELECT w.start, n.dst AS cur, 2 AS step FROM w1 w JOIN nbr n
+           ON n.src = w.cur
+           AND n.idx = (w.cur * 2654435761 + 2 * 2246822519) % n.odeg),
+    w3 AS (SELECT w.start, n.dst AS cur, 3 AS step FROM w2 w JOIN nbr n
+           ON n.src = w.cur
+           AND n.idx = (w.cur * 2654435761 + 3 * 2246822519) % n.odeg),
+    w4 AS (SELECT w.start, n.dst AS cur, 4 AS step FROM w3 w JOIN nbr n
+           ON n.src = w.cur
+           AND n.idx = (w.cur * 2654435761 + 4 * 2246822519) % n.odeg)
+    SELECT start, CAST(step AS INTEGER) AS step, cur AS node FROM (
+      SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
+      SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL
+      SELECT * FROM w4) walks
+""")
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random walks over the 3-NN similarity graph — the
+    DeepWalk/node2vec data-generation stage (Perozzi et al. 2014): the
+    walk corpus these methods feed to skip-gram (the engine's
+    skipgram_pairs) to learn graph embeddings. One 4-step walk per
+    node; the 'random' neighbor choice is a Knuth-hash of
+    (current node, step) mod out-degree over the dst-sorted adjacency —
+    reproducible under any partitioning AND SQL-expressible, so the
+    whole walk corpus is hash-gated (each step is one equi-join of the
+    frontier against the indexed adjacency list — L joins for L steps,
+    the distributed walk shape at any graph size). Same bounded
+    vec_id < 200 θ-join graph as pagerank_simgraph; the full-corpus
+    variant rides knn_graph exactly as pagerank_simgraph_full does."""
+    from pyspark.sql.window import Window as W
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    sims = (a.join(b, F.col("src") != F.col("dst"))
+            .select("src", "dst", V.dot("va", "vb").alias("dot")))
+    knn3 = (sims.withColumn(
+                "rn", F.row_number().over(
+                    W.partitionBy("src").orderBy(F.desc("dot"), "dst")))
+            .filter(F.col("rn") <= 3).select("src", "dst"))
+    edges = knn3.union(
+        knn3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nbr = edges.select(
+        "src", "dst",
+        (F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
+        .alias("idx"),
+        F.count("*").over(W.partitionBy("src")).alias("odeg"),
+    ).localCheckpoint()
+    frontier = (nbr.select("src").distinct()
+                .select(F.col("src").alias("start"),
+                        F.col("src").alias("cur"),
+                        F.lit(0).alias("step")))
+    walks = [frontier]
+    for s in range(1, 5):
+        prev = walks[-1]
+        nxt = (prev.join(
+                   nbr,
+                   (F.col("cur") == F.col("src"))
+                   & (F.col("idx") == (F.col("cur") * F.lit(2654435761)
+                                       + F.lit(s) * F.lit(2246822519))
+                      % F.col("odeg")))
+               .select("start", F.col("dst").alias("cur"),
+                       F.lit(s).alias("step")))
+        walks.append(nxt)
+    out = walks[0]
+    for w_ in walks[1:]:
+        out = out.union(w_)
+    return out.select("start", F.col("step").cast("int").alias("step"),
+                      F.col("cur").alias("node"))
