@@ -564,7 +564,20 @@ def hnsw_search_filtered(graph: DataFrame, queries: DataFrame,
     At very selective filters (k' approaching graph size) the honest
     answer is the IVF pre-filter path (ann_filtered_topk) or exact
     filtered KNN; the cap below keeps k' sane and the recall gate in
-    tests/test_hnsw.py measures the planted-corpus behavior."""
+    tests/test_hnsw.py measures the planted-corpus behavior.
+
+    ADMISSION-JOIN BUILD SIDE — the scale-critical choice (r10 audit):
+    the r10 plan broadcast ``allowed`` unconditionally, which OOMs at
+    100 TB on any large-but-unselective filter (sel = 0.5 over 1B
+    vectors → ~500M ids through a broadcast). ``cand`` is the side with
+    the PROVABLE bound — |queries| × k' rows — but k' itself scales as
+    k/sel, so at very selective filters cand grows while allowed
+    shrinks: the two sides' sizes move in OPPOSITE directions with
+    selectivity. admission_build_side() picks the provably smaller
+    side, broadcasts it only when it is under the row budget, and
+    degrades to a plain shuffle semi-join (AQE decides locally) when
+    BOTH exceed it — never a planner-forced broadcast of an unbounded
+    frame."""
     spark = graph.sparkSession
     n_total = graph.count()
     n_allowed = allowed.count()
@@ -574,15 +587,50 @@ def hnsw_search_filtered(graph: DataFrame, queries: DataFrame,
     sel = n_allowed / max(n_total, 1)
     kk = min(int(np.ceil(k / max(sel, 1e-6)) * oversample), max(n_total, k))
     cand = hnsw_search(graph, queries, k=kk, params=params)
-    hits = cand.join(
-        F.broadcast(allowed.select(F.col(id_col).alias("vec_id"))),
-        "vec_id")
+    allowed_ids = allowed.select(F.col(id_col).alias("vec_id"))
+    side = admission_build_side(n_allowed, queries.count(), kk)
+    if side == "broadcast_allowed":
+        hits = cand.join(F.broadcast(allowed_ids), "vec_id")
+    elif side == "broadcast_cand":
+        # allowed streams; the bounded candidate frame is the build side
+        hits = allowed_ids.join(F.broadcast(cand), "vec_id")
+    else:  # shuffle: both sides unbounded — hash-partition on vec_id
+        hits = cand.join(allowed_ids, "vec_id")
+    hits = hits.select("query_id", "vec_id", "distance")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
     return (hits.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k).drop("rank")
             .orderBy("query_id", "distance", "vec_id"))
+
+
+#: Rows we are willing to force through an explicit broadcast hint.
+#: ~4M (vec_id BIGINT [+ distance DOUBLE + query_id] ≈ 24 B/row ≈ 100 MB
+#: serialized) — comfortably inside executor memory at default configs;
+#: anything larger goes through the shuffle path instead.
+ADMISSION_BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def admission_build_side(n_allowed: int, n_queries: int, kk: int,
+                         row_limit: int = ADMISSION_BROADCAST_ROW_LIMIT
+                         ) -> str:
+    """Pick the build side for the filtered-serve admission semi-join.
+
+    Returns ``"broadcast_allowed"`` / ``"broadcast_cand"`` /
+    ``"shuffle"``. The candidate frame is exactly ``n_queries × kk``
+    rows (hnsw_search truncates per query); the allowed-id set is
+    ``n_allowed`` rows. Broadcast the smaller, and only under
+    ``row_limit`` — a selective filter (small allowed) broadcasts the
+    id set as before, an UNselective filter (huge allowed, small k')
+    broadcasts the candidates, and a pathological middle (both huge:
+    enormous query batch against an enormous half-selective filter)
+    falls back to a shuffle semi-join rather than OOM either way."""
+    cand_rows = n_queries * kk
+    smaller = min(n_allowed, cand_rows)
+    if smaller > row_limit:
+        return "shuffle"
+    return "broadcast_allowed" if n_allowed <= cand_rows else "broadcast_cand"
 
 
 def hnsw_compact(spark, path: str, n_partitions: int = 8,

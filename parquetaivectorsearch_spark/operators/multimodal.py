@@ -907,7 +907,8 @@ def video_frame_hashes(media: DataFrame, hash_size: int = 8,
 
 def video_matches(media: DataFrame,
                   min_containment: float = 0.8,
-                  frame_hashes: DataFrame | None = None) -> DataFrame:
+                  frame_hashes: DataFrame | None = None,
+                  df_cap: int | None = None) -> DataFrame:
     """Near-duplicate video pairs: DISTINCT frame-hash sets per clip,
     inverted-index equality join, containment over the smaller clip's
     set (same scoring rationale as audio_fp_matches — re-encoded or
@@ -915,10 +916,33 @@ def video_matches(media: DataFrame,
     deliberately ignored so re-cut compilations still match). Pass
     ``frame_hashes`` to reuse an already-materialized hash tier;
     otherwise it is localCheckpoint'ed here so the counts agg and both
-    self-join sides read ONE decode+DCT pass instead of three."""
+    self-join sides read ONE decode+DCT pass instead of three.
+
+    ``df_cap`` is the same SCALE lever audio_fp_matches needed for the
+    identical failure mode (r10 What's-wrong #2): any UNIFORM frame —
+    black/white frames, title cards, slates, ubiquitous in real video —
+    DCT-collapses to a single pHash, so that one bucket's occupancy
+    grows with the corpus and the self-join's pair count grows
+    QUADRATICALLY, and common-frame background can cross the
+    containment threshold exactly as audio's shared-vocabulary
+    landmarks did (measured α ≈ 1.35 there before its cap). Capping
+    drops frame hashes held by more than ``df_cap`` clips from BOTH the
+    pair numerator and each clip's denominator: an every-clip-has-it
+    frame carries zero containment signal, while true duplicates keep
+    sharing their RARE frames, so dup containment stays ≈ 1.0 and the
+    join output is bounded by df_cap × |hash rows| — linear at fixed
+    cap. Regression-pinned by a planted-black-frame corpus in
+    tests/test_multimodal.py (uncapped: background pairs cross the
+    threshold; capped: exactly the true duplicates, recall 1.0)."""
     if frame_hashes is None:
         frame_hashes = video_frame_hashes(media).localCheckpoint(eager=False)
     fh = frame_hashes.select("media_id", "fhash").distinct()
+    if df_cap is not None:
+        rare = (fh.groupBy("fhash")
+                .agg(F.count_distinct("media_id").alias("df"))
+                .filter(F.col("df") <= df_cap)
+                .select("fhash"))
+        fh = fh.join(rare, "fhash", "left_semi")
     counts = fh.groupBy("media_id").agg(F.count("*").alias("n"))
     a = fh.select(F.col("media_id").alias("id_a"), "fhash")
     b = fh.select(F.col("media_id").alias("id_b"), "fhash")

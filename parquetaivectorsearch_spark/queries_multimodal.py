@@ -223,9 +223,13 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode is the one env-blocked stub; decoded-frame lakes are exactly
     what this serves): per-frame DCT pHashes → distinct hash set per
     clip → inverted-index join → containment ≥ 0.8 (order-ignoring, so
-    trims and re-cuts still match). Per-clip framing, row count pinned
-    at |video clips|: (media_id, n_distinct_frames, best_match_id,
-    best_shared, best_containment)."""
+    trims and re-cuts still match). df_cap=64 (same stop-hash treatment
+    as dedup_audio, r10 What's-wrong #2): uniform frames — black
+    frames, title cards — DCT-collapse to one pHash, so without the cap
+    one bucket goes quadratic in corpus size and common-frame
+    background crosses the threshold. Per-clip framing, row count
+    pinned at |video clips|: (media_id, n_distinct_frames,
+    best_match_id, best_shared, best_containment)."""
     from parquetaivectorsearch_spark.operators.multimodal import (
         video_frame_hashes,
         video_matches,
@@ -236,7 +240,8 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (fh.select("media_id", "fhash").distinct()
               .groupBy("media_id")
               .agg(F.count("*").cast("int").alias("n_distinct_frames")))
-    m = video_matches(media, min_containment=0.8, frame_hashes=fh)
+    m = video_matches(media, min_containment=0.8, frame_hashes=fh,
+                      df_cap=64)
     both = (
         m.select(F.col("id_a").alias("media_id"),
                  F.col("id_b").alias("other"), "n_shared", "containment")

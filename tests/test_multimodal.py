@@ -611,3 +611,42 @@ def test_hog_uniform_zero_and_edge_bin(spark):
     h = np.array(rows[2].hog)
     assert h[0] == pytest.approx(1.0) and np.allclose(h[1:], 0.0)
     assert np.linalg.norm(h) == pytest.approx(1.0)
+
+
+def test_video_matches_df_cap_kills_black_frame_background(spark):
+    """Planted-black-frame regression (r10 What's-wrong #2, audio's
+    failure mode one modality over): every clip shares 4 common frames
+    (one all-black — every constant frame pHashes to the same value —
+    plus three title-card-style frames) and carries 1 unique frame, and
+    exactly one pair is a true duplicate. Uncapped, EVERY background
+    pair hits containment 4/5 = 0.8 and crosses the threshold — the
+    quadratic-bucket + precision failure. With df_cap the common hashes
+    (df = n_clips > cap) drop from numerator AND denominators: the true
+    duplicate survives at containment 1.0, the background vanishes."""
+    rng = np.random.default_rng(11)
+    black = np.zeros((1, 12, 10, 1), dtype=np.uint8)
+    commons = [black] + [rng.integers(0, 256, (1, 12, 10, 1), dtype=np.uint8)
+                         for _ in range(3)]
+
+    def clip(mid, unique):
+        vid = np.concatenate(commons + [unique], axis=0)
+        f, h, w, c = vid.shape
+        return (mid, "video", vid.tobytes(), ("raw", w, h, c, None, f))
+
+    uniques = [rng.integers(0, 256, (1, 12, 10, 1), dtype=np.uint8)
+               for _ in range(11)]
+    rows = [clip(i, uniques[i]) for i in range(11)]
+    rows.append(clip(11, uniques[0]))        # clip 11 duplicates clip 0
+    media = _manual_media(spark, rows)
+    fh = MM.video_frame_hashes(media).localCheckpoint(eager=True)
+
+    uncapped = {(p.id_a, p.id_b)
+                for p in MM.video_matches(media, min_containment=0.8,
+                                          frame_hashes=fh).collect()}
+    assert len(uncapped) == 12 * 11 // 2, len(uncapped)  # all 66 pairs cross
+
+    capped = {(p.id_a, p.id_b): p.containment
+              for p in MM.video_matches(media, min_containment=0.8,
+                                        frame_hashes=fh,
+                                        df_cap=4).collect()}
+    assert capped == {(0, 11): 1.0}, capped

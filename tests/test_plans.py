@@ -227,3 +227,62 @@ def test_domain_cap_partial_window_group_limit(spark):
     limits = len(re.findall(r"WindowGroupLimit", tree))
     assert limits == 2, tree
     assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree
+
+
+def test_admission_build_side_policy():
+    """Unit pin for the filtered-serve admission join (r10 What's-wrong
+    #1): a selective filter broadcasts the small allowed-id set, an
+    UNselective filter broadcasts the bounded candidate frame (never
+    the ~n_total id set), and the both-huge corner degrades to a
+    shuffle semi-join instead of OOMing either broadcast."""
+    from parquetaivectorsearch_spark.operators.hnsw import (
+        admission_build_side)
+
+    assert admission_build_side(100, 8, 40) == "broadcast_allowed"
+    # sel=0.5 over 1B vectors: 500M ids must NEVER be the build side
+    assert admission_build_side(500_000_000, 8, 40) == "broadcast_cand"
+    # 1M-query batch at k'=8000 against a 500M-id filter: both unbounded
+    assert admission_build_side(500_000_000, 1_000_000, 8000) == "shuffle"
+    # at the row budget exactly, broadcasting is still allowed
+    assert admission_build_side(4_000_000, 1_000_000, 8000) == \
+        "broadcast_allowed"
+
+
+def test_filtered_hnsw_broadcasts_cand_not_allowed(spark):
+    """With an unselective filter (allowed ≈ whole corpus > |q|·k') the
+    admission join's BUILD side must be the candidate frame, not the
+    allowed-id set (the r10 plan broadcast `allowed` unconditionally —
+    an OOM at any large filter). Auto-broadcast is disabled so the only
+    BroadcastHashJoin in the plan is the explicit hint; `allowed` is
+    the LEFT child there, so the hinted build side must be BuildRight."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.hnsw import (
+        build_hnsw, hnsw_search_filtered)
+    from parquetaivectorsearch_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    graph = build_hnsw(emb.select("vec_id", "embedding"), n_partitions=2)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    allowed = emb.select("vec_id")  # sel = 1.0: every id passes
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                             None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = hnsw_search_filtered(graph, queries, allowed, k=5)
+        plan = P.executed_plan(res)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                           old_aqe)
+    import re
+    joins = re.findall(r"BroadcastHashJoin.*", plan)
+    assert len(joins) == 1, plan
+    assert "BuildRight" in joins[0], joins[0]
