@@ -653,7 +653,8 @@ def phash_images(media: DataFrame, hash_size: int = 8,
 
 
 def phash_pairs(media: DataFrame, max_hamming: int | None = 6,
-                hashes: DataFrame | None = None) -> DataFrame:
+                hashes: DataFrame | None = None,
+                df_cap: int | None = None) -> DataFrame:
     """Near-duplicate image pairs by pHash: SimHash-style 16-bit chunk
     blocking (4 chunks of the 64-bit hash; pigeonhole guarantees every
     pair with hamming ≤ 3 shares an intact chunk — exact recall there,
@@ -664,7 +665,29 @@ def phash_pairs(media: DataFrame, max_hamming: int | None = 6,
     AFTER the shift. Pass ``hashes`` to reuse an already-materialized
     hash tier; otherwise the tier is localCheckpoint'ed here so the
     chunk-explode self-join reads ONE pHash extraction, not one per
-    join side (pixels decoded once)."""
+    join side (pixels decoded once).
+
+    ``df_cap`` is the SCALE lever (r10 audit, measured in
+    tools/phash_bucket_audit.py): the chunk key space is BOUNDED at
+    4×65536 values, so at growing corpus size candidate pairs grow as
+    n²/65536 regardless of content — measured candidate alpha 2.0 on a
+    planted smooth-image corpus (129 → 13,604 candidates at 10×) while
+    verified dups stayed near zero: cost without output, audio's
+    pre-cap failure shape. (The hypothesized single 0x0000 mega-bucket
+    does NOT form here — float noise in the exact-zero high-frequency
+    DCT coefficients dithers the sub-median bits — but bounded-key
+    birthday collisions produce the same quadratic anyway.) Capping
+    drops chunk values held by more than ``df_cap`` images from
+    candidate generation, bounding the join at df_cap × |chunk rows|.
+    Because an EXACT-duplicate clique (identical images hash
+    identically, so all four of its chunks are crowded) could be capped
+    out entirely, a full-hash equality tier rescues it: each image
+    links to the MIN media_id of its hash group — k−1 star pairs per
+    clique, not C(k,2), which is what dedup consumes and stays linear.
+    The weakened contract, honestly: within an exact clique only
+    star pairs are enumerated, and a ≤3-hamming pair whose only intact
+    shared chunk is crowded past the cap is missed — the pigeonhole
+    guarantee holds for pairs in buckets ≤ df_cap."""
     if hashes is None:
         hashes = phash_images(media).localCheckpoint(eager=False)
     chunks = hashes.select(
@@ -674,13 +697,31 @@ def phash_pairs(media: DataFrame, max_hamming: int | None = 6,
             "struct(c AS c, int(shiftright(phash, c * 16) & 65535) AS v))"
         )).alias("ck"),
     ).select("media_id", "phash", "ck.c", "ck.v")
+    if df_cap is not None:
+        rare = (chunks.groupBy("c", "v")
+                .agg(F.count_distinct("media_id").alias("df"))
+                .filter(F.col("df") <= df_cap)
+                .select("c", "v"))
+        chunks = chunks.join(rare, ["c", "v"], "left_semi")
     a = chunks.select(F.col("media_id").alias("id_a"),
                       F.col("phash").alias("ph_a"), "c", "v")
     b = chunks.select(F.col("media_id").alias("id_b"),
                       F.col("phash").alias("ph_b"), "c", "v")
     cand = (a.join(b, ["c", "v"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "ph_a", "ph_b").distinct())
+            .select("id_a", "id_b", "ph_a", "ph_b"))
+    if df_cap is not None:
+        from pyspark.sql.window import Window
+
+        rep = F.min("media_id").over(Window.partitionBy("phash"))
+        exact = (hashes.withColumn("rep", rep)
+                 .filter(F.col("media_id") != F.col("rep"))
+                 .select(F.col("rep").alias("id_a"),
+                         F.col("media_id").alias("id_b"),
+                         F.col("phash").alias("ph_a"),
+                         F.col("phash").alias("ph_b")))
+        cand = cand.unionAll(exact)
+    cand = cand.distinct()
     hd = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     out = cand.select("id_a", "id_b", hd.cast("int").alias("hamming"))
     # max_hamming=None → every chunk-blocked candidate with its distance

@@ -154,7 +154,7 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = phash_images(media).localCheckpoint(eager=False)
     # one pixel pass: candidates and the per-image projection both read
     # the checkpointed hash tier
-    pairs = phash_pairs(media, max_hamming=None, hashes=hashes)
+    pairs = phash_pairs(media, max_hamming=None, hashes=hashes, df_cap=64)
     both = pairs.select(F.col("id_a").alias("media_id"),
                         F.col("id_b").alias("other"), "hamming").unionAll(
         pairs.select(F.col("id_b").alias("media_id"),

@@ -650,3 +650,38 @@ def test_video_matches_df_cap_kills_black_frame_background(spark):
                                         frame_hashes=fh,
                                         df_cap=4).collect()}
     assert capped == {(0, 11): 1.0}, capped
+
+
+def test_phash_pairs_df_cap_bounds_buckets_and_rescues_exact_cliques(spark):
+    """Chunk-bucket cap (r10 audit #3): crowding a chunk value past the
+    cap drops it from candidate generation, and the full-hash equality
+    tier star-links exact-duplicate cliques (whose 4 chunks are ALL
+    crowded) so hamming-0 recall survives the cap. Planted: a 10-image
+    identical clique, one near-dup pair (few flipped pixels, uncrowded
+    buckets), and dense random background."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[1, 1, :] ^= 3                       # tiny perturbation: hamming ≤ 3
+
+    def row(mid, img):
+        return (mid, "image", img.tobytes(), ("raw", 32, 32, 3, None, None))
+
+    clique = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [row(i, clique) for i in range(10)]          # exact clique 0..9
+    rows += [row(100, base), row(101, near)]            # near-dup pair
+    rows += [row(200 + i, rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+             for i in range(20)]                        # background
+    media = _manual_media(spark, rows)
+    fh = MM.phash_images(media).localCheckpoint(eager=True)
+
+    capped = MM.phash_pairs(media, max_hamming=3, hashes=fh,
+                            df_cap=3).collect()
+    got = {(p.id_a, p.id_b): p.hamming for p in capped}
+    # exact clique: star pairs to the min-id representative, hamming 0
+    for j in range(1, 10):
+        assert got.get((0, j)) == 0, got
+    # clique chunks are crowded past cap=3 → no within-clique non-star pairs
+    assert not any(a != 0 and a < 10 and b < 10 for a, b in got), got
+    # the genuine near-dup pair survives in its uncrowded buckets
+    assert (100, 101) in got and got[(100, 101)] <= 3, got
