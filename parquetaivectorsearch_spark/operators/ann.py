@@ -54,6 +54,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from parquetaivectorsearch_spark.operators.knn import _tie_safe_cut
+
 METRICS = ("ip", "cosine", "l2")
 
 
@@ -347,12 +349,10 @@ def ivf_search_bulk(index: IVFIndex, queries: DataFrame, k: int = 20,
                 if not len(finite):
                     continue
                 take = min(k, len(finite))
-                # lexsort, not argpartition: exact distance ties at the
-                # batch-k boundary (duplicate vectors) must keep the
-                # id-winning row or the global (distance, id) window can
-                # rank a different id than ivf_search — same reasoning as
-                # knn_topk_arrow (operators/knn.py:293)
-                cand = finite[np.lexsort((ids[finite], dj[finite]))[:take]]
+                # O(n) tie-inclusive cut (operators/knn._tie_safe_cut);
+                # the global (distance, id) window owns the tie-break, so
+                # emitting the extra boundary-tied rows is exact
+                cand = finite[_tie_safe_cut(dj[finite], take)]
                 out_q.extend([int(qid)] * len(cand))
                 out_i.extend(ids[cand].tolist())
                 out_d.extend(dj[cand].tolist())
@@ -612,14 +612,15 @@ def knn_graph(corpus: DataFrame, k: int = 3, nlist: int | None = None,
             take = min(k, len(m_ids))
             for j in range(len(q_ids)):
                 dj = dist[:, j]
-                # lexsort on (distance, member id): tie-safe at the
-                # list-level cut — exact-duplicate embeddings (the dedup
-                # use case) must not flip which neighbor id survives, and
-                # the nprobe=nlist recall tests assert equality with the
-                # exact graph whose window breaks ties on id. inf
-                # (self-edge) sorts last, so the finite filter after the
-                # take keeps semantics identical.
-                cand = np.lexsort((m_ids, dj))[:take]
+                # O(n) tie-inclusive cut (operators/knn._tie_safe_cut) —
+                # exact-duplicate embeddings (the dedup use case) must not
+                # flip which neighbor id survives, and the downstream
+                # (distance, cand) window owns the tie-break. inf
+                # (self-edge) keys never beat a finite boundary; when the
+                # boundary itself is inf (fewer finite rows than take) the
+                # superset is the whole batch and the finite filter keeps
+                # exactly the finite rows — semantics identical.
+                cand = _tie_safe_cut(dj, take)
                 cand = cand[np.isfinite(dj[cand])]
                 out_q.extend([int(q_ids[j])] * len(cand))
                 out_c.extend(m_ids[cand].tolist())

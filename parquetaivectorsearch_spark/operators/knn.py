@@ -27,6 +27,29 @@ from pyspark.sql.window import Window
 from parquetaivectorsearch_spark.functions.vector import dot, dot_product_distance
 
 
+def _tie_safe_cut(keys, take: int):
+    """Indices of the ``take`` smallest ``keys`` PLUS every row tied with
+    the boundary value — an UNORDERED, tie-inclusive superset computed in
+    O(n) via argpartition (ADVICE r10: the r10 tie-safety fix lexsorted
+    every corpus batch per query, an O(n log n) cut on the headline bench
+    path). Tie-safety argument: the original bug was the cut EXCLUDING a
+    boundary-tied row with a smaller id before the tie-aware consumer saw
+    it; including all boundary ties restores exactness, and the final
+    deterministic (value, id) ordering is owned by the consumer — the
+    per-query heaps with (-d, -id) items, or the global
+    window/TakeOrdered on (distance, id) — which every caller already
+    has. Worst case (an all-tied batch) degrades to the full batch, the
+    same rows the lexsort version fed the consumer anyway."""
+    import numpy as np
+
+    n = len(keys)
+    if take >= n:
+        return np.arange(n)
+    part = np.argpartition(keys, take - 1)
+    boundary = keys[part[take - 1]]
+    return np.nonzero(keys <= boundary)[0]
+
+
 def query_vector_df(corpus: DataFrame, vec_id: int,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """The reference's query source: a row of the corpus itself
@@ -136,13 +159,9 @@ def knn_join_bulk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             take = min(k, len(ids))
             for j, qid in enumerate(q_ids):
                 dj = dist[:, j]
-                # lexsort, not argpartition: exact distance ties at the
-                # batch-k boundary (duplicate vectors) must keep the
-                # id-winning row BEFORE the tie-aware heap sees it, or the
-                # final (distance, id) window ranks a different id than the
-                # exact path — same fix as operators/ann.py:355
-                cand = np.lexsort((ids, dj))[:take] if take < len(dj) \
-                    else np.arange(len(dj))
+                # O(n) tie-inclusive cut; the (-d, -id) heap below owns
+                # the deterministic tie-break (see _tie_safe_cut)
+                cand = _tie_safe_cut(dj, take)
                 heap = best[int(qid)]
                 for i in cand:
                     # (-distance, -id): on equal distance the SMALLER id is
@@ -294,12 +313,12 @@ def knn_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
             # gaps dwarf it.
             dist = 1.0 - (emb @ qv.astype(emb.dtype)).astype(np.float64)
             take = min(k, len(dist))
-            # lexsort, not argpartition: ties at the batch-k boundary must
-            # keep the smallest ids or the global (distance, id) tiebreak
-            # can diverge from the expression form on duplicate vectors
-            top = np.lexsort((ids, dist))[:take]
+            # O(n) tie-inclusive cut: emitting the few extra boundary-tied
+            # rows is harmless — the global TakeOrdered on (distance, id)
+            # below owns the tie-break (see _tie_safe_cut)
+            top = _tie_safe_cut(dist, take)
             yield pa.RecordBatch.from_pydict({
-                "query_id": pa.array(np.full(take, qid), pa.int64()),
+                "query_id": pa.array(np.full(len(top), qid), pa.int64()),
                 id_col: pa.array(ids[top].astype(np.int64), pa.int64()),
                 "distance": pa.array(dist[top], pa.float64()),
             })
@@ -350,11 +369,9 @@ def int8_knn_join_bulk(quantized: DataFrame, corpus: DataFrame,
             take = min(shortlist, len(ids))
             for j, qid in enumerate(q_ids):
                 dj = dist[:, j]
-                # lexsort, not argpartition: tie-safe at the shortlist cut
-                # (duplicate vectors quantize identically) — see the
-                # knn_join note above and operators/ann.py:355
-                cand = np.lexsort((ids, dj))[:take] if take < len(dj) \
-                    else np.arange(len(dj))
+                # O(n) tie-inclusive cut (duplicate vectors quantize
+                # identically); the heap owns the tie-break
+                cand = _tie_safe_cut(dj, take)
                 heap = best[int(qid)]
                 for i in cand:
                     item = (-float(dj[i]), -int(ids[i]))
@@ -473,11 +490,11 @@ def maxsim_topk_arrow(corpus: DataFrame, query: DataFrame, k: int = 20,
             grid = np.einsum("ntd,md->nmt", d, qv)
             score = grid.max(axis=2).sum(axis=1)
             take = min(k, len(score))
-            # lexsort on (-score, id): tie-safe at the batch-k boundary,
-            # matching the expression form's (maxsim DESC, vec_id) order
-            top = np.lexsort((ids, -score))[:take]
+            # O(n) tie-inclusive cut on -score; the global TakeOrdered on
+            # (maxsim DESC, vec_id) below owns the tie-break
+            top = _tie_safe_cut(-score, take)
             yield pa.RecordBatch.from_pydict({
-                "query_id": pa.array(np.full(take, qid), pa.int64()),
+                "query_id": pa.array(np.full(len(top), qid), pa.int64()),
                 id_col: pa.array(ids[top].astype(np.int64), pa.int64()),
                 "maxsim": pa.array(score[top], pa.float64()),
             })

@@ -39,10 +39,15 @@ from pyspark.sql.window import Window
 
 
 def _kmeans_books(x: np.ndarray, m: int, k: int,
-                  iters: int, seed: int) -> np.ndarray:
+                  iters: int, seed: int,
+                  init: np.ndarray | None = None) -> np.ndarray:
     """Per-subspace L2 k-means over a driver-resident sample matrix;
     returns float64[m, k, d/m]. Deterministic: seeded init, fixed
-    iteration count."""
+    iteration count. ``init`` warm-starts from existing codebooks
+    (float64[m, k, d/m]) instead of re-seeding — the OPQ alternation
+    needs this for its monotone-descent guarantee (ADVICE r10): Lloyd
+    iterations from the PREVIOUS codebooks are non-increasing in
+    distortion, whereas a fresh seeded init can jump anywhere."""
     n, d = x.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -51,7 +56,8 @@ def _kmeans_books(x: np.ndarray, m: int, k: int,
     books = np.empty((m, k, dsub))
     for j in range(m):
         xj = x[:, j * dsub:(j + 1) * dsub]
-        cent = xj[rng.choice(n, size=k, replace=False)].copy()
+        cent = (init[j].copy() if init is not None
+                else xj[rng.choice(n, size=k, replace=False)].copy())
         for _ in range(iters):
             d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)
@@ -123,7 +129,13 @@ def train_opq(corpus: DataFrame, m: int = 8, k: int = 16,
         dec = _decode_mat(_encode_mat(x @ R, books), books)
         u, _s, vt = np.linalg.svd(x.T @ dec)
         R = u @ vt
-        books = _kmeans_books(x @ R, m, k, iters, seed)
+        # warm-start from the previous codebooks (ADVICE r10): both
+        # alternation steps are then genuinely non-increasing in
+        # ||XR - X_hat||^2_F — Procrustes is optimal for fixed books,
+        # Lloyd from the previous books never increases distortion —
+        # so the docstring's monotone-descent claim actually holds
+        # (it was only empirically true under per-iteration re-seeding)
+        books = _kmeans_books(x @ R, m, k, iters, seed, init=books)
     return R, books
 
 
@@ -150,7 +162,7 @@ def train_opq_residual(index, m: int = 8, k: int = 16,
         dec = _decode_mat(_encode_mat(res @ R, books), books)
         u, _s, vt = np.linalg.svd(res.T @ dec)
         R = u @ vt
-        books = _kmeans_books(res @ R, m, k, iters, seed)
+        books = _kmeans_books(res @ R, m, k, iters, seed, init=books)
     return R, books
 
 

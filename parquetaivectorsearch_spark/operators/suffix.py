@@ -80,9 +80,19 @@ def suffix_array_rounds(
     parquet, the standard n·log n storage cost). ``lcp_adjacent`` walks
     the levels to compute longest-common-prefix lengths in O(log n)
     joins instead of character-at-a-time comparison."""
+    # First-round key is the INTEGER code point (F.ascii returns the
+    # full code point, not just 7-bit ASCII), never the raw 1-char
+    # string: three sorters touch these keys — repartitionByRange
+    # boundaries (UTF8String binary), the pandas/Python local sort
+    # (code-point), and the DuckDB oracle (UTF-8 binary) — and while
+    # UTF-8-binary == code-point order, ranking on one integer makes all
+    # three THE SAME integer order by construction (ADVICE r10), and
+    # int keys range-partition/sort cheaper than strings anyway.
+    # Supplementary-plane pin: test_suffix_array_astral_characters.
     df = _dense_rank_2key(
         chars.select(F.col(pos_col).alias("pos"),
-                     F.col(char_col).alias("k1"), F.lit(0).alias("k2")),
+                     F.ascii(F.col(char_col)).alias("k1"),
+                     F.lit(0).alias("k2")),
         parts)
     rounds = [(1, df)]
     n = df.count()

@@ -445,10 +445,12 @@ def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("count"), "pat").limit(20)
     )
     pats = [r.pat for r in top.collect()]  # bounded: exactly 20 strings
-    hits = None
+    # seed with 0 so an EMPTY blocklist (no doc has >= 2 words) degrades
+    # to an empty result instead of None.cast() (ADVICE r10)
+    hits = F.lit(0)
     for p in pats:
-        term = F.when(F.instr(F.col("text"), F.lit(p)) > 0, 1).otherwise(0)
-        hits = term if hits is None else hits + term
+        hits = hits + F.when(F.instr(F.col("text"), F.lit(p)) > 0,
+                             1).otherwise(0)
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", hits.cast("bigint").alias("n_pats"))
             .filter(F.col("n_pats") > 0))

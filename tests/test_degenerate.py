@@ -126,3 +126,20 @@ def test_maxsim_and_matryoshka_shapes_on_fixture(spark):
 
     assert QV.q_maxsim_multivector(spark, SF_SMOKE).count() == 10
     assert QV.q_matryoshka_topk(spark, SF_SMOKE).count() == 10
+
+
+def test_blocklist_scan_on_single_word_corpus(spark, tmp_path):
+    """An empty blocklist (no doc has >= 2 words -> zero bigram patterns)
+    must return an empty frame, not crash on a None hits column
+    (ADVICE r10: hits stayed None and None.cast() raised)."""
+    from parquetaivectorsearch_spark.queries import all_queries
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "hello", "en", "web", 5), (2, "x", "en", "web", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = all_queries()["blocklist_scan"](spark, d)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_pats"]

@@ -327,3 +327,37 @@ def test_opq_residual_full_recipe(spark):
               for r in PQ.pq_rerank(short, corpus, queries, k=20).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_opq_alternation_monotone_descent(spark):
+    """The Ge et al. alternation must be NON-INCREASING in
+    ||XR − X̂||²_F at every step (ADVICE r10: per-iteration k-means
+    re-seeding broke the guarantee the docstring claimed; warm-starting
+    from the previous codebooks restores it). Replays train_opq's exact
+    loop with the module's own helpers and asserts the trace descends."""
+    import numpy as np
+
+    from parquetaivectorsearch_spark.operators.pq import (
+        _decode_mat, _encode_mat, _kmeans_books)
+    from parquetaivectorsearch_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(400)
+    x = np.stack(emb.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    m, k, iters, seed = 8, 16, 10, 42
+
+    def mse(R, books):
+        xh = _decode_mat(_encode_mat(x @ R, books), books)
+        return float(((x @ R - xh) ** 2).sum())
+
+    R = np.eye(d)
+    books = _kmeans_books(x, m, k, iters, seed)
+    trace = [mse(R, books)]
+    for _ in range(6):
+        dec = _decode_mat(_encode_mat(x @ R, books), books)
+        u, _s, vt = np.linalg.svd(x.T @ dec)
+        R = u @ vt
+        books = _kmeans_books(x @ R, m, k, iters, seed, init=books)
+        trace.append(mse(R, books))
+    eps = 1e-9 * trace[0]
+    assert all(b <= a + eps for a, b in zip(trace, trace[1:])), trace

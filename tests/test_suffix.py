@@ -104,3 +104,15 @@ def test_suffix_array_random_strings_property(spark):
         assert got == _expected_ranks(s)
 
     check()
+
+
+def test_suffix_array_astral_characters(spark):
+    """Supplementary-plane pin (ADVICE r10): U+1D11E (surrogate pair in
+    UTF-16) mixed with U+FB04 and ASCII must rank in code-point order —
+    the first round keys on F.ascii's integer code point, so the
+    range-partitioner, the pandas local sort, and the Python reference
+    sort below are literally the same integer comparison."""
+    s = "a\U0001d11ebﬄa\U0001d11eﬄb"
+    got = {r.pos: r["rank"] for r in
+           suffix_array(_chars_df(spark, s), parts=3).collect()}
+    assert got == _expected_ranks(s)
