@@ -435,7 +435,40 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero-evidence components outrank re-refreshing green canaries. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 10 window ---
+    # --- round 11 window ---
+    # (a) newborns (zero evidence, registered this round)
+    "dedup_substring_exact",
+    # (b) the two r10 What's-wrong components, re-fixed this round —
+    #     scale-safe admission join / video df-cap need green rows
+    "ann_hnsw_filtered", "dedup_video",
+    # (c) changed-impl canaries for the r11 rewrites: phash df_cap +
+    #     exact-clique rescue; blocklist empty-seed; suffix first-round
+    #     integer code-point keys (all three SA queries); OPQ k-means
+    #     warm-start (both OPQ tiers); the O(n) tie-safe cut in every
+    #     bulk kNN/IVF/maxsim batch path
+    "dedup_phash", "blocklist_scan", "suffix_array_rank",
+    "longest_repeated_substring", "sa_repeat_pairs", "opq_topk",
+    "ivf_opq_topk", "knn_join_bulk", "knn_topk_arrow",
+    "knn_join_int8_bulk", "maxsim_multivector", "ann_ivf_bulk",
+    # (d) the ENTIRE r5-evidence cohort (VERDICT r10 #5): the 35 queries
+    #     whose latest driver sample is round 5 — after this round no
+    #     query's evidence is older than r6
+    "argmax_agg", "asof_join", "big_orders", "bm25_rank",
+    "cheapest_supplier", "correlated_scalar_subquery", "csv_roundtrip",
+    "datetime_functions", "decontaminate", "forecast_revenue",
+    "incremental_rollup", "join_salted", "knn_checksum", "lateral_topn",
+    "market_share", "merge_upsert", "pack_sequences",
+    "partitioned_write_prune", "percentile_agg",
+    "priority_shipment_counts", "promo_revenue", "range_join",
+    "regional_revenue", "returned_customers", "scd2_intervals",
+    "session_window_agg", "split_assign", "stratified_sample",
+    "streaming_session_agg", "streaming_tumbling_agg",
+    "top_revenue_orders", "udtf_split_words", "variant_json",
+    "vocab_top_words", "window_range_frame",
+)
+
+_DRIVER_WINDOW_R10: tuple[str, ...] = (
+    # --- round 10 window (kept for the rotation audit trail) ---
     # (a) the 13 queries with ZERO driver evidence (all r9-born after the
     #     mid-round window freeze) — the r9 VERDICT's explicit ask
     "semdedup_prune", "dedup_keep_best", "bigram_logprob", "dedup_cdc",

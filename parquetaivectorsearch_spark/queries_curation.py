@@ -441,31 +441,44 @@ def q_suffix_array_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_array(_shard_chars(spark, sf_dir), parts=8)
 
 
-def _shard_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, t, off, ln) for the 16-doc en shard: docs truncated to
-    256 chars, ln counts the terminating \x01 sentinel, off is the
-    prefix-sum global offset over the doc_id-ordered concatenation."""
-    d16 = (_t(spark, sf_dir, "documents")
-           .filter(F.col("lang") == "en")
-           .orderBy("doc_id").limit(16)
-           .select("doc_id", F.substring("text", 1, 256).alias("t")))
+def _offsets_from(d: DataFrame) -> DataFrame:
+    """(doc_id, t) → (doc_id, t, off, ln): ln counts the terminating
+    \x01 sentinel, off is the prefix-sum global offset over the
+    doc_id-ordered concatenation (a handful of shard rows — the
+    single-partition window is fine)."""
     w = Window.orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1)
-    return d16.select(
+    return d.select(
         "doc_id", "t",
         F.coalesce(F.sum(F.length("t") + 1).over(w), F.lit(0)).alias("off"),
         (F.length("t") + 1).alias("ln"))
 
 
-def _shard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(pos, ch) rows for the sentinel-terminated shard of
-    ``_shard_offsets`` — the suffix-array input."""
-    return _shard_offsets(spark, sf_dir).select(
+def _chars_from(offsets: DataFrame) -> DataFrame:
+    """offsets frame → (pos, ch) rows for the sentinel-terminated
+    shard — the suffix-array input."""
+    return offsets.select(
         "off",
         F.posexplode(F.expr(
             "transform(sequence(1, length(t) + 1),"
             " i -> substring(concat(t, chr(1)), i, 1))")).alias("i", "ch")
     ).select((F.col("off") + F.col("i") + 1).alias("pos"), "ch")
+
+
+def _shard_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t, off, ln) for the 16-doc en shard: docs truncated to
+    256 chars."""
+    return _offsets_from(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .orderBy("doc_id").limit(16)
+        .select("doc_id", F.substring("text", 1, 256).alias("t")))
+
+
+def _shard_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, ch) rows for the sentinel-terminated shard of
+    ``_shard_offsets``."""
+    return _chars_from(_shard_offsets(spark, sf_dir))
 
 
 @register("longest_repeated_substring", """
@@ -598,3 +611,174 @@ def q_sa_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest("doc_a", "doc_b").alias("doc_hi"))
             .agg(F.max("lcp").cast("bigint").alias("max_lcp"),
                  F.count("*").cast("bigint").alias("n_repeats")))
+
+
+_WINNOW_PAIRS_SQL = """
+    dt AS (
+      SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+    ),
+    d AS (
+      SELECT doc_id, t AS text, length(t) - 31 AS n_w FROM dt
+      WHERE length(t) >= 32
+    ),
+    k AS (
+      SELECT doc_id, text, n_w,
+             list_transform(generate_series(1, n_w),
+               i -> md5(substring(text, CAST(i AS INTEGER), 32))
+                    || lpad(CAST(i AS VARCHAR), 10, '0')) AS keys
+      FROM d
+    ),
+    sel AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(generate_series(1, n_w),
+               q -> list_min(list_slice(keys, CAST(q AS INTEGER),
+                                        CAST(q + 15 AS INTEGER))))) AS winners
+      FROM k
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             substring(text, CAST(substring(wk, 33, 10) AS INTEGER), 32) AS win
+      FROM sel, unnest(winners) AS t(wk)
+    ),
+    keep AS (
+      SELECT win FROM w GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 10
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared_windows
+      FROM w a
+      JOIN keep k2 ON a.win = k2.win
+      JOIN w b ON b.win = a.win AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+@register("dedup_substring_exact", "WITH " + _WINNOW_PAIRS_SQL + """
+    , fpairs AS (
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b LIMIT 8
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM fpairs
+        UNION ALL SELECT doc_b AS doc_id FROM fpairs)
+    ),
+    d16 AS (
+      SELECT dt.doc_id, dt.t FROM dt JOIN flagged USING (doc_id)
+    ),
+    s AS (SELECT string_agg(t || chr(1), '' ORDER BY doc_id) AS shard
+          FROM d16),
+    p AS (SELECT unnest(generate_series(
+            1, length((SELECT shard FROM s)))) AS pos),
+    suf AS (SELECT pos, substr((SELECT shard FROM s), pos) AS sfx FROM p),
+    r AS (SELECT pos, sfx, row_number() OVER (ORDER BY sfx) AS rk FROM suf),
+    adj AS (SELECT a.pos AS pos_a, b.pos AS pos_b, a.sfx AS sa, b.sfx AS sb
+            FROM r a JOIN r b ON b.rk = a.rk + 1),
+    ks AS (SELECT unnest(generate_series(1, 512)) AS k),
+    l AS (SELECT pos_a, pos_b,
+            COALESCE(MAX(CASE WHEN substr(sa, 1, k) = substr(sb, 1, k)
+                          THEN k END), 0) AS lcp
+          FROM adj CROSS JOIN ks
+          WHERE k <= LEAST(length(sa), length(sb))
+          GROUP BY pos_a, pos_b),
+    offs AS (
+      SELECT doc_id,
+             SUM(length(t) + 1) OVER (ORDER BY doc_id)
+               - (length(t) + 1) AS off,
+             length(t) + 1 AS ln
+      FROM d16
+    ),
+    attributed AS (
+      SELECT oa.doc_id AS doc_a, ob.doc_id AS doc_b, l.lcp
+      FROM l
+      JOIN offs oa ON l.pos_a > oa.off AND l.pos_a <= oa.off + oa.ln
+      JOIN offs ob ON l.pos_b > ob.off AND l.pos_b <= ob.off + ob.ln
+      WHERE l.lcp >= 32 AND oa.doc_id <> ob.doc_id
+    ),
+    verified AS (
+      SELECT LEAST(doc_a, doc_b) AS doc_lo,
+             GREATEST(doc_a, doc_b) AS doc_hi,
+             CAST(MAX(lcp) AS BIGINT) AS max_lcp,
+             CAST(COUNT(*) AS BIGINT) AS n_repeats
+      FROM attributed GROUP BY doc_lo, doc_hi
+    )
+    SELECT v.doc_lo, v.doc_hi,
+           CAST(p2.n_shared_windows AS BIGINT) AS n_shared_windows,
+           v.max_lcp, v.n_repeats
+    FROM verified v
+    JOIN pairs p2 ON p2.doc_a = v.doc_lo AND p2.doc_b = v.doc_hi
+""")
+def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lee et al. 2022 exact-substring-dedup pipeline composed
+    end-to-end (VERDICT r10 #4): TIER 1 winnow-fingerprints the whole
+    corpus (operators/dedup.substring_dup_pairs — content-defined
+    min-md5 window selection, one content-keyed shuffle, the 100 TB
+    prefilter) to FLAG candidate duplicate docs; TIER 2 builds the
+    distributed suffix array (operators/suffix.py, prefix doubling) over
+    ONLY the flagged docs and verifies each flagged pair's EXACT maximal
+    shared span via the LCP array (cross-doc rank-adjacent suffixes,
+    lcp ≥ window). The prefilter is what bounds the expensive exact
+    tier: the SA never sees an unflagged doc — at 100 TB, tier 1 is a
+    corpus-wide narrow pass and tier 2 runs per flagged shard-group.
+    Both tiers see the SAME 256-char truncated view so verification
+    semantics are exact; the flagged set is capped at the 16 smallest
+    doc_ids (fixture-shard bound — production shards by pair-cluster).
+    Output per verified pair: (doc_lo, doc_hi, n_shared_windows [tier-1
+    evidence], max_lcp [exact longest shared span, capped 512],
+    n_repeats [distinct rank-adjacent repeat sites ≥ 32 chars]). The
+    oracle replays BOTH tiers in DuckDB: the winnow CTEs of
+    dedup_substring plus the direct O(n²)-suffix-sort verification of
+    sa_repeat_pairs — two independent constructions, hash-checked."""
+    from parquetaivectorsearch_spark.operators.dedup import (
+        substring_dup_pairs)
+    from parquetaivectorsearch_spark.operators.suffix import (
+        lcp_adjacent, suffix_array_rounds)
+
+    dt = (_t(spark, sf_dir, "documents", spread=True)
+          .select("doc_id", F.substring("text", 1, 256).alias("t")))
+    # hashed=False so the DuckDB oracle can replay the window grouping
+    # (pair-set equality with the hashed production twin is pinned in
+    # tests/test_dedup.py); checkpointed because the pair set feeds both
+    # the flagged-doc scan and the final verification join
+    pairs = substring_dup_pairs(
+        dt.select("doc_id", F.col("t").alias("text")),
+        window=32, stride=16, max_docs_per_window=10,
+        hashed=False).localCheckpoint(eager=False)
+    # cap on flagged PAIRS, not flagged docs: both members of each
+    # sharded pair are guaranteed present, so every sharded candidate is
+    # verified-or-refuted (a doc-id cap strands pairs whose partner
+    # falls outside it — 0 verified rows at sf0.1, which proves nothing)
+    fpairs = pairs.orderBy("doc_a", "doc_b").limit(8)
+    flagged = (fpairs.select(F.col("doc_a").alias("doc_id"))
+               .unionAll(fpairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+    offs = _offsets_from(
+        dt.join(F.broadcast(flagged), "doc_id").select("doc_id", "t")
+    ).localCheckpoint(eager=False)  # reused: chars explode + attribution
+    sa, rounds = suffix_array_rounds(_chars_from(offs), parts=8)
+    lcp = (lcp_adjacent(sa, rounds)
+           .withColumn("lcp", F.least(F.col("lcp"), F.lit(512)))
+           .filter(F.col("lcp") >= 32))
+    oa = F.broadcast(offs.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("off").alias("off_a"),
+                                 F.col("ln").alias("ln_a")))
+    ob = F.broadcast(offs.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("off").alias("off_b"),
+                                 F.col("ln").alias("ln_b")))
+    att = (lcp
+           .join(oa, (F.col("pos_a") > F.col("off_a"))
+                 & (F.col("pos_a") <= F.col("off_a") + F.col("ln_a")))
+           .join(ob, (F.col("pos_b") > F.col("off_b"))
+                 & (F.col("pos_b") <= F.col("off_b") + F.col("ln_b")))
+           .filter(F.col("doc_a") != F.col("doc_b")))
+    verified = (att.groupBy(
+                    F.least("doc_a", "doc_b").alias("doc_lo"),
+                    F.greatest("doc_a", "doc_b").alias("doc_hi"))
+                .agg(F.max("lcp").cast("bigint").alias("max_lcp"),
+                     F.count("*").cast("bigint").alias("n_repeats")))
+    ev = pairs.select(F.col("doc_a").alias("doc_lo"),
+                      F.col("doc_b").alias("doc_hi"),
+                      F.col("n_shared_windows").cast("bigint")
+                      .alias("n_shared_windows"))
+    return verified.join(ev, ["doc_lo", "doc_hi"]).select(
+        "doc_lo", "doc_hi", "n_shared_windows", "max_lcp", "n_repeats")

@@ -111,3 +111,37 @@ def test_embedding_outlier_standardizes(spark):
 def test_embedding_outlier_centroid_broadcast(spark):
     plan = P.formatted_plan(QUERIES["embedding_outlier"](spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_substring_exact_two_tier_planted(spark, tmp_path):
+    """Capstone pipeline (VERDICT r10 #4): the winnow prefilter must flag
+    the planted duplicate pair and the suffix-array tier must verify its
+    EXACT maximal shared span length. Docs A/B embed one 200-char span
+    at different offsets (alignment-invariance of the winnow guarantee);
+    C/D are unrelated filler — flagged nowhere, verified nowhere."""
+    import random
+
+    from parquetaivectorsearch_spark.queries import all_queries
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def rand(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    span = rand(200)
+    rows = [
+        (1, rand(30) + span + rand(20), "en", "web", 250),
+        (2, rand(11) + span + rand(40), "en", "web", 251),
+        (3, rand(240), "en", "web", 240),
+        (4, rand(240), "en", "web", 240),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT").write.mode("overwrite").parquet(
+        f"{d}/documents.parquet")
+    out = all_queries()["dedup_substring_exact"](spark, d).collect()
+    assert {(r.doc_lo, r.doc_hi) for r in out} == {(1, 2)}, out
+    assert out[0].max_lcp == 200, out
+    assert out[0].n_shared_windows >= 1 and out[0].n_repeats >= 1, out
