@@ -633,6 +633,49 @@ def admission_build_side(n_allowed: int, n_queries: int, kk: int,
     return "broadcast_allowed" if n_allowed <= cand_rows else "broadcast_cand"
 
 
+#: Measured crossover selectivity (tools/filtered_ann_sweep.py, 20k×64
+#: replica corpus, 64-query batch, min-of-3): hnsw over-search wins at
+#: sel ≥ 0.5 (1.75s vs 2.18s), ivf pre-filter wins at sel ≤ 0.05
+#: (1.40s vs 2.67s, and 4× at 0.005) — the log-midpoint of the
+#: measured bracket [0.05, 0.5] is the pinned switch point.
+FILTERED_ANN_CROSSOVER_SEL = 0.15
+
+
+def filtered_ann_strategy(n_total: int, n_allowed: int, k: int,
+                          oversample: float = 2.0,
+                          crossover_sel: float = FILTERED_ANN_CROSSOVER_SEL
+                          ) -> str:
+    """Pick the serving path for metadata-filtered top-k (VERDICT r10
+    #8 — the auto_index-style crossover, measured not asserted; numbers
+    in SCALING.md §filtered-ANN and the FILTERED_ANN_CROSSOVER_SEL
+    note):
+
+    - ``"hnsw_oversearch"`` (hnsw_search_filtered): mild filters. The
+      beam over-searches at k' = ceil(k/sel)·oversample — cheap while
+      k' stays near k.
+    - ``"ivf_prefilter"`` (ann.ivf_search(where=...)): selective
+      filters below the measured crossover. Probe cost is flat in sel
+      while over-search grows as k/sel; measured 1.9× cheaper at
+      sel=0.05 and 4× at 0.005.
+    - ``"exact_filtered"``: degenerate filters — k' would reach the
+      whole graph (the "index" is a full scan with extra steps), or the
+      allowed set is so small (≤ 32·k rows) that the exact KNN over
+      just those rows beats any index, with recall 1.0 by definition
+      (the IVF path's recall decays here: 0.923 measured at sel=0.005
+      because rare allowed rows hide in unprobed lists)."""
+    import math as _math
+
+    if n_total <= 0 or n_allowed <= 0:
+        return "exact_filtered"
+    sel = n_allowed / n_total
+    kk = _math.ceil(k / sel) * oversample
+    if kk >= n_total or n_allowed <= 32 * k:
+        return "exact_filtered"
+    if sel < crossover_sel:
+        return "ivf_prefilter"
+    return "hnsw_oversearch"
+
+
 def hnsw_compact(spark, path: str, n_partitions: int = 8,
                  params: HNSWParams | None = None) -> dict:
     """Segment merge (the compaction half of the append story): rebuild

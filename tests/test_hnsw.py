@@ -257,3 +257,24 @@ def test_hnsw_filtered_search_recall_planted(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "vec_id", "distance"]
+
+
+def test_filtered_ann_strategy_crossover():
+    """Both sides of the measured crossover pinned (VERDICT r10 #8,
+    tools/filtered_ann_sweep.py): mild filters serve via the HNSW
+    over-search, filters below sel=0.15 via the IVF pre-filter, and
+    degenerate filters (k' reaching the whole graph, or an allowed set
+    small enough to scan exactly) via exact filtered KNN."""
+    from parquetaivectorsearch_spark.operators.hnsw import (
+        filtered_ann_strategy)
+
+    n = 1_000_000
+    assert filtered_ann_strategy(n, 900_000, 10) == "hnsw_oversearch"
+    assert filtered_ann_strategy(n, 500_000, 10) == "hnsw_oversearch"
+    assert filtered_ann_strategy(n, 50_000, 10) == "ivf_prefilter"
+    assert filtered_ann_strategy(n, 5_000, 10) == "ivf_prefilter"
+    # allowed ≤ 32k rows: scan them exactly — any index is overhead
+    assert filtered_ann_strategy(n, 320, 10) == "exact_filtered"
+    # k' = ceil(k/sel)*2 >= n: the beam would re-rank the whole graph
+    assert filtered_ann_strategy(2000, 40, 10) == "exact_filtered"
+    assert filtered_ann_strategy(0, 0, 10) == "exact_filtered"
