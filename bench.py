@@ -412,6 +412,28 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
     # 30% (cap 6), then take min-of-3 timed reps. The first/last
     # reference bracket below now detects genuine mid-tier DRIFT
     # (sustained contention shows up in steal_pct instead).
+    # Per-rep NOISE GATING (r11 adjudication of the recurring int8
+    # bimodality — see BENCH_NOTES "r11: wide-tier scatter root-caused"):
+    # instrumented probes show the slow modes coincide with either a JVM
+    # GC spike (8.9s rep carrying 4.6s of collector time) or a
+    # hypervisor-steal burst (9.5s rep at 2.8% steal — ~9 stolen CPU-s
+    # that a 32-task stage barrier amplifies into wall), and the SAME
+    # scatter hits the pure-Catalyst fold path with zero Python — so the
+    # r9 "UDF-kind churn" framing was a misattribution of bursty host
+    # noise + inherited heap pressure. A rep that is BOTH slow (> 3× the
+    # running min) AND provably noisy (gc > 1s or steal > 1% during the
+    # rep) is recorded in extras["*_noisy_reps"] with its evidence and
+    # retried (bounded), so the headline _reps reflect the code, not the
+    # burst — nothing is discarded silently.
+    _jvm_gcbeans = spark.sparkContext._jvm.java.lang.management \
+        .ManagementFactory.getGarbageCollectorMXBeans
+
+    def _gc_ms():
+        total, it = 0, _jvm_gcbeans().iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
     def _timed_min(fn, n=4, warm_cap=6):
         prev = None
         for _ in range(warm_cap):
@@ -421,19 +443,48 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
             if prev is not None and abs(t - prev) <= 0.3 * min(t, prev):
                 break
             prev = t
-        reps = []
-        for _ in range(n):
+        reps, noisy = [], []
+        retries = 0
+        while len(reps) < n:
+            g0, s0 = _gc_ms(), _cpu_ticks() or (0, 0)
             t0 = time.monotonic()
             fn()
-            reps.append(round(time.monotonic() - t0, 3))
-        return min(reps), reps
+            t = round(time.monotonic() - t0, 3)
+            g1, s1 = _gc_ms(), _cpu_ticks() or (0, 0)
+            gc_ms = g1 - g0
+            dtot = s1[0] - s0[0]
+            steal = round(100.0 * (s1[1] - s0[1]) / dtot, 2) if dtot else 0.0
+            slow = reps and t > 3 * min(reps)
+            if slow and retries < 3:
+                # re-measure ANY >3x outlier (bounded), recording whatever
+                # evidence it carries — gc/steal when the cause is
+                # in-guest, bare wall when it is host-side noise invisible
+                # to every guest counter (the smoke run caught a 21s int8
+                # rep at gc=60ms/steal=0.2%: same class as the r9 finding
+                # that same-VM contention never registers as steal).
+                # Nothing is discarded silently; a rep still slow after
+                # the retry budget stays in _reps.
+                noisy.append({"wall": t, "gc_ms": gc_ms,
+                              "steal_pct": steal})
+                retries += 1
+                continue
+            reps.append(t)
+        return min(reps), reps, noisy
 
     for name, fn in (("wide_knn_fold", fold), ("wide_knn_arrow", arrow),
                      ("wide_knn_bulk_8q", bulk), ("wide_pq_serve_8q", pq_serve),
                      ("wide_knn_int8_8q", int8_serve),
                      ("wide_matryoshka_1q", matryoshka),
                      ("wide_maxsim_1q", maxsim_arrow)):
-        extras[name], extras[f"{name}_reps"] = _timed_min(fn)
+        # drain inherited heap debt OUTSIDE the timed reps: the probe data
+        # shows collector spikes from the PREVIOUS path landing mid-rep
+        # (pq's 4.6s collection inside an 8.9s rep, int8 inheriting the
+        # bulk/pq heap) — an untimed System.gc() between paths makes each
+        # path pay its own garbage, not its predecessor's
+        spark.sparkContext._jvm.System.gc()
+        extras[name], extras[f"{name}_reps"], noisy = _timed_min(fn)
+        if noisy:
+            extras[f"{name}_noisy_reps"] = noisy
 
     # IVF at width — the scale path: the probe is a partition-pruned scan,
     # so at dim 1536 it reads nprobe/nlist of the corpus BYTES, which is
@@ -511,7 +562,10 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
                      (ivf_bulk, "wide_ivf_bulk_8q"),
                      (ivfpq_serve, "wide_ivfpq_serve_8q"),
                      (ivfpq_residual_serve, "wide_ivfpq_residual_8q")):
-        extras[name], extras[f"{name}_reps"] = _timed_min(fn)
+        spark.sparkContext._jvm.System.gc()
+        extras[name], extras[f"{name}_reps"], noisy = _timed_min(fn)
+        if noisy:
+            extras[f"{name}_noisy_reps"] = noisy
     extras["wide_ivf_pruned_frac"] = 0.25
     # Reference bracket: the converged mid-tier wide_knn_bulk_8q number
     # vs the SAME query re-timed at tier end. An early-tier ref timing
@@ -522,7 +576,7 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
     # mid-tier (sustained contention shows in steal_pct instead).
     ref_first = extras["wide_knn_bulk_8q"]
     extras["wide_ref_first"] = ref_first
-    ref_last, _ = _timed_min(bulk, n=2)
+    ref_last, _, _ = _timed_min(bulk, n=2)
     extras["wide_ref_last"] = ref_last
     ratio = max(ref_first, ref_last) / max(min(ref_first, ref_last), 1e-9)
     extras["wide_ref_ratio"] = round(ratio, 3)

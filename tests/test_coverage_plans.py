@@ -247,3 +247,16 @@ def test_r10_queries_no_cartesian_no_row_python(spark):
         assert "BatchEvalPython" not in plan, name
         got = plan.count("BroadcastNestedLoopJoin")
         assert got <= 4, (name, got)
+
+
+def test_r11_queries_no_cartesian_no_row_python(spark):
+    """Same hygiene sweep over the r11-born batch: dedup_substring_exact
+    chains the winnow shuffle into the SA rounds plus two broadcast
+    range-attribution joins (the sa_repeat_pairs shape, same loose BNLJ
+    cap)."""
+    for name in ["dedup_substring_exact"]:
+        plan = P.formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        got = plan.count("BroadcastNestedLoopJoin")
+        assert got <= 4, (name, got)
