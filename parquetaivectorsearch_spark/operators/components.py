@@ -60,6 +60,80 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
+                              b_col: str = "doc_b", max_iter: int = 30,
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    O(log n)-round scale tier the min-label propagator's docstring
+    promises: min-label converges in O(component diameter) rounds, so a
+    length-n chain (adversarial but real — e.g. a sliding-window
+    near-dup CHAIN of document revisions) needs n rounds and silently
+    returns WRONG labels past max_iter; star contraction halves chain
+    height per alternation and converges logarithmically
+    (tests/test_dedup.py pins a 256-node path at ≤ 18 rounds where
+    min-label@25 would mislabel it).
+
+    One alternation is four narrow shuffles, all keyed on node ids:
+    - large-star: per center u, m = min(Γ(u) ∪ {u}) via groupBy(min),
+      joined back; every STRICTLY LARGER neighbor re-links to m —
+      (m, v) for v ∈ Γ(u), v > u. No collect_list: the per-center
+      neighborhood is never materialized as a row, so a mega-hub
+      (the component root attracts everything) costs reduced rows,
+      not one giant array.
+    - small-star: per center u over the new edges, m = min of u's
+      SMALLER neighbors; every smaller neighbor and u itself re-link
+      to m. Edges stay canonical (min, max), self-loops impossible.
+
+    Converged when the edge set reaches a fixed point (star forest);
+    labels = root for members, self for roots. Output schema and label
+    semantics identical to ``connected_components`` (cluster_id = the
+    component-minimum id), equality property-tested on random graphs.
+    ``stats["rounds"]`` records the alternation count when a dict is
+    passed."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")) \
+        .filter(F.col("u") != F.col("v"))
+    E = (e.select(F.least("u", "v").alias("u"),
+                  F.greatest("u", "v").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    rounds = 0
+    while rounds < max_iter:
+        rounds += 1
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min(Γ(u) ∪ {u}); (v > u) re-links to m.
+        # m ≤ u < v, so the emitted edge is canonically (m, v).
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        big = (sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+               .select(F.col("m").alias("u"), F.col("v").alias("v"))
+               .distinct())
+        # small-star: per center u, m = min of SMALLER neighbors (< u);
+        # each smaller neighbor x ≠ m and u itself re-link to m.
+        sym2 = big.union(big.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+        smaller = sym2.filter(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        s1 = (smaller.join(mins2, "u")
+              .filter(F.col("v") != F.col("m"))
+              .select(F.col("m").alias("u"), F.col("v").alias("v")))
+        s2 = mins2.select(F.col("m").alias("u"), F.col("u").alias("v"))
+        new_e = s1.union(s2).distinct().localCheckpoint(eager=True)
+        # fixed point: same row count AND no row outside the old set
+        if (new_e.count() == E.count()
+                and new_e.join(E, ["u", "v"], "left_anti").count() == 0):
+            E = new_e
+            break
+        E = new_e
+    if stats is not None:
+        stats["rounds"] = rounds
+    members = E.select(F.col("v").alias("doc_id"),
+                       F.col("u").alias("cluster_id"))
+    roots = (E.select(F.col("u").alias("doc_id")).distinct()
+             .withColumn("cluster_id", F.col("doc_id")))
+    return members.union(roots)
+
+
 def canonical_docs(pairs: DataFrame, all_docs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Dedup resolution: every doc mapped to its cluster's canonical

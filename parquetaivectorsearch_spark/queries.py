@@ -436,8 +436,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- round 11 window ---
-    # (a) newborns (zero evidence, registered this round)
-    "dedup_substring_exact",
+    # (a) newborns (zero evidence, registered this round); the second
+    #     newborn cedes knn_checksum's (d) slot — r1+r5 evidence, but the
+    #     checksum kernel is exercised by every knn canary in (c)
+    "dedup_substring_exact", "dedup_clusters_star",
     # (b) the two r10 What's-wrong components, re-fixed this round —
     #     scale-safe admission join / video df-cap need green rows
     "ann_hnsw_filtered", "dedup_video",
@@ -456,7 +458,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "argmax_agg", "asof_join", "big_orders", "bm25_rank",
     "cheapest_supplier", "correlated_scalar_subquery", "csv_roundtrip",
     "datetime_functions", "decontaminate", "forecast_revenue",
-    "incremental_rollup", "join_salted", "knn_checksum", "lateral_topn",
+    "incremental_rollup", "join_salted", "lateral_topn",
     "market_share", "merge_upsert", "pack_sequences",
     "partitioned_write_prune", "percentile_agg",
     "priority_shipment_counts", "promo_revenue", "range_join",

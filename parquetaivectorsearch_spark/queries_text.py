@@ -259,7 +259,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters", f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE d AS (
       SELECT doc_id,
              {_DUCK_NGRAMS.format(t="text", n=3, n_minus_1=2)} AS g
@@ -283,7 +283,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
     )
     SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
-""")
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: exact-jaccard near-dup pairs (bounded id range) →
     connected components by min-label propagation (operators/components.py).
@@ -304,6 +307,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
     )
     return connected_components(pairs)
+
+
+@register("dedup_clusters_star", _CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters, the O(log n) SCALE algorithm: alternating
+    large-star/small-star edge contraction (Kiveris et al. SoCC 2014,
+    operators/components.connected_components_star) instead of min-label
+    propagation. Min-label converges in O(component diameter) rounds —
+    fine for near-clique dup clusters, silently wrong past max_iter on
+    CHAIN-shaped components (revision chains, sliding-window near-dups);
+    star contraction halves chain height per alternation. Same pair
+    generator and the same recursive-CTE oracle as dedup_clusters: two
+    algorithms, one hash-checked answer."""
+    from parquetaivectorsearch_spark.operators.components import (
+        connected_components_star)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return connected_components_star(pairs)
 
 
 # ---------------------------------------------------------------------------

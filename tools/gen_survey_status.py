@@ -51,6 +51,8 @@ NOTES = {
         'composes exactly to the batch pipeline, tests/test_dedup.py',
     'dedup_phash':
         'chunk df_cap + exact-clique star rescue (r11); best-match framing',
+    'dedup_clusters_star':
+        'same recursive-CTE closure oracle as dedup_clusters; O(log n) large/small-star contraction (r11)',
     'dedup_substring_exact':
         'both tiers replayed: winnow CTEs + direct suffix sort (r11 capstone)',
     'dedup_substring_removal':

@@ -69,7 +69,13 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # per-stratum sampler
            "blocklist_scan", "compression_ratio", "rolling_distinct_users",
            "seasonal_decompose", "dbscan_blocked",
-           "priority_sample_grouped"]
+           "priority_sample_grouped",
+           # r11: the two-tier capstone (winnow prefilter is the data-
+           # proportional stage; the SA tier is bounded by the first-8-
+           # pairs shard) and the O(log n) star-contraction clusters
+           # (bounded-id pair generator, so cost tracks the fixed pair
+           # stage — the log-round CHAIN claim is pinned in tests)
+           "dedup_substring_exact", "dedup_clusters_star"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
