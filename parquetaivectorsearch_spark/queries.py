@@ -439,7 +439,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (a) newborns (zero evidence, registered this round); the second
     #     newborn cedes knn_checksum's (d) slot — r1+r5 evidence, but the
     #     checksum kernel is exercised by every knn canary in (c)
-    "dedup_substring_exact", "dedup_clusters_star",
+    #     and negative_samples cedes range_join's (d) slot (r2+r5 green)
+    "dedup_substring_exact", "dedup_clusters_star", "negative_samples",
     # (b) the two r10 What's-wrong components, re-fixed this round —
     #     scale-safe admission join / video df-cap need green rows
     "ann_hnsw_filtered", "dedup_video",
@@ -461,7 +462,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_rollup", "join_salted", "lateral_topn",
     "market_share", "merge_upsert", "pack_sequences",
     "partitioned_write_prune", "percentile_agg",
-    "priority_shipment_counts", "promo_revenue", "range_join",
+    "priority_shipment_counts", "promo_revenue",
     "regional_revenue", "returned_customers", "scd2_intervals",
     "session_window_agg", "split_assign", "stratified_sample",
     "streaming_session_agg", "streaming_tumbling_agg",

@@ -401,3 +401,134 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "q_score",
         (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative sampling — unigram^0.75 table, deterministic draws
+# ---------------------------------------------------------------------------
+
+@register("negative_samples", f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    vw AS (SELECT unnest(ws) AS word FROM w),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM vw GROUP BY word),
+    wt AS (
+      SELECT word,
+             CAST(FLOOR(sqrt(sqrt((CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+                                  * CAST(cnt AS DOUBLE))) * 1048576)
+                  AS BIGINT) AS wgt
+      FROM vocab
+    ),
+    cum AS (
+      SELECT word, wgt,
+             SUM(wgt) OVER (ORDER BY word
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw
+      FROM wt
+    ),
+    tot AS (SELECT MAX(cw) AS total FROM cum),
+    p AS (SELECT ws, len(ws) AS n FROM w WHERE len(ws) >= 2),
+    f AS (
+      SELECT ws[i] AS center, ws[i + j] AS context
+      FROM p,
+           unnest(generate_series(1, n - 1)) AS s(i),
+           unnest(generate_series(1, 2)) AS t(j)
+      WHERE i + j <= n
+    ),
+    sym AS (SELECT center, context FROM f
+            UNION ALL
+            SELECT context AS center, center AS context FROM f),
+    tp AS (
+      SELECT * FROM (
+        SELECT center, context, COUNT(*) AS n_pairs,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, center, context)
+                 AS pid
+        FROM sym GROUP BY center, context
+      ) WHERE pid <= 20
+    ),
+    probes AS (
+      SELECT center, context, pid, j AS neg_rank,
+             (pid * 2654435761 + j * 40503) % (SELECT total FROM tot)
+               AS probe
+      FROM tp, unnest(generate_series(1, 5)) AS q(j)
+    )
+    SELECT pr.center, pr.context, CAST(pr.neg_rank AS BIGINT) AS neg_rank,
+           c.word AS negative,
+           CAST(CASE WHEN c.word IN (pr.center, pr.context)
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_collision
+    FROM probes pr
+    JOIN cum c ON pr.probe >= c.cw - c.wgt AND pr.probe < c.cw
+""")
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling table for word2vec-family training (Mikolov et
+    al. 2013 §2.2: negatives drawn from the unigram distribution raised
+    to 3/4) — the third stage of the graph-embedding data pipeline
+    (random_walks → skipgram_pairs → THIS), 5 negatives per top-20
+    skip-gram pair. Everything is hash-deterministic and engine-portable:
+
+    - weight = floor(sqrt(sqrt(c·c·c)) · 2^20) — count^0.75 via two
+      IEEE-correctly-rounded sqrts of an exact double product (ln/pow
+      are libm-ulp-unstable across engines, the dsir/pps discipline),
+      scaled by a power of two (exact) and floored to an INTEGER mass;
+    - the sampling table is the integer cumulative mass over the
+      word-ordered vocabulary (one bounded window);
+    - draw j for pair pid probes position (pid·2654435761 + j·40503)
+      mod total — Knuth multiplicative hashing, integer interval
+      compare only, so the oracle replays every draw bit-for-bit.
+
+    Accidental center/context hits are FLAGGED (is_collision), not
+    resampled — rejection loops are engine-divergent; flagged rows are
+    the caller's resample-or-drop choice, and the flag itself is part
+    of the checked answer. Scale shape: vocab agg + one broadcast of
+    the bounded cumulative table; the interval lookup is a broadcast
+    range join (probes × vocab) — at production vocab sizes swap the
+    lookup for a binary search over the broadcast cum array inside an
+    Arrow closure (the blocklist_scan Aho-Corasick-swap pattern),
+    identical semantics."""
+    d = _t(spark, sf_dir, "documents")
+    ws = TX.words("text")
+    vw = d.select(F.explode(ws).alias("word"))
+    cd = F.col("cnt").cast("double")
+    wt = (vw.groupBy("word").agg(F.count("*").alias("cnt"))
+          .select("word",
+                  F.floor(F.sqrt(F.sqrt(cd * cd * cd)) * F.lit(1048576))
+                  .cast("bigint").alias("wgt")))
+    wcum = Window.orderBy("word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = wt.select("word", "wgt", F.sum("wgt").over(wcum).alias("cw")) \
+        .localCheckpoint(eager=False)  # reused: total agg + interval join
+    total = cum.agg(F.max("cw").alias("total"))
+
+    n = F.size(ws)
+    adj = F.arrays_zip(F.slice(ws, 1, n - 1).alias("center"),
+                       F.slice(ws, 2, n - 1).alias("context"))
+    skip2 = F.arrays_zip(F.slice(ws, 1, n - 2).alias("center"),
+                         F.slice(ws, 3, n - 2).alias("context"))
+    fwd = (d.where(F.size(ws) >= 2)
+           .select(F.explode(F.concat(adj, skip2)).alias("pr"))
+           .select(F.col("pr.center").alias("center"),
+                   F.col("pr.context").alias("context")))
+    sym = fwd.unionByName(fwd.select(F.col("context").alias("center"),
+                                     F.col("center").alias("context")))
+    counted = sym.groupBy("center", "context").agg(
+        F.count("*").alias("n_pairs"))
+    tp = (counted.withColumn(
+            "pid", F.row_number().over(
+                Window.orderBy(F.desc("n_pairs"), "center", "context")))
+          .filter(F.col("pid") <= 20))
+    probes = (tp.select("center", "context", "pid",
+                        F.explode(F.expr("sequence(1, 5)")).alias("neg_rank"))
+              .crossJoin(F.broadcast(total))
+              .select("center", "context", "neg_rank",
+                      ((F.col("pid") * F.lit(2654435761)
+                        + F.col("neg_rank") * F.lit(40503))
+                       % F.col("total")).alias("probe")))
+    hit = probes.join(
+        F.broadcast(cum),
+        (F.col("probe") >= F.col("cw") - F.col("wgt"))
+        & (F.col("probe") < F.col("cw")))
+    return hit.select(
+        "center", "context", F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        F.col("word").alias("negative"),
+        F.when((F.col("word") == F.col("center"))
+               | (F.col("word") == F.col("context")), 1)
+        .otherwise(0).cast("int").alias("is_collision"))

@@ -145,3 +145,20 @@ def test_sample_ladder_nests(spark):
     assert rows["p100"]["total_chars"] == total[1]
     # the 10% rung should be a real subsample, not degenerate
     assert 0 < rows["p10"]["n_docs"] < total[0]
+
+
+def test_negative_samples_partition_of_unity_and_determinism(spark):
+    """Every probe must land in EXACTLY one vocab interval (the integer
+    cumulative masses partition [0, total)), so the output is exactly
+    20 pairs x 5 negatives; two invocations draw identical negatives
+    (hash-deterministic, no rng state)."""
+    from parquetaivectorsearch_spark.queries import all_queries
+
+    q = all_queries()["negative_samples"]
+    a = {(r.center, r.context, r.neg_rank): (r.negative, r.is_collision)
+         for r in q(spark, SF_CORRECT).collect()}
+    assert len(a) == 100, len(a)
+    b = {(r.center, r.context, r.neg_rank): (r.negative, r.is_collision)
+         for r in q(spark, SF_CORRECT).collect()}
+    assert a == b
+    assert all(c in (0, 1) for _, c in a.values())
