@@ -439,8 +439,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (a) newborns (zero evidence, registered this round); the second
     #     newborn cedes knn_checksum's (d) slot — r1+r5 evidence, but the
     #     checksum kernel is exercised by every knn canary in (c)
-    #     and negative_samples cedes range_join's (d) slot (r2+r5 green)
+    #     and negative_samples / perplexity_buckets cede the range_join
+    #     and asof_join (d) slots (both r2+r5 green)
     "dedup_substring_exact", "dedup_clusters_star", "negative_samples",
+    "perplexity_buckets",
     # (b) the two r10 What's-wrong components, re-fixed this round —
     #     scale-safe admission join / video df-cap need green rows
     "ann_hnsw_filtered", "dedup_video",
@@ -456,7 +458,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (d) the ENTIRE r5-evidence cohort (VERDICT r10 #5): the 35 queries
     #     whose latest driver sample is round 5 — after this round no
     #     query's evidence is older than r6
-    "argmax_agg", "asof_join", "big_orders", "bm25_rank",
+    "argmax_agg", "big_orders", "bm25_rank",
     "cheapest_supplier", "correlated_scalar_subquery", "csv_roundtrip",
     "datetime_functions", "decontaminate", "forecast_revenue",
     "incremental_rollup", "join_salted", "lateral_topn",

@@ -1564,3 +1564,77 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.union(w_)
     return out.select("start", F.col("step").cast("int").alias("step"),
                       F.col("cur").alias("node"))
+
+
+@register("perplexity_buckets", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws[i] AS a, ws[i + 1] AS t
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS s(i)
+      WHERE len(ws) >= 2
+    ),
+    f2 AS (SELECT a, t, COUNT(*) AS c2 FROM b GROUP BY a, t),
+    f1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM f2 GROUP BY a),
+    scored AS (
+      SELECT doc_id,
+             ROUND(AVG(-LN(CAST(c2 AS DOUBLE) / c1)), 6) AS score
+      FROM b JOIN f2 USING (a, t) JOIN f1 USING (a)
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.score,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.score, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, score,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+""")
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    every document with a corpus LM, split each LANGUAGE into
+    head/middle/tail terciles; pretraining mixtures keep head+middle) —
+    the decision layer on top of bigram_logprob's score. Terciles are
+    INTEGER-compare exact: rn·3 ≤ n over a (score, doc_id)-total-ordered
+    per-lang row_number, no percent_rank floats to ulp-flip the gate.
+    One window per language (shuffle keyed on lang); at 100 TB the
+    exact per-lang sort swaps for approx_percentile tercile THRESHOLDS
+    broadcast back — a filter, not a sort — with the same head/middle/
+    tail semantics (documented swap, blocklist-pattern)."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    ws = TX.words("text")
+    b = (d.select("doc_id", ws.alias("ws"))
+         .filter(F.size("ws") >= 2)
+         .select("doc_id", F.explode(F.expr(
+             "transform(sequence(1, size(ws) - 1),"
+             " i -> struct(element_at(ws, i) as a,"
+             "             element_at(ws, i + 1) as t))")).alias("bg"))
+         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t")))
+    f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2"))
+    f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"))
+    scored = (
+        b.join(F.broadcast(f2), ["a", "t"])
+        .join(F.broadcast(f1), "a")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("c2").cast("double") / F.col("c1"))),
+                     6).alias("score")))
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = (scored.join(d.select("doc_id", "lang"), "doc_id")
+              .withColumn("rn", F.row_number().over(wl))
+              .withColumn("n", F.count("*").over(Window.partitionBy("lang"))))
+    return ranked.select(
+        "doc_id", "lang", "score",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail").alias("bucket"))
