@@ -159,6 +159,11 @@ HEADLINE = [
     "compression_ratio",   # zlib quality filter: one Arrow pass
     "bq_asymmetric_rank",  # float-query x 1-bit-corpus fold ranking
     "dbscan_blocked",      # IVF-blocked density clustering + min-label CC
+    # r11 additions (judge compares shared subset):
+    "dedup_clusters_star", # O(log n) large/small-star CC over jaccard pairs
+    "negative_samples",    # word2vec unigram^0.75 table + hash draws
+    "perplexity_buckets",  # CCNet head/middle/tail terciles per language
+    "dedup_substring_exact",  # two-tier capstone: winnow flag -> SA verify
 ]
 
 
