@@ -39,11 +39,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dense_rank_2key(df: DataFrame, parts: int) -> DataFrame:
-    """Exact global dense rank of (k1, k2) → (pos, rank), distributed:
-    range-partition on the key, locally dense-rank each partition, then
-    add the prefix sum of per-partition distinct counts (P scalars via
-    the driver, broadcast back as a literal map join)."""
+def _dense_rank_2key(df: DataFrame, parts: int) -> tuple[DataFrame, int]:
+    """Exact global dense rank of (k1, k2) → ((pos, rank), n_distinct),
+    distributed: range-partition on the key, locally dense-rank each
+    partition, then add the prefix sum of per-partition distinct counts
+    (P scalars via the driver, broadcast back as a literal map join).
+    ``n_distinct`` — the grand total of those SAME P scalars — is
+    max(rank), returned for free so the prefix-doubling convergence
+    check never pays a separate agg job per round (r11: one fewer
+    action per round × ⌈log₂ n⌉ rounds on every SA query)."""
     rp = (df.repartitionByRange(parts, "k1", "k2")
           .withColumn("pid", F.spark_partition_id()))
 
@@ -67,7 +71,8 @@ def _dense_rank_2key(df: DataFrame, parts: int) -> DataFrame:
     off_expr = F.element_at(
         F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
         F.col("pid"))
-    return loc.select("pos", (F.col("lrank") + off_expr).alias("rank"))
+    ranked = loc.select("pos", (F.col("lrank") + off_expr).alias("rank"))
+    return ranked, int(offset)
 
 
 def suffix_array_rounds(
@@ -89,7 +94,7 @@ def suffix_array_rounds(
     # three THE SAME integer order by construction (ADVICE r10), and
     # int keys range-partition/sort cheaper than strings anyway.
     # Supplementary-plane pin: test_suffix_array_astral_characters.
-    df = _dense_rank_2key(
+    df, n_distinct = _dense_rank_2key(
         chars.select(F.col(pos_col).alias("pos"),
                      F.ascii(F.col(char_col)).alias("k1"),
                      F.lit(0).alias("k2")),
@@ -97,7 +102,10 @@ def suffix_array_rounds(
     rounds = [(1, df)]
     n = df.count()
     h = 1
-    while df.agg(F.max("rank")).first()[0] < n:
+    # convergence = all ranks distinct; max(rank) == the distinct-key
+    # total _dense_rank_2key already summed on the driver — no per-round
+    # agg job
+    while n_distinct < n:
         nxt = df.select((F.col("pos") - h).alias("pos"),
                         F.col("rank").alias("k2"))
         paired = (df.select("pos", F.col("rank").alias("k1"))
@@ -105,7 +113,7 @@ def suffix_array_rounds(
                   .fillna(0, subset=["k2"]))
         # localCheckpoint inside _dense_rank_2key already cut the lineage;
         # each round starts from materialized (pos, rank) rows
-        df = _dense_rank_2key(paired, parts)
+        df, n_distinct = _dense_rank_2key(paired, parts)
         h *= 2
         rounds.append((h, df))
     return df, rounds
