@@ -131,3 +131,51 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") * phi_denom >= F.col("total"))
         .select("term", "cnt", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable, oracle-exact
+# ---------------------------------------------------------------------------
+
+CMS_P = 2147483647  # Mersenne prime 2^31 - 1
+CMS_A = (131071, 524287, 2147483647 % 999983, 6700417)
+CMS_B = (12289, 786433, 40503, 69857)
+
+
+def _cms_hashes(spark, d: int):
+    return spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(zip(CMS_A[:d], CMS_B[:d]))],
+        "j INT, a BIGINT, b BIGINT")
+
+
+def _cms_col(w: int):
+    return ((F.col("vid") * F.col("a") + F.col("b"))
+            % F.lit(CMS_P)) % F.lit(w)
+
+
+def cms_build(counted: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """Build the d×w Count-Min cell table from a pre-counted
+    (vid BIGINT, cnt) frame — equivalent to per-item inserts but one
+    groupBy on (j, col). Cells are plain sums, so two sketches built
+    from disjoint data MERGE by cell-wise addition (pinned in tests) —
+    the property that makes CMS the streaming/shard-parallel frequency
+    tier. Hash family (a·vid + b) mod P mod w, P = 2³¹−1: integer-only,
+    replayable in any engine."""
+    spark = counted.sparkSession
+    return (counted.crossJoin(F.broadcast(_cms_hashes(spark, d)))
+            .groupBy("j", _cms_col(w).alias("col"))
+            .agg(F.sum("cnt").cast("bigint").alias("cell")))
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame,
+                 d: int = 4, w: int = 256) -> DataFrame:
+    """Point estimates for a (vid[, …]) probe frame: est = min over the
+    d rows of the probed cells — one-sided (est ≥ true; est ≤ true + εN
+    w.h.p., ε = e/w). Returns the probe columns + ``cms_est``."""
+    spark = probes.sparkSession
+    keys = [c for c in probes.columns]
+    return (probes.crossJoin(F.broadcast(_cms_hashes(spark, d)))
+            .withColumn("col", _cms_col(w))
+            .join(F.broadcast(cells), ["j", "col"])
+            .groupBy(*keys)
+            .agg(F.min("cell").alias("cms_est")))

@@ -439,10 +439,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (a) newborns (zero evidence, registered this round); the second
     #     newborn cedes knn_checksum's (d) slot — r1+r5 evidence, but the
     #     checksum kernel is exercised by every knn canary in (c)
-    #     and negative_samples / perplexity_buckets cede the range_join
-    #     and asof_join (d) slots (both r2+r5 green)
+    #     negative_samples / perplexity_buckets / cms_frequency cede the
+    #     range_join, asof_join, join_salted (d) slots (all r2+r5 green)
     "dedup_substring_exact", "dedup_clusters_star", "negative_samples",
-    "perplexity_buckets",
+    "perplexity_buckets", "cms_frequency",
     # (b) the two r10 What's-wrong components, re-fixed this round —
     #     scale-safe admission join / video df-cap need green rows
     "ann_hnsw_filtered", "dedup_video",
@@ -461,7 +461,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "argmax_agg", "big_orders", "bm25_rank",
     "cheapest_supplier", "correlated_scalar_subquery", "csv_roundtrip",
     "datetime_functions", "decontaminate", "forecast_revenue",
-    "incremental_rollup", "join_salted", "lateral_topn",
+    "incremental_rollup", "lateral_topn",
     "market_share", "merge_upsert", "pack_sequences",
     "partitioned_write_prune", "percentile_agg",
     "priority_shipment_counts", "promo_revenue",

@@ -372,3 +372,90 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("day")
             .agg(F.countDistinct("user_id").cast("bigint")
                  .alias("active_users_7d")))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable approximate frequencies, fully oracle-replayed
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+_CMS_A = (131071, 524287, 2147483647 % 999983, 6700417)
+_CMS_B = (12289, 786433, 40503, 69857)
+_CMS_P = 2147483647  # Mersenne prime 2^31-1
+
+
+@register("cms_frequency", f"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY word) AS vid
+      FROM w GROUP BY word
+    ),
+    hs AS (
+      SELECT j, a, b FROM (VALUES
+        {", ".join(f"({j}, {a}, {b})"
+                   for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B)))}
+      ) t(j, a, b)
+    ),
+    cells AS (
+      SELECT hs.j,
+             ((vocab.vid * hs.a + hs.b) % {_CMS_P}) % {_CMS_W} AS col,
+             CAST(SUM(vocab.cnt) AS BIGINT) AS cell
+      FROM vocab CROSS JOIN hs
+      GROUP BY hs.j, col
+    ),
+    top AS (
+      SELECT word, cnt, vid FROM vocab
+      ORDER BY cnt DESC, word LIMIT 50
+    ),
+    est AS (
+      SELECT top.word, top.cnt, MIN(cells.cell) AS cms_est
+      FROM top
+      JOIN hs ON TRUE
+      JOIN cells ON cells.j = hs.j
+              AND cells.col = ((top.vid * hs.a + hs.b) % {_CMS_P}) % {_CMS_W}
+      GROUP BY top.word, top.cnt
+    )
+    SELECT word, CAST(cnt AS BIGINT) AS true_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overestimate
+    FROM est
+""")
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d=4 × w=256
+    bounded-memory frequency summary with the one-sided guarantee
+    est ≥ true and est ≤ true + εN (ε = e/w) w.h.p. — the mergeable
+    approximate tier completing the sketch family (exact Misra-Gries
+    heavy hitters, HLL distinct, Bloom membership). Everything is
+    engine-portable: word ids from a row_number over the word-ordered
+    vocab, hashes (a·vid + b) mod P mod w with P = 2³¹−1 and fixed
+    (a, b) — integer arithmetic only, so the DuckDB oracle rebuilds the
+    ENTIRE sketch and every estimate bit-for-bit. Build shape: the cell
+    table aggregates from the vocab counts (equivalent to per-token
+    inserts, one groupBy on (j, col) — d·w = 1024 cells at ANY corpus
+    size, the whole point); cell-wise sums make two sketches merge by
+    addition (pinned in tests). Output: top-50 words with true count,
+    estimate, and the (always ≥ 0) overestimate."""
+    from parquetaivectorsearch_spark.functions import text as TX
+    from parquetaivectorsearch_spark.operators.sketch import (
+        cms_build, cms_estimate)
+    from pyspark.sql.window import Window as _W
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.words("text")).alias("word"))
+    vocab = (words.groupBy("word").agg(F.count("*").alias("cnt"))
+             .withColumn("vid", F.row_number().over(_W.orderBy("word")))
+             .localCheckpoint(eager=False))  # reused: cells + top-50 probe
+    cells = cms_build(vocab.select("vid", "cnt"), d=_CMS_D, w=_CMS_W)
+    top = vocab.orderBy(F.desc("cnt"), "word").limit(50)
+    est = cms_estimate(cells, top.select("word", "cnt", "vid"),
+                       d=_CMS_D, w=_CMS_W)
+    return est.select(
+        "word", F.col("cnt").cast("bigint").alias("true_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("cnt")).cast("bigint")
+        .alias("overestimate"))

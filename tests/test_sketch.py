@@ -82,3 +82,33 @@ def test_heavy_hitters_exact_matches_naive(spark, phi_denom):
     assert set(got) == set(want)
     for t, c in want.items():
         assert got[t] == (c, n)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-Min invariants on a vocab dense enough to force collisions
+    (2000 ids into d=2 x w=16): (a) one-sided error — est >= true for
+    EVERY probe, with at least one genuine collision overestimate at
+    this density; (b) mergeability — cell-wise ADDITION of two sketches
+    built from disjoint halves equals the sketch of the whole."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.sketch import (
+        cms_build, cms_estimate)
+
+    counted = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(1, 2001)], "vid BIGINT, cnt BIGINT")
+    cells = cms_build(counted, d=2, w=16)
+    est = cms_estimate(cells, counted.select("vid", "cnt"), d=2, w=16)
+    rows = est.collect()
+    assert len(rows) == 2000
+    assert all(r.cms_est >= r.cnt for r in rows)
+    assert any(r.cms_est > r.cnt for r in rows)  # collisions happen at w=16
+
+    lo = counted.filter(F.col("vid") <= 1000)
+    hi = counted.filter(F.col("vid") > 1000)
+    merged = (cms_build(lo, d=2, w=16)
+              .unionByName(cms_build(hi, d=2, w=16))
+              .groupBy("j", "col").agg(F.sum("cell").alias("cell")))
+    whole = {(r.j, r.col): r.cell for r in cells.collect()}
+    got = {(r.j, r.col): r.cell for r in merged.collect()}
+    assert got == whole
