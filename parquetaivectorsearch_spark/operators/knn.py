@@ -43,6 +43,8 @@ def _tie_safe_cut(keys, take: int):
     import numpy as np
 
     n = len(keys)
+    if take <= 0:
+        return np.arange(0)  # argpartition(kth=-1) would select from the END
     if take >= n:
         return np.arange(n)
     part = np.argpartition(keys, take - 1)
