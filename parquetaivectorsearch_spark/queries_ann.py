@@ -888,3 +888,45 @@ def q_bq_asymmetric_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= 10))
+
+
+@register("ann_filtered_auto")  # rows-only: strategy-routed approximate serve
+def q_ann_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-routed filtered vector search: filtered_ann_strategy
+    (operators/hnsw.py — the r11 MEASURED crossover: exact when
+    k' ≥ n or the allowed set is ≤ 32k rows, IVF pre-filter below
+    sel 0.15, HNSW over-search above) picks the serving path from
+    (n_total, n_allowed, k), then this query RUNS that path — the
+    auto_index-style composition a user calls when they don't want to
+    reason about selectivity themselves. On the fixtures the label=3
+    filter lands in the exact_filtered regime (a few hundred allowed
+    rows — any index is overhead; recall 1.0 by definition), which the
+    emitted ``strategy`` column makes visible to the driver check; the
+    ivf/hnsw branches carry their own driver rows (ann_filtered_topk,
+    ann_hnsw_filtered) and the crossover itself is pinned in
+    tests/test_hnsw.py."""
+    from parquetaivectorsearch_spark.operators import knn as KNN
+    from parquetaivectorsearch_spark.operators.hnsw import (
+        filtered_ann_strategy)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    n_total, n_allowed = emb.count(), allowed.count()
+    strategy = filtered_ann_strategy(n_total, n_allowed, k=10)
+    if strategy == "exact_filtered":
+        res = KNN.knn_join(emb.join(allowed, "vec_id"), queries, k=10) \
+            .select("query_id", "vec_id", "distance")
+    elif strategy == "ivf_prefilter":
+        index = ANN.IVFIndex.build(emb, nlist=10)
+        res = ANN.ivf_search(index, queries, k=10, nprobe=8,
+                             where=F.col("label") == 3) \
+            .select("query_id", "vec_id", "distance")
+    else:  # hnsw_oversearch
+        from parquetaivectorsearch_spark.operators import hnsw as H
+
+        graph = H.build_hnsw(emb, n_partitions=4)
+        res = H.hnsw_search_filtered(graph, queries, allowed, k=10)
+    return res.withColumn("strategy", F.lit(strategy))

@@ -23,6 +23,8 @@ if str(_REPO) not in sys.path:
 #: column (why a rows-only entry is still trustworthy, or what
 #: makes an oracle construction notable).
 NOTES = {
+    'ann_filtered_auto':
+        'strategy-routed serve (filtered_ann_strategy): fixture lands exact_filtered, recall 1.0 by definition; crossover pinned in tests/test_hnsw.py',
     'ann_filtered_topk':
         'recall column vs exact filtered top-k; full-probe ≡ exact in tests/test_ann.py',
     'ann_hnsw_filtered':
