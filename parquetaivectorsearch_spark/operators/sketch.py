@@ -1,5 +1,6 @@
-"""Mergeable frequency sketches: Misra-Gries partition summaries and the
-two-pass EXACT heavy-hitters operator built on them.
+"""Mergeable sketches: Misra-Gries partition summaries (with the two-pass
+EXACT heavy-hitters operator built on them), the Count-Min frequency tier,
+and the bottom-k quantile summary.
 
 The reference counts tokens exactly per document (Program.cs:80-116);
 a corpus-curation pipeline additionally needs corpus-WIDE frequent-item
@@ -179,3 +180,66 @@ def cms_estimate(cells: DataFrame, probes: DataFrame,
             .join(F.broadcast(cells), ["j", "col"])
             .groupBy(*keys)
             .agg(F.min("cell").alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile summary (Cohen & Kaplan 2007) — mergeable, oracle-exact
+# ---------------------------------------------------------------------------
+#
+# The quantile tier of the sketch family (CMS = frequency, HLL = distinct,
+# Misra-Gries = heavy hitters, Bloom = membership). Of the published
+# mergeable quantile summaries, KLL/GK/t-digest all make data-dependent
+# compaction decisions that no SQL oracle can replay; the bottom-k-by-hash
+# summary (the fixed-size uniform sample under a shared deterministic hash;
+# Cohen & Kaplan 2007, "Summarizing data using bottom-k sketches") gives the
+# same O(1/sqrt(k)) rank-error guarantee while every byte of the summary —
+# and therefore every estimate — is replayable by any engine that can sort.
+# Merge rule: bottom-k of the union of summaries, because the k smallest
+# hashes of A ∪ B are a subset of (k smallest of A) ∪ (k smallest of B).
+
+BK_A, BK_B = 524287, 12289  # shared with the CMS family; P = CMS_P
+
+
+def bottomk_hash(key):
+    """The summary's deterministic hash: (a·key + b) mod P, P = 2³¹−1.
+    Integer-only so Spark, DuckDB, and pandas agree bit-for-bit."""
+    return (F.col(key) * F.lit(BK_A) + F.lit(BK_B)) % F.lit(CMS_P)
+
+
+def bottomk_summary(rows: DataFrame, key_col: str, value_col: str,
+                    k: int = 1024) -> DataFrame:
+    """The k rows with the smallest hash(key) — a fixed-size uniform sample
+    that IS the sketch. Compiles to TakeOrderedAndProject: each task ships
+    at most k rows to the driver-side merge, so the summary costs one
+    narrow pass at any corpus size. Output: (key, value, h)."""
+    return (rows.select(F.col(key_col).alias("key"),
+                        F.col(value_col).alias("value"))
+            .withColumn("h", bottomk_hash("key"))
+            .orderBy("h", "key").limit(k))
+
+
+def bottomk_merge(summaries: list[DataFrame], k: int = 1024) -> DataFrame:
+    """Merge by union + re-take: hashes are a shared function of the key,
+    so the k smallest of the union are exactly the k smallest of the
+    concatenated summaries (pinned in tests against a single build)."""
+    acc = summaries[0]
+    for s in summaries[1:]:
+        acc = acc.unionByName(s)
+    return acc.orderBy("h", "key").limit(k)
+
+
+def bottomk_quantiles(summary: DataFrame, qs: list[float],
+                      k: int) -> DataFrame:
+    """Quantile estimates from the summary: for each q, the value at
+    row_number floor(q·(k−1)) + 1 of the summary ordered by (value, key)
+    — the discrete quantile of the sample, deterministic under ties.
+    Returns (q, est); the summary is ≤ k rows so this is driver-light."""
+    from pyspark.sql.window import Window
+
+    spark = summary.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q DOUBLE")
+    ranked = summary.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "key")))
+    return (qdf.join(ranked,
+                     F.col("rn") == F.floor(F.col("q") * F.lit(k - 1)) + 1)
+            .select("q", F.col("value").alias("est")))

@@ -459,3 +459,89 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("cnt")).cast("bigint")
         .alias("overestimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile summary — the mergeable quantile tier, fully replayed
+# ---------------------------------------------------------------------------
+
+_BK_K = 1024
+_BK_QS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+@register("quantile_sketch", f"""
+    WITH li AS (
+      SELECT l_orderkey * 8 + l_linenumber AS key,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    samp AS (
+      SELECT key, cents,
+             (key * 524287 + 12289) % 2147483647 AS h
+      FROM li ORDER BY h, key LIMIT {_BK_K}
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, key) AS rn
+      FROM samp
+    ),
+    qs AS (SELECT * FROM (VALUES {", ".join(f"({q})" for q in _BK_QS)}) t(q)),
+    est AS (
+      SELECT qs.q, ranked.cents AS est_cents
+      FROM qs JOIN ranked
+        ON ranked.rn = CAST(FLOOR(qs.q * {_BK_K - 1}) AS BIGINT) + 1
+    ),
+    audit AS (
+      SELECT est.q, est.est_cents,
+             SUM(CASE WHEN li.cents < est.est_cents THEN 1 ELSE 0 END) AS lt,
+             COUNT(*) AS n
+      FROM li CROSS JOIN est
+      GROUP BY est.q, est.est_cents
+    )
+    SELECT q, est_cents,
+           CAST(lt AS BIGINT) AS sample_rank,
+           CAST(FLOOR(q * (n - 1)) AS BIGINT) AS target_rank,
+           CAST(ABS(lt - FLOOR(q * (n - 1))) AS BIGINT) AS rank_err,
+           CAST(n AS BIGINT) AS n
+    FROM audit
+""")
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k mergeable quantile summary (Cohen & Kaplan 2007) over
+    l_extendedprice in integer cents — the quantile tier completing the
+    sketch family (CMS frequency, HLL distinct, Misra-Gries heavy hitters,
+    Bloom membership). KLL/GK/t-digest make data-dependent compaction
+    choices no SQL engine can replay; the bottom-k-by-hash summary has the
+    same mergeability and an O(1/√k) rank-error guarantee while staying
+    integer-deterministic, so the DuckDB oracle rebuilds the ENTIRE
+    summary and every estimate bit-for-bit. Build shape: one
+    TakeOrderedAndProject pass (≤ k rows per task to the driver merge — at
+    100 TB the summary is still {_BK_K} rows); estimates are a row_number
+    probe of the ≤ k-row summary; the output self-certifies by auditing
+    each estimate's EXACT rank in one more pass (map-side partial sum of a
+    broadcast 7-row probe — no second shuffle of the fact table). Columns:
+    (q, est_cents, sample_rank = exact #rows below est, target_rank,
+    rank_err, n). Merge rule (two shards' summaries union + re-take ≡ one
+    build) is pinned in tests/test_sketch.py."""
+    from parquetaivectorsearch_spark.operators.sketch import (
+        bottomk_quantiles, bottomk_summary)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("key"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"))
+    summary = bottomk_summary(li, "key", "cents", k=_BK_K).localCheckpoint(
+        eager=False)  # ≤ k rows; reused by every probe below
+    est = bottomk_quantiles(summary, list(_BK_QS), k=_BK_K).select(
+        "q", F.col("est").alias("est_cents"))
+    audit = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("q", "est_cents")
+        .agg(F.sum(F.when(F.col("cents") < F.col("est_cents"), 1)
+                   .otherwise(0)).alias("lt"),
+             F.count("*").alias("n"))
+    )
+    target = F.floor(F.col("q") * (F.col("n") - 1))
+    return audit.select(
+        "q", "est_cents",
+        F.col("lt").cast("bigint").alias("sample_rank"),
+        target.cast("bigint").alias("target_rank"),
+        F.abs(F.col("lt") - target).cast("bigint").alias("rank_err"),
+        F.col("n").cast("bigint").alias("n"))

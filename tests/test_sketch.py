@@ -112,3 +112,55 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r.j, r.col): r.cell for r in cells.collect()}
     got = {(r.j, r.col): r.cell for r in merged.collect()}
     assert got == whole
+
+
+def test_bottomk_merge_equals_single_build(spark):
+    """The quantile summary's merge rule: bottom-k over the UNION of two
+    disjoint shards' summaries is row-for-row the summary built from the
+    whole — the property that makes it a sketch rather than a sample.
+    Shards are split by key parity so neither side alone contains the
+    whole answer."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.operators.sketch import (
+        bottomk_merge, bottomk_summary)
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"key": np.arange(1, 20_001, dtype=np.int64),
+                        "value": rng.randint(0, 10**6, 20_000)})
+    rows = spark.createDataFrame(pdf).repartition(8)
+    k = 256
+    whole = bottomk_summary(rows, "key", "value", k=k)
+    shards = [bottomk_summary(rows.filter(F.col("key") % 2 == p),
+                              "key", "value", k=k) for p in (0, 1)]
+    merged = bottomk_merge(shards, k=k)
+    canon = lambda df: sorted((r.key, r.value, r.h) for r in df.collect())
+    assert canon(merged) == canon(whole)
+    assert len(canon(whole)) == k
+
+
+def test_bottomk_quantile_rank_error_bound(spark):
+    """Rank-error guarantee: with k = 1024 the estimate's exact rank is
+    within 3·sqrt(q(1-q)/k)·n of the target rank for every probed q on a
+    heavy-tailed value distribution (a >3-sigma bound for the uniform
+    sample the hash selects; sampling WITHOUT replacement only tightens
+    it)."""
+    from parquetaivectorsearch_spark.operators.sketch import (
+        bottomk_quantiles, bottomk_summary)
+
+    rng = np.random.RandomState(9)
+    n, k = 50_000, 1024
+    vals = (rng.lognormal(4.0, 1.5, n) * 100).astype(np.int64)
+    pdf = pd.DataFrame({"key": np.arange(1, n + 1, dtype=np.int64),
+                        "value": vals})
+    rows = spark.createDataFrame(pdf).repartition(8)
+    summary = bottomk_summary(rows, "key", "value", k=k)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    est = {r.q: r.est for r in bottomk_quantiles(summary, qs, k=k).collect()}
+    svals = np.sort(vals)
+    for q in qs:
+        exact_rank = int(np.searchsorted(svals, est[q], side="left"))
+        target = int(np.floor(q * (n - 1)))
+        bound = 3.0 * np.sqrt(q * (1 - q) / k) * n + 1
+        assert abs(exact_rank - target) <= bound, (
+            f"q={q}: rank {exact_rank} vs target {target}, bound {bound:.0f}")
