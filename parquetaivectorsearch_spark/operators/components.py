@@ -208,3 +208,38 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
         if (i + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation_sync(edges: DataFrame, rounds: int = 4,
+                           src_col: str = "src",
+                           dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+    a SYMMETRIC edge list; returns (node, community). Every node starts as
+    its own label; each round replaces it with the most frequent neighbor
+    label, ties to the smallest label — integer counts plus a total tie
+    order make every round deterministic, and the FIXED round count keeps
+    the output well-defined where free-running synchronous LPA oscillates
+    (the paper's known bipartite failure mode; fixed-T is the standard
+    batch remedy) and the operator oracle-expressible as one unrolled CTE
+    pair per round.
+
+    Scale posture: each round is one equi-join of the |V|-row label frame
+    against the adjacency list (keyed dst — pre-partitioned edges co-locate
+    it) plus one (node, label) count + per-node argmax window; a hub node
+    sorts only its distinct candidate labels, never its full degree.
+    `localCheckpoint` per round truncates lineage (same discipline as the
+    iterative operators above)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    from pyspark.sql.window import Window as W
+    for _ in range(rounds):
+        counts = (e.join(labels, e["dst"] == labels["node"])
+                  .groupBy("src", "label").agg(F.count("*").alias("c")))
+        labels = (counts.withColumn(
+                      "rn", F.row_number().over(
+                          W.partitionBy("src").orderBy(F.desc("c"), "label")))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("src").alias("node"), "label")
+                  .localCheckpoint(eager=False))
+    return labels.select("node", F.col("label").alias("community"))

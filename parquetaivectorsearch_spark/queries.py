@@ -452,13 +452,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     warm-start (both OPQ tiers); the O(n) tie-safe cut in every
     #     bulk kNN/IVF/maxsim batch path
     # (a′) late-r11 newborns: ann_filtered_auto (registered after the
-    #     mid-round rotation) and quantile_sketch take two (c) slots —
-    #     the bulk tie-safe cut keeps knn_join_bulk + ann_ivf_bulk as
-    #     canaries (same operators/knn.py cut path as the ceded
-    #     knn_topk_arrow / knn_join_int8_bulk, which stay in the sweeps)
-    "ann_filtered_auto", "quantile_sketch",
+    #     mid-round rotation), quantile_sketch, and label_propagation
+    #     take three (c) slots — the bulk tie-safe cut keeps
+    #     knn_join_bulk + ann_ivf_bulk as canaries (same
+    #     operators/knn.py cut path as the ceded knn_topk_arrow /
+    #     knn_join_int8_bulk) and ivf_opq_topk keeps the OPQ warm-start
+    #     canary (same train_opq path as the ceded opq_topk); every
+    #     ceded query stays in the replica sweeps
+    "ann_filtered_auto", "quantile_sketch", "label_propagation",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
-    "longest_repeated_substring", "sa_repeat_pairs", "opq_topk",
+    "longest_repeated_substring", "sa_repeat_pairs",
     "ivf_opq_topk", "knn_join_bulk",
     "maxsim_multivector", "ann_ivf_bulk",
     # (d) the ENTIRE r5-evidence cohort (VERDICT r10 #5): the 35 queries

@@ -1566,6 +1566,98 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("cur").alias("node"))
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label-propagation oracle: the same bounded
+    3-NN graph CTEs as random_walks, then one (count, argmin-tie argmax)
+    CTE pair per round — aggregation in a recursive CTE term is illegal
+    SQL, so rounds unroll exactly as random_walks' steps do."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    c{t} AS (
+      SELECT e.src, l.label, COUNT(*) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.label
+    ),
+    l{t} AS (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{t}) t WHERE rn = 1
+    )""")
+        prev = f"l{t}"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 200
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_inner_product(a.v, b.v) AS dot
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY dot DESC, dst) AS rn
+        FROM sims) t WHERE rn <= 3
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM knn
+                 UNION ALL SELECT dst AS src, src AS dst FROM knn) u),
+    l0 AS (SELECT src AS node, src AS label FROM edges GROUP BY src),
+    {",".join(rounds)}
+    SELECT node, label AS community FROM {prev}
+"""
+
+
+@register("label_propagation", _lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the 3-NN similarity graph — the clustering
+    stage that turns a near-dup/similarity graph into topical groups
+    without a target cluster count. Every node starts as its own label;
+    each of the {_LPA_ROUNDS} rounds replaces it with the most frequent
+    neighbor label, ties to the SMALLEST label — integer counts + a total
+    tie order make every round deterministic, and a FIXED round count
+    makes the output well-defined even where free-running synchronous LPA
+    would oscillate (documented in the paper; fixed-T is the standard
+    batch remedy). Each round is one equi-join of the label frame against
+    the adjacency list plus one (node, label) count-argmax — the Pregel
+    message shape: at 100 TB, edges pre-partitioned by dst co-locate the
+    join, and the argmax window keys on src so a hub node never sorts
+    more rows than its degree in candidate labels. Same bounded
+    vec_id < 200 graph as pagerank_simgraph/random_walks; every round of
+    the oracle replays the argmax exactly (count DESC, label ASC)."""
+    from pyspark.sql.window import Window as W
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    sims = (a.join(b, F.col("src") != F.col("dst"))
+            .select("src", "dst", V.dot("va", "vb").alias("dot")))
+    knn3 = (sims.withColumn(
+                "rn", F.row_number().over(
+                    W.partitionBy("src").orderBy(F.desc("dot"), "dst")))
+            .filter(F.col("rn") <= 3).select("src", "dst"))
+    edges = knn3.union(
+        knn3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    from parquetaivectorsearch_spark.operators.components import (
+        label_propagation_sync)
+    return label_propagation_sync(edges, rounds=_LPA_ROUNDS)
+
+
 @register("perplexity_buckets", """
     WITH w AS (
       SELECT doc_id,

@@ -107,3 +107,32 @@ def test_pagerank_hand_graph(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+
+
+def test_label_propagation_recovers_planted_cliques(spark):
+    """Synchronous LPA on two 5-cliques joined by one bridge edge: four
+    rounds must assign each clique a single community and keep the two
+    communities distinct — the bridge must NOT merge them (its endpoint
+    sees 4 intra-clique votes vs 1 across). Also pins determinism: two
+    runs agree row-for-row."""
+    from itertools import combinations
+
+    from parquetaivectorsearch_spark.operators.components import (
+        label_propagation_sync,
+    )
+
+    cliq_a, cliq_b = range(5), range(10, 15)
+    pairs = (list(combinations(cliq_a, 2)) + list(combinations(cliq_b, 2))
+             + [(4, 10)])
+    e = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    got = {r.node: r.community
+           for r in label_propagation_sync(edges, rounds=4).collect()}
+    assert set(got) == set(cliq_a) | set(cliq_b)
+    labels_a = {got[n] for n in cliq_a}
+    labels_b = {got[n] for n in cliq_b}
+    assert len(labels_a) == 1 and len(labels_b) == 1
+    assert labels_a != labels_b
+    again = {r.node: r.community
+             for r in label_propagation_sync(edges, rounds=4).collect()}
+    assert again == got
