@@ -459,11 +459,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     knn_join_int8_bulk) and ivf_opq_topk keeps the OPQ warm-start
     #     canary (same train_opq path as the ceded opq_topk); every
     #     ceded query stays in the replica sweeps
+    #     maxsim_pruned hash-checks the identical top-10 through MORE
+    #     machinery than maxsim_multivector, so it takes that slot
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
     "longest_repeated_substring", "sa_repeat_pairs",
     "ivf_opq_topk", "knn_join_bulk",
-    "maxsim_multivector", "ann_ivf_bulk",
+    "maxsim_pruned", "ann_ivf_bulk",
     # (d) the ENTIRE r5-evidence cohort (VERDICT r10 #5): the 35 queries
     #     whose latest driver sample is round 5 — after this round no
     #     query's evidence is older than r6
