@@ -436,3 +436,85 @@ def ivf_pq_search(index, codes_df: DataFrame, codebooks: np.ndarray,
     return (survivors.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= shortlist)
             .drop("rank"))
+
+
+def train_itq(corpus: DataFrame, bits: int | None = None,
+              vec_col: str = "embedding", sample_cap: int = 50_000,
+              iters: int = 20, seed: int = 42
+              ) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """Iterative Quantization (Gong & Lazebnik, CVPR 2011): learn the
+    orthogonal rotation that minimizes the binarization loss
+    ‖B − VR‖²_F, B = sgn(VR), over the mean-centered PCA projection V —
+    the learned upgrade to raw sign quantization (functions/vector.
+    binary_quantize), same 1-bit-per-dim byte budget, codes that actually
+    respect the data's principal axes. Alternation: B-step is the
+    elementwise sign (optimal for fixed R), R-step is orthogonal
+    Procrustes R = S·Ŝᵀ from SVD(VᵀB) (optimal for fixed B) — both
+    optimal, so the loss is monotone non-increasing (returned per
+    iteration and test-pinned, same posture as train_opq's descent).
+
+    Deterministic end-to-end: capped-sample limit() pull, eigh PCA with
+    a largest-|component|-positive sign convention per eigenvector, and
+    a seeded-Gaussian QR init for R (identity init is a sign-quantizer
+    fixed point — Gong & Lazebnik §3.3 require a random rotation start).
+
+    Returns (center d, proj d×b — PCA basis times R, losses). Encode a
+    vector as sgn((x − center) @ proj) packed to int64 words; driver-side
+    work is one d×d eigh + iters b×b SVDs (trivial at any corpus width,
+    same posture as train_opq)."""
+    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    b = bits or d
+    center = x.mean(axis=0)
+    xc = x - center
+    cov = xc.T @ xc / max(len(xc) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:b]
+    w = evecs[:, order]
+    # sign convention: largest-|component| entry of each eigenvector > 0
+    flips = np.sign(w[np.abs(w).argmax(axis=0), np.arange(b)])
+    w = w * flips
+    v = xc @ w
+    rng = np.random.RandomState(seed)
+    r, _ = np.linalg.qr(rng.randn(b, b))
+    losses: list[float] = []
+    for _ in range(iters):
+        vr = v @ r
+        bmat = np.where(vr >= 0, 1.0, -1.0)
+        losses.append(float(((bmat - vr) ** 2).sum()))
+        u, _s, st = np.linalg.svd(v.T @ bmat)
+        r = u @ st
+    return center, w @ r, losses
+
+
+def itq_encode(corpus: DataFrame, center: np.ndarray, proj: np.ndarray,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bcode array<bigint>) with bit j of word w set iff
+    ((x − center) @ proj)[64w + j] ≥ 0 — same packed layout as
+    binary_quantize, so functions/vector.hamming_distance serves both.
+    One Arrow pass; center/proj ride the closure (d×b floats)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    c64 = center.astype(np.float64)
+    p64 = proj.astype(np.float64)
+    n_words = max((p64.shape[1] + 63) // 64, 1)
+    weights = (1 << np.arange(64, dtype=np.uint64))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = ((x - c64) @ p64) >= 0
+            pad = n_words * 64 - bits.shape[1]
+            if pad:
+                bits = np.pad(bits, ((0, 0), (0, pad)))
+            words = (bits.reshape(len(x), n_words, 64).astype(np.uint64)
+                     * weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                "bcode": list(words)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id BIGINT, bcode ARRAY<BIGINT>")

@@ -462,8 +462,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     maxsim_pruned hash-checks the identical top-10 through MORE
     #     machinery than maxsim_multivector, so it takes that slot
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
+    "itq_topk",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
-    "longest_repeated_substring", "sa_repeat_pairs",
+    "longest_repeated_substring",
     "ivf_opq_topk", "knn_join_bulk",
     "maxsim_pruned", "ann_ivf_bulk",
     # (d) the ENTIRE r5-evidence cohort (VERDICT r10 #5): the 35 queries

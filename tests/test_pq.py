@@ -361,3 +361,65 @@ def test_opq_alternation_monotone_descent(spark):
         trace.append(mse(R, books))
     eps = 1e-9 * trace[0]
     assert all(b <= a + eps for a, b in zip(trace, trace[1:])), trace
+
+
+def test_itq_monotone_loss_and_beats_unrotated_sign(spark):
+    """ITQ training invariants on mean-shifted anisotropic data (the
+    regime where raw sign quantization wastes bits): (a) the alternation
+    loss is monotone non-increasing (both steps are optimal for the other
+    held fixed); (b) the final binarization loss beats the unrotated
+    centered-PCA sign baseline (R = I on the same projection) — the
+    rotation must actually buy something."""
+    rng = np.random.RandomState(23)
+    scales = np.linspace(3.0, 0.1, 16)
+    x = rng.randn(400, 16) * scales + 2.0  # shifted + anisotropic
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    center, proj, losses = PQ.train_itq(emb, iters=15)
+    assert all(b <= a + 1e-6 for a, b in zip(losses, losses[1:]))
+    # unrotated baseline on the same centered PCA projection
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (len(xc) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    w = evecs[:, np.argsort(evals)[::-1]]
+    v = xc @ w
+    base = float(((np.where(v >= 0, 1.0, -1.0) - v) ** 2).sum())
+    assert losses[-1] <= base, f"ITQ {losses[-1]:.1f} vs baseline {base:.1f}"
+
+
+def test_itq_encode_matches_numpy_and_improves_shortlist(spark):
+    """itq_encode's packed words must equal a numpy reference bit-for-bit
+    (two's-complement top bit included), and on shifted data the ITQ
+    Hamming shortlist must capture at least as much of the exact top-20
+    as the raw sign tier's shortlist of the same size — the learned bits
+    may not be worse than the unlearned ones."""
+    from parquetaivectorsearch_spark.functions.vector import binary_quantize
+
+    rng = np.random.RandomState(31)
+    x = rng.randn(500, 64) + 1.5  # every dim positive-mean: sign tier's worst case
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    center, proj, _ = PQ.train_itq(emb)
+    codes = {r.vec_id: np.array(r.bcode, dtype=np.int64)
+             for r in PQ.itq_encode(emb, center, proj).collect()}
+    # numpy reference packing
+    bits = ((x - center) @ proj) >= 0
+    for i in (0, 7, 499):
+        ref = (bits[i].astype(np.uint64)
+               * (1 << np.arange(64, dtype=np.uint64))).sum().astype(np.int64)
+        assert codes[i][0] == ref
+
+    q = x[0]
+    exact20 = set(np.argsort(x @ q)[::-1][:20])
+
+    def ham_short(code_bits):
+        hd = (code_bits ^ code_bits[0]).sum(axis=1)
+        return set(np.argsort(hd, kind="stable")[:100])
+
+    itq_hits = len(ham_short(bits) & exact20)
+    raw_bits = x > 0
+    raw_hits = len(ham_short(raw_bits) & exact20)
+    assert itq_hits >= raw_hits, f"ITQ {itq_hits}/20 < raw sign {raw_hits}/20"
+    assert itq_hits >= 10, f"ITQ shortlist too weak: {itq_hits}/20"
