@@ -462,7 +462,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     maxsim_pruned hash-checks the identical top-10 through MORE
     #     machinery than maxsim_multivector, so it takes that slot
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
-    "itq_topk",
+    "itq_topk", "kneser_ney_logprob",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
     "longest_repeated_substring",
     "ivf_opq_topk", "knn_join_bulk",
@@ -481,7 +481,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "session_window_agg", "split_assign", "stratified_sample",
     "streaming_session_agg", "streaming_tumbling_agg",
     "top_revenue_orders", "udtf_split_words", "variant_json",
-    "vocab_top_words", "window_range_frame",
+    "vocab_top_words",
+    # (window_range_frame ceded its (d) slot to the kneser_ney_logprob
+    #  newborn — the window family carries broad r8 evidence already;
+    #  it stays in the replica sweeps)
 )
 
 _DRIVER_WINDOW_R10: tuple[str, ...] = (

@@ -189,6 +189,86 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_D = 0.75  # the standard absolute discount (Chen & Goodman 1999 §4)
+
+
+@register("kneser_ney_logprob", f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws[i] AS a, ws[i + 1] AS t
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS s(i)
+      WHERE len(ws) >= 2
+    ),
+    f2 AS (SELECT a, t, COUNT(*) AS c2 FROM b GROUP BY a, t),
+    f1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1a
+           FROM f2 GROUP BY a),
+    cont AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n1t FROM f2 GROUP BY t),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM f2),
+    p AS (
+      SELECT b.doc_id,
+             ROUND(GREATEST(c2 - {_KN_D}, 0.0) / c1
+                   + (({_KN_D} * n1a) / c1)
+                     * (CAST(n1t AS DOUBLE) / ntypes), 9) AS pkn
+      FROM b JOIN f2 USING (a, t) JOIN f1 USING (a)
+             JOIN cont USING (t) CROSS JOIN types
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(pkn)), 6) AS kn_avg_neg_logprob
+    FROM p GROUP BY doc_id
+""")
+def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1999 formulation with fixed discount D=0.75) — the
+    published standard the raw-frequency bigram LM (`bigram_logprob`)
+    approximates: p(t|a) = max(c(a,t)−D, 0)/c(a·) + λ(a)·p_cont(t) with
+    λ(a) = D·N₁₊(a·)/c(a·) and the CONTINUATION probability
+    p_cont(t) = N₁₊(·t)/N₁₊(··) — 'how many contexts does t follow'
+    rather than 'how often does t occur', the distinction that stops
+    frequent-but-context-locked words (e.g. 'Francisco') from absorbing
+    smoothing mass. Every ingredient is an integer count off the SAME
+    one-pass bigram-type table (c2, row counts per a, per t, and the
+    global type count), so the model trains with one hash agg + three
+    derived aggs, all broadcast back onto the bigram stream; per-doc agg
+    shuffles on doc_id — identical shuffle budget to bigram_logprob.
+    p is pre-rounded 9 dp before the ln on BOTH engines (the repo-wide
+    divide-then-round determinism convention)."""
+    d = _t(spark, sf_dir, "documents", spread=True)
+    ws = TX.words("text")
+    b = (d.select("doc_id", ws.alias("ws"))
+         .filter(F.size("ws") >= 2)
+         .select("doc_id", F.explode(F.expr(
+             "transform(sequence(1, size(ws) - 1),"
+             " i -> struct(element_at(ws, i) as a,"
+             "             element_at(ws, i + 1) as t))")).alias("bg"))
+         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t")))
+    f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2")) \
+        .localCheckpoint(eager=False)  # reused by f1 / cont / types
+    f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"),
+                             F.count("*").cast("bigint").alias("n1a"))
+    cont = f2.groupBy("t").agg(F.count("*").cast("bigint").alias("n1t"))
+    types = f2.agg(F.count("*").cast("bigint").alias("ntypes"))
+    pkn = F.round(
+        F.greatest(F.col("c2") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+        + ((F.lit(_KN_D) * F.col("n1a")) / F.col("c1"))
+        * (F.col("n1t").cast("double") / F.col("ntypes")), 9)
+    return (
+        b.join(F.broadcast(f2), ["a", "t"])
+        .join(F.broadcast(f1), "a")
+        .join(F.broadcast(cont), "t")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", pkn.alias("pkn"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+             F.round(F.avg(-F.log("pkn")), 6).alias("kn_avg_neg_logprob"))
+    )
+
+
 @register("dedup_minhash")  # rows-only: xxhash64 minhash is Spark-specific
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact 5-gram jaccard.

@@ -145,3 +145,43 @@ def test_dedup_substring_exact_two_tier_planted(spark, tmp_path):
     assert {(r.doc_lo, r.doc_hi) for r in out} == {(1, 2)}, out
     assert out[0].max_lcp == 200, out
     assert out[0].n_shared_windows >= 1 and out[0].n_repeats >= 1, out
+
+
+def test_kneser_ney_is_a_proper_distribution(spark):
+    """Interpolated KN must sum to exactly 1 over the full vocabulary for
+    EVERY context: sum_t max(c2-D,0)/c1 over observed continuations is
+    (c1 - D*N1a)/c1, lambda(a) = D*N1a/c1, and sum_t p_cont(t) = 1, so
+    the total telescopes to 1 — the property that distinguishes a
+    smoothing scheme from an ad-hoc score. Built from a toy corpus with
+    the same formula constants the query uses; a drifted discount or a
+    mis-normalized continuation table breaks this immediately."""
+    import collections
+
+    from parquetaivectorsearch_spark.queries_text import _KN_D
+
+    docs = ["the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog and a mat"]
+    D = _KN_D
+    assert 0.0 < D < 1.0  # the telescoping below needs a valid discount
+    bigrams = []
+    for t in docs:
+        w = t.split()
+        bigrams += list(zip(w, w[1:]))
+    c2 = collections.Counter(bigrams)
+    c1 = collections.Counter()
+    n1a = collections.Counter()
+    n1t = collections.Counter()
+    for (a, t), c in c2.items():
+        c1[a] += c
+        n1a[a] += 1
+        n1t[t] += 1
+    ntypes = len(c2)
+    vocab = {t for _, t in bigrams} | {a for a, _ in bigrams}
+    for a in c1:
+        lam = D * n1a[a] / c1[a]
+        total = sum(
+            max(c2.get((a, t), 0) - D, 0.0) / c1[a]
+            + lam * (n1t.get(t, 0) / ntypes)
+            for t in vocab)
+        assert abs(total - 1.0) < 1e-12, f"context {a!r} sums to {total}"
