@@ -462,7 +462,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     maxsim_pruned hash-checks the identical top-10 through MORE
     #     machinery than maxsim_multivector, so it takes that slot
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
-    "itq_topk", "kneser_ney_logprob",
+    "itq_topk", "kneser_ney_logprob", "streaming_quantile_bottomk",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
     "longest_repeated_substring",
     "ivf_opq_topk", "knn_join_bulk",
@@ -479,7 +479,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "priority_shipment_counts", "promo_revenue",
     "regional_revenue", "returned_customers", "scd2_intervals",
     "session_window_agg", "split_assign", "stratified_sample",
-    "streaming_session_agg", "streaming_tumbling_agg",
+    "streaming_session_agg",
+    # (streaming_tumbling_agg ceded to the streaming_quantile_bottomk
+    #  newborn; the streaming module keeps session_agg + the newborn)
     "top_revenue_orders", "udtf_split_words", "variant_json",
     "vocab_top_words",
     # (window_range_frame ceded its (d) slot to the kneser_ney_logprob

@@ -339,6 +339,20 @@ def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(out, "append", state_partitions=None)
 
 
+@register("streaming_quantile_bottomk")  # rows-only: streaming state output
+def q_streaming_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming quantiles per event type
+    (streaming/events.type_quantile_bottomk): the state per key is the
+    bottom-k-by-hash summary — ≤ 256 (hash, id, value) triples FOREVER.
+    Because bottom-k of a union IS the bottom-k of merged bottom-ks, the
+    micro-batch fold is lossless: the final p50/p90 EQUAL a batch
+    bottom-k build over the same events, pinned as exact equality in
+    tests/test_streaming.py (the streaming sketch family's quantile
+    tier, next to HLL distinct and Misra-Gries heavy hitters)."""
+    return S.run_available_now(
+        S.type_quantile_bottomk(_staged_stream(spark, sf_dir)), "update")
+
+
 @register("streaming_distinct_hll")  # rows-only: sketch estimate, tolerance-tested
 def q_streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming distinct users per event type

@@ -14,6 +14,7 @@ from parquetaivectorsearch_spark.streaming.events import (
     streaming_dedup,
     tumbling_counts,
     type_distinct_hll,
+    type_quantile_bottomk,
     type_heavy_hitters,
     user_running_totals,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "streaming_dedup",
     "tumbling_counts",
     "type_distinct_hll",
+    "type_quantile_bottomk",
     "type_heavy_hitters",
     "user_running_totals",
 ]

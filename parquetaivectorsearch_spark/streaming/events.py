@@ -415,3 +415,70 @@ def type_distinct_hll(events: DataFrame, p: int = 12) -> DataFrame:
             .groupBy("event_type")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", "NoTimeout"))
+
+
+def type_quantile_bottomk(events: DataFrame, k: int = 256) -> DataFrame:
+    """Bounded-state streaming QUANTILES per event type: the state per key
+    is the bottom-k-by-hash summary (operators/sketch.bottomk_summary's
+    layout — the k smallest (a·event_id+b) mod P hashes with their
+    values), ≤ k rows FOREVER where a streaming exact percentile's state
+    grows with the stream. Completes the streaming sketch family
+    (HLL distinct above, Misra-Gries heavy hitters) with the quantile
+    tier. Because bottom-k of a union is exactly the bottom-k of merged
+    bottom-ks, the micro-batch fold is LOSSLESS: once a type has seen
+    ≥ k events, the emitted quantiles EQUAL a batch bottom-k build over
+    the whole stream — pinned as exact equality (not a tolerance) in
+    tests/test_streaming.py. Estimates use the batch helper's rank rule:
+    value at row floor(q·(k_eff−1))+1 ordered by (value, key)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetaivectorsearch_spark.operators.sketch import (
+        BK_A, BK_B, CMS_P)
+
+    qs = (0.5, 0.9)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            hs, ks, vs = (np.array(c) for c in state.get)
+        else:
+            hs = np.array([], dtype=np.int64)
+            ks = np.array([], dtype=np.int64)
+            vs = np.array([], dtype=np.float64)
+        for pdf in pdfs:
+            ek = pdf["event_id"].to_numpy(np.int64)
+            hs = np.concatenate([hs, (ek * BK_A + BK_B) % CMS_P])
+            ks = np.concatenate([ks, ek])
+            vs = np.concatenate([vs, pdf["value"].to_numpy(np.float64)])
+            keep = np.lexsort((ks, hs))[:k]
+            hs, ks, vs = hs[keep], ks[keep], vs[keep]
+        state.update(([int(x) for x in hs], [int(x) for x in ks],
+                      [float(x) for x in vs]))
+        order = np.lexsort((ks, vs))
+        k_eff = len(vs)
+        ests = [float(vs[order[int(np.floor(q * (k_eff - 1)))]])
+                for q in qs]
+        yield pd.DataFrame({"event_type": [key[0]],
+                            "n_summary": [k_eff],
+                            "p50_est": [ests[0]],
+                            "p90_est": [ests[1]]})
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_summary", IntegerType()),
+        StructField("p50_est", DoubleType()),
+        StructField("p90_est", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("hs", ArrayType(LongType())),
+        StructField("ks", ArrayType(LongType())),
+        StructField("vs", ArrayType(DoubleType())),
+    ])
+    return (events
+            .groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))

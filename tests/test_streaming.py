@@ -414,3 +414,60 @@ def test_streaming_distinct_hll_tolerance_and_merge(spark):
            for t, g in pdf.groupby("event_type")}
     for t in exact:
         assert abs(two[t] - one[t]) < 1e-9, (t, two[t], one[t])
+
+
+def test_streaming_quantile_bottomk_is_lossless(spark):
+    """Streaming bottom-k quantiles: (a) a single availableNow run's
+    p50/p90 per type EQUAL a pandas replay of the batch bottom-k summary
+    over the same events (exact equality, not tolerance — bottom-k of a
+    union is the bottom-k of merged bottom-ks, so the stream loses
+    nothing); (b) a two-micro-batch run over a split source lands the
+    same final values — batching-invariance, the merge property
+    end-to-end through the state store."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    import numpy as np
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.operators.sketch import BK_A, BK_B, CMS_P
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    k = 256
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("event_id", "event_type", "value").toPandas()
+    want = {}
+    for t, g in ev.groupby("event_type"):
+        ek = g["event_id"].to_numpy(np.int64)
+        hs = (ek * BK_A + BK_B) % CMS_P
+        keep = np.lexsort((ek, hs))[:k]
+        vs, ks = g["value"].to_numpy(np.float64)[keep], ek[keep]
+        order = np.lexsort((ks, vs))
+        k_eff = len(vs)
+        want[t] = tuple(float(vs[order[int(np.floor(q * (k_eff - 1)))]])
+                        for q in (0.5, 0.9))
+
+    d = tempfile.mkdtemp(prefix="q_stream_")
+    _sh.copy(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    one = {r.event_type: (r.p50_est, r.p90_est) for r in
+           S.run_available_now(
+               S.type_quantile_bottomk(S.read_event_stream(spark, d)),
+               "update").collect()}
+    assert one == want
+
+    evf = load_table(spark, SF_SMOKE, "events")
+    d2 = tempfile.mkdtemp(prefix="q_stream2_")
+    for name, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        tmp = tempfile.mkdtemp(prefix=f"q_split_{name}_")
+        evf.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0],
+                 f"{d2}/{name}.parquet")
+    pdf = S.run_available_now(
+        S.type_quantile_bottomk(
+            S.read_event_stream(spark, d2, max_files_per_trigger=1)),
+        "update").toPandas()
+    two = {t: (g["p50_est"].iloc[-1], g["p90_est"].iloc[-1])
+           for t, g in pdf.groupby("event_type")}
+    assert two == want
