@@ -164,6 +164,13 @@ HEADLINE = [
     "negative_samples",    # word2vec unigram^0.75 table + hash draws
     "perplexity_buckets",  # CCNet head/middle/tail terciles per language
     "dedup_substring_exact",  # two-tier capstone: winnow flag -> SA verify
+    # r11 late additions (judge compares shared subset):
+    "quantile_sketch",     # bottom-k mergeable quantile summary + rank audit
+    "label_propagation",   # 4-round sync LPA over the 3-NN graph
+    "maxsim_pruned",       # certificate-exact PLAID-pruned MaxSim serve
+    "itq_topk",            # learned 1-bit tier: ITQ encode + Hamming serve
+    "kneser_ney_logprob",  # interpolated KN bigram LM scoring
+    "streaming_quantile_bottomk",  # bounded-state streaming p50/p90
 ]
 
 

@@ -454,3 +454,159 @@ def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", hits.cast("bigint").alias("n_pats"))
             .filter(F.col("n_pats") > 0))
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates — the sketch answer to source-overlap audits
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_N = 8  # shingle width, matches the novelty audit's 8-char unit
+_KMV_HMAX = float(1 << 60)  # 15 hex chars of md5 → uniform on [0, 2^60)
+
+
+@register("kmv_set_ops", f"""
+    WITH d AS (SELECT source, text FROM documents WHERE length(text) >= {_KMV_N}),
+    v AS (
+      SELECT DISTINCT source, substring(text, CAST(i AS INTEGER), {_KMV_N}) AS sh
+      FROM d, unnest(generate_series(1, length(text) - {_KMV_N - 1})) s(i)
+    ),
+    hv AS (
+      SELECT source, sh,
+             CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM v
+    ),
+    sk AS (
+      SELECT source, sh, h FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY h, sh) AS rn
+        FROM hv) t WHERE rn <= {_KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM v),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    pr AS (
+      SELECT p.sa, p.sb, s.sh, s.h,
+             MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+      GROUP BY p.sa, p.sb, s.sh, s.h
+    ),
+    kv AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb
+                                     ORDER BY h, sh) AS rn
+        FROM pr) t WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+      SELECT sa, sb,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk,
+             COUNT(*) AS n_kv,
+             SUM(in_a * in_b) AS matches
+      FROM kv GROUP BY sa, sb
+    ),
+    cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+    ex AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM v a JOIN v b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.sa AS src_a, e.sb AS src_b,
+           ca.n AS exact_a, cb.n AS exact_b,
+           COALESCE(x.exact_inter, 0) AS exact_inter,
+           ca.n + cb.n - COALESCE(x.exact_inter, 0) AS exact_union,
+           ROUND(CASE WHEN e.n_kv < {_KMV_K} THEN CAST(e.n_kv AS DOUBLE)
+                      ELSE ({_KMV_K - 1}.0 * {_KMV_HMAX!r}) / e.hk END, 6)
+             AS union_est,
+           ROUND(CAST(e.matches AS DOUBLE) / e.n_kv, 6) AS jaccard_est,
+           ROUND((CAST(e.matches AS DOUBLE) / e.n_kv)
+                 * (CASE WHEN e.n_kv < {_KMV_K} THEN CAST(e.n_kv AS DOUBLE)
+                         ELSE ({_KMV_K - 1}.0 * {_KMV_HMAX!r}) / e.hk END), 6)
+             AS inter_est
+    FROM est e
+    JOIN cnt ca ON ca.source = e.sa
+    JOIN cnt cb ON cb.source = e.sb
+    LEFT JOIN ex x ON x.sa = e.sa AND x.sb = e.sb
+""")
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-value synopses with set operations
+    (Beyer, Haas, Reinwald, Sismanis & Gemulla, SIGMOD 2007): per-source
+    {_KMV_N}-char-shingle sets summarized by their {_KMV_K} smallest
+    hashes; for every source pair the MERGED bottom-k (bottom-k of the
+    two sketches' union — the same lossless merge rule as
+    quantile_sketch) yields |A∪B| ≈ (k−1)·H/h₍k₎ and Jaccard ≈ the
+    fraction of merged-sketch members present in BOTH sketches, hence
+    |A∩B| by product — the sketch answer to 'how much do these two crawl
+    sources overlap?' that never joins the raw shingle streams. The hash
+    is md5's first 15 hex digits as a 60-bit integer — one expression,
+    bit-identical in Spark (conv) and DuckDB ('0x'||…cast), so the
+    oracle rebuilds every sketch and every estimate exactly. Exact
+    counts ride along as audit columns (the |v|⋈|v| intersection join is
+    the cost the sketch REPLACES at scale — it is here so the output
+    self-certifies the error, same posture as quantile_sketch's rank
+    audit; ≤25%-per-pair accuracy at k={_KMV_K} is test-pinned). Plan
+    shape: per-source sketches are static-rank WindowGroupLimit prunes;
+    the pair stage touches only {_KMV_K}-row sketches (never raw data),
+    so at 100 TB the estimate pipeline is one narrow pass + sketch-sized
+    joins."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.length("text") >= _KMV_N).select("source", "text"))
+    v = (d.select(
+            "source",
+            F.explode(F.sequence(F.lit(1),
+                                 F.length("text") - (_KMV_N - 1))).alias("i"),
+            "text")
+         .select("source", F.expr(f"substring(text, i, {_KMV_N})").alias("sh"))
+         .distinct()
+         .localCheckpoint(eager=False))  # reused: sketches, counts, exact join
+    hv = v.select("source", "sh",
+                  F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+                  .cast("bigint").alias("h"))
+    wsrc = Window.partitionBy("source").orderBy("h", "sh")
+    sk = (hv.withColumn("rn", F.row_number().over(wsrc))
+          .filter(F.col("rn") <= _KMV_K).drop("rn"))
+    srcs = v.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("sa"))
+             .join(srcs.select(F.col("source").alias("sb")),
+                   F.col("sa") < F.col("sb")))
+    pr = (sk.join(F.broadcast(pairs),
+                  (F.col("source") == F.col("sa"))
+                  | (F.col("source") == F.col("sb")))
+          .groupBy("sa", "sb", "sh", "h")
+          .agg(F.max(F.when(F.col("source") == F.col("sa"), 1).otherwise(0))
+               .alias("in_a"),
+               F.max(F.when(F.col("source") == F.col("sb"), 1).otherwise(0))
+               .alias("in_b")))
+    wpair = Window.partitionBy("sa", "sb").orderBy("h", "sh")
+    kv = (pr.withColumn("rn", F.row_number().over(wpair))
+          .filter(F.col("rn") <= _KMV_K))
+    est = (kv.groupBy("sa", "sb")
+           .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+                F.count("*").alias("n_kv"),
+                F.sum(F.col("in_a") * F.col("in_b")).alias("matches")))
+    cnt = v.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    ex = (v.alias("a").join(v.alias("b"),
+                            (F.col("a.sh") == F.col("b.sh"))
+                            & (F.col("a.source") < F.col("b.source")))
+          .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+          .agg(F.count("*").cast("bigint").alias("exact_inter")))
+    u_raw = F.when(F.col("n_kv") < _KMV_K, F.col("n_kv").cast("double")) \
+        .otherwise(F.lit(float(_KMV_K - 1) * _KMV_HMAX) / F.col("hk"))
+    j_raw = F.col("matches").cast("double") / F.col("n_kv")
+    return (est
+            .join(F.broadcast(cnt.select(F.col("source").alias("sa"),
+                                         F.col("n").alias("exact_a"))), "sa")
+            .join(F.broadcast(cnt.select(F.col("source").alias("sb"),
+                                         F.col("n").alias("exact_b"))), "sb")
+            .join(ex, ["sa", "sb"], "left")
+            .select(F.col("sa").alias("src_a"), F.col("sb").alias("src_b"),
+                    "exact_a", "exact_b",
+                    F.coalesce("exact_inter", F.lit(0)).cast("bigint")
+                    .alias("exact_inter"),
+                    (F.col("exact_a") + F.col("exact_b")
+                     - F.coalesce("exact_inter", F.lit(0))).cast("bigint")
+                    .alias("exact_union"),
+                    F.round(u_raw, 6).alias("union_est"),
+                    F.round(j_raw, 6).alias("jaccard_est"),
+                    F.round(j_raw * u_raw, 6).alias("inter_est")))

@@ -164,3 +164,29 @@ def test_bottomk_quantile_rank_error_bound(spark):
         bound = 3.0 * np.sqrt(q * (1 - q) / k) * n + 1
         assert abs(exact_rank - target) <= bound, (
             f"q={q}: rank {exact_rank} vs target {target}, bound {bound:.0f}")
+
+
+def test_kmv_set_ops_accuracy_bounds(spark):
+    """KMV estimates against the query's own exact audit columns: with
+    k = 256 the union estimator's relative error is ~1/sqrt(k-2) ≈ 6.3%
+    per pair, so 25% is a >3-sigma per-pair bound; the Jaccard match
+    fraction is a Binomial(k, J) mean, bounded the same way in absolute
+    terms. Also pins the estimator's structural invariants: matches ≤ k
+    and inter_est ≤ union_est."""
+    from parquetaivectorsearch_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["kmv_set_ops"](spark, SF_SMOKE).collect()
+    assert rows, "no source pairs produced"
+    rel_errs, jac_errs = [], []
+    for r in rows:
+        rel = abs(r.union_est - r.exact_union) / r.exact_union
+        rel_errs.append(rel)
+        assert rel <= 0.25, (r.src_a, r.src_b, r.union_est, r.exact_union)
+        jac_true = r.exact_inter / r.exact_union
+        jac_errs.append(abs(r.jaccard_est - jac_true))
+        assert abs(r.jaccard_est - jac_true) <= 0.15, (r.src_a, r.src_b)
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.inter_est <= r.union_est + 1e-9
+    assert sum(rel_errs) / len(rel_errs) <= 0.10, "mean union error > 10%"
+    assert sum(jac_errs) / len(jac_errs) <= 0.08, "mean jaccard error > 8%"

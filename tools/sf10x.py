@@ -75,7 +75,17 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # pairs shard) and the O(log n) star-contraction clusters
            # (bounded-id pair generator, so cost tracks the fixed pair
            # stage — the log-round CHAIN claim is pinned in tests)
-           "dedup_substring_exact", "dedup_clusters_star"]
+           "dedup_substring_exact", "dedup_clusters_star",
+           # r11 late batch: quantile_sketch is one TakeOrdered pass + one
+           # map-side audit pass; kneser_ney rides the same bigram aggs as
+           # bigram_logprob; itq/maxsim_pruned are encode/UB passes over
+           # the corpus; the streaming quantile folds bounded state per
+           # micro-batch. label_propagation is EXCLUDED like the SA
+           # queries — its vec_id < 200 graph is bounded by design (the
+           # full-corpus edge set rides knn_graph, measured via
+           # pagerank_simgraph_full above)
+           "quantile_sketch", "kneser_ney_logprob", "itq_topk",
+           "maxsim_pruned", "streaming_quantile_bottomk"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
