@@ -218,6 +218,27 @@ def bottomk_summary(rows: DataFrame, key_col: str, value_col: str,
             .orderBy("h", "key").limit(k))
 
 
+def bottomk_summary_grouped(rows: DataFrame, group_col: str, key_col: str,
+                            value_col: str, k: int = 64) -> DataFrame:
+    """Independent bottom-k summary per group, from ONE static-rank
+    window: rn ≤ k over (hash, key) within each group compiles to a
+    MAP-SIDE WindowGroupLimit below the exchange (plan-pinned in
+    tests/test_plans.py), so a mega-group ships at most k rows per input
+    partition instead of full-sorting on one reducer. Output:
+    (group, key, value) — under-k groups keep all their rows (their
+    quantiles degrade to exact)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy("h", key_col)
+    return (rows.select(F.col(group_col).alias(group_col),
+                        F.col(key_col).alias(key_col),
+                        F.col(value_col).alias(value_col))
+            .withColumn("h", bottomk_hash(key_col))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(group_col, key_col, value_col))
+
+
 def bottomk_merge(summaries: list[DataFrame], k: int = 1024) -> DataFrame:
     """Merge by union + re-take: hashes are a shared function of the key,
     so the k smallest of the union are exactly the k smallest of the

@@ -463,7 +463,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     machinery than maxsim_multivector, so it takes that slot
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
     "itq_topk", "kneser_ney_logprob", "streaming_quantile_bottomk",
-    "kmv_set_ops",
+    "kmv_set_ops", "quantile_sketch_grouped",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
     "longest_repeated_substring",
     "ivf_opq_topk", "knn_join_bulk",
@@ -483,8 +483,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_session_agg",
     # (streaming_tumbling_agg ceded to the streaming_quantile_bottomk
     #  newborn; the streaming module keeps session_agg + the newborn)
-    "top_revenue_orders", "variant_json",
+    "top_revenue_orders",
     "vocab_top_words",
+    # (variant_json ceded to the quantile_sketch_grouped newborn — the
+    #  JSON family keeps r7/r8 evidence via json_extract; sweeps cover it)
     # (udtf_split_words ceded its (d) slot to the kmv_set_ops newborn —
     #  the UDTF surface carries r7 evidence; it stays in the sweeps)
     # (window_range_frame ceded its (d) slot to the kneser_ney_logprob

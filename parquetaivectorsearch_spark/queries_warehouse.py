@@ -545,3 +545,94 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.cast("bigint").alias("target_rank"),
         F.abs(F.col("lt") - target).cast("bigint").alias("rank_err"),
         F.col("n").cast("bigint").alias("n"))
+
+
+_BKG_K = 64
+_BKG_QS = (0.1, 0.5, 0.9)
+
+
+@register("quantile_sketch_grouped", f"""
+    WITH hv AS (
+      SELECT lang, doc_id, n_chars,
+             (doc_id * 524287 + 12289) % 2147483647 AS h
+      FROM documents
+    ),
+    sk AS (
+      SELECT lang, doc_id, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY h, doc_id) AS rn
+        FROM hv) t WHERE rn <= {_BKG_K}
+    ),
+    kg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_g FROM sk GROUP BY lang),
+    ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM sk
+    ),
+    qs AS (SELECT * FROM (VALUES {", ".join(f"({q})" for q in _BKG_QS)}) t(q)),
+    est AS (
+      SELECT ranked.lang, qs.q, ranked.n_chars AS est_chars
+      FROM qs JOIN kg ON TRUE
+              JOIN ranked ON ranked.lang = kg.lang
+                         AND ranked.rn = CAST(FLOOR(qs.q * (kg.k_g - 1))
+                                              AS BIGINT) + 1
+    ),
+    audit AS (
+      SELECT est.lang, est.q, est.est_chars,
+             SUM(CASE WHEN d.n_chars < est.est_chars THEN 1 ELSE 0 END) AS lt,
+             COUNT(*) AS n
+      FROM documents d JOIN est ON est.lang = d.lang
+      GROUP BY est.lang, est.q, est.est_chars
+    )
+    SELECT lang, q, CAST(est_chars AS BIGINT) AS est_chars,
+           CAST(lt AS BIGINT) AS sample_rank,
+           CAST(FLOOR(q * (n - 1)) AS BIGINT) AS target_rank,
+           CAST(ABS(lt - FLOOR(q * (n - 1))) AS BIGINT) AS rank_err,
+           CAST(n AS BIGINT) AS n
+    FROM audit
+""")
+def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP bottom-k quantile summaries — `quantile_sketch`'s
+    stratified twin (per-language document-length profiles, the corpus
+    report a mixture scheduler reads): an independent k={_BKG_K} summary
+    per language from ONE static-rank window (rn ≤ k over (hash, id) ⇒
+    Catalyst's map-side WindowGroupLimit prunes a mega-language before
+    the shuffle, the same plan shape priority_sample_grouped pins), then
+    per-group rank probes with k_g = |group summary| so under-k groups
+    degrade to exact quantiles. Output self-certifies exact ranks per
+    (lang, q) in one broadcast audit pass. Same integer hash family as
+    the global summary; the oracle rebuilds everything."""
+    from pyspark.sql.window import Window as _W
+
+    from parquetaivectorsearch_spark.operators.sketch import (
+        bottomk_summary_grouped)
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    sk = bottomk_summary_grouped(d, "lang", "doc_id", "n_chars",
+                                 k=_BKG_K).localCheckpoint(
+        eager=False)  # ≤ |langs|·k rows; reused below
+    kg = sk.groupBy("lang").agg(F.count("*").cast("bigint").alias("k_g"))
+    ranked = sk.withColumn("rn", F.row_number().over(
+        _W.partitionBy("lang").orderBy("n_chars", "doc_id")))
+    qdf = spark.createDataFrame([(float(q),) for q in _BKG_QS], "q DOUBLE")
+    # probe table = qdf × kg carries (q, lang, k_g); the rank probe joins
+    # it against the per-group (value, key)-ordered summary
+    probe = qdf.crossJoin(F.broadcast(kg))
+    est = (probe.join(ranked,
+                      (probe["lang"] == ranked["lang"])
+                      & (ranked["rn"]
+                         == F.floor(probe["q"] * (probe["k_g"] - 1)) + 1))
+           .select(probe["lang"], "q", F.col("n_chars").alias("est_chars")))
+    audit = (d.join(F.broadcast(est), "lang")
+             .groupBy("lang", "q", "est_chars")
+             .agg(F.sum(F.when(F.col("n_chars") < F.col("est_chars"), 1)
+                        .otherwise(0)).alias("lt"),
+                  F.count("*").alias("n")))
+    target = F.floor(F.col("q") * (F.col("n") - 1))
+    return audit.select(
+        "lang", "q", F.col("est_chars").cast("bigint").alias("est_chars"),
+        F.col("lt").cast("bigint").alias("sample_rank"),
+        target.cast("bigint").alias("target_rank"),
+        F.abs(F.col("lt") - target).cast("bigint").alias("rank_err"),
+        F.col("n").cast("bigint").alias("n"))

@@ -286,3 +286,27 @@ def test_filtered_hnsw_broadcasts_cand_not_allowed(spark):
     joins = re.findall(r"BroadcastHashJoin.*", plan)
     assert len(joins) == 1, plan
     assert "BuildRight" in joins[0], joins[0]
+
+
+def test_grouped_quantile_sketch_plans_map_side_group_limit(spark):
+    """The per-group bottom-k summary must plan a MAP-SIDE
+    WindowGroupLimit below the exchange (static rn <= k over (hash, id)),
+    so a mega-language ships at most k rows per input partition instead
+    of full-sorting its group on one reducer — the same rank-limit
+    pushdown pin as domain_cap_sample. Pinned on the OPERATOR (the query
+    localCheckpoints the summary, which hides this stage from the final
+    tree)."""
+    import re
+
+    from parquetaivectorsearch_spark.operators.sketch import (
+        bottomk_summary_grouped,
+    )
+    from parquetaivectorsearch_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents") \
+        .select("lang", "doc_id", "n_chars")
+    df = bottomk_summary_grouped(d, "lang", "doc_id", "n_chars", k=64)
+    tree = P.formatted_plan(df).split("\n\n")[0]
+    limits = len(re.findall(r"WindowGroupLimit", tree))
+    assert limits == 2, tree
+    assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree
