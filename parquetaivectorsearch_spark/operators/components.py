@@ -243,3 +243,31 @@ def label_propagation_sync(edges: DataFrame, rounds: int = 4,
                   .select(F.col("src").alias("node"), "label")
                   .localCheckpoint(eager=False))
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core peel (Seidman 1983) over a SYMMETRIC edge list: iteratively
+    drop nodes whose degree among the survivors is < k; returns the
+    surviving (node, core_deg) rows after a FIXED `rounds` unroll (fixed
+    so the whole computation is oracle-expressible as chained CTEs —
+    removal recursion is inexpressible in a monotone recursive CTE).
+    Converged output (round R == round R−1) is the true k-core; fixture
+    convergence within the default depth is test-pinned. Each round: two
+    broadcast-or-shuffle semi-joins of the edge list against the (only
+    ever shrinking) survivor set + one degree agg keyed src, with
+    `localCheckpoint` truncating lineage per round."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
+        .localCheckpoint(eager=False)
+    surv = e.select(F.col("src").alias("node")).distinct()
+    for _ in range(rounds):
+        deg = (e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
+               .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+               .groupBy("src").agg(F.count("*").alias("c")))
+        surv = (deg.filter(F.col("c") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=False))
+    return (e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core_deg")))

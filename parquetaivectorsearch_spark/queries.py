@@ -463,7 +463,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     machinery than maxsim_multivector, so it takes that slot
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
     "itq_topk", "kneser_ney_logprob", "streaming_quantile_bottomk",
-    "kmv_set_ops", "quantile_sketch_grouped",
+    "kmv_set_ops", "quantile_sketch_grouped", "kcore_membership",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
     "longest_repeated_substring",
     "ivf_opq_topk", "knn_join_bulk",
@@ -472,7 +472,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     whose latest driver sample is round 5 — after this round no
     #     query's evidence is older than r6
     "argmax_agg", "big_orders", "bm25_rank",
-    "cheapest_supplier", "correlated_scalar_subquery", "csv_roundtrip",
+    "cheapest_supplier", "correlated_scalar_subquery",
+    # (csv_roundtrip ceded to the kcore_membership newborn — the sources
+    #  family keeps json/orc/xml roundtrip evidence; sweeps cover it)
     "datetime_functions", "decontaminate", "forecast_revenue",
     "incremental_rollup", "lateral_topn",
     "market_share", "merge_upsert", "pack_sequences",

@@ -1697,6 +1697,105 @@ def _lpa_oracle() -> str:
 """
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peel: survivors(t) = nodes with ≥ k neighbors
+    among survivors(t−1). Monotone-removal recursion is not expressible
+    in a recursive CTE (negation over the recursive term), so rounds
+    unroll — the random_walks/LPA precedent. Convergence at the fixture
+    within the unroll depth is test-pinned."""
+    rounds = []
+    prev = "s0"
+    for t in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    s{t} AS (
+      SELECT node FROM (
+        SELECT e.src AS node, COUNT(*) AS c
+        FROM edges e
+        JOIN s{t - 1} a ON e.src = a.node
+        JOIN s{t - 1} b ON e.dst = b.node
+        GROUP BY e.src
+      ) t WHERE c >= {_KCORE_K}
+    )""")
+        prev = f"s{t}"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 200
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_inner_product(a.v, b.v) AS dot
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY dot DESC, dst) AS rn
+        FROM sims) t WHERE rn <= 3
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM knn
+                 UNION ALL SELECT dst AS src, src AS dst FROM knn) u),
+    s0 AS (SELECT src AS node FROM edges GROUP BY src),
+    {",".join(rounds)}
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM edges e
+    JOIN {prev} a ON e.src = a.node
+    JOIN {prev} b ON e.dst = b.node
+    GROUP BY e.src
+"""
+
+
+@register("kcore_membership", _kcore_oracle())
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (Seidman 1983, 'Network structure and minimum
+    degree'): the maximal subgraph where every node keeps ≥ k neighbors
+    INSIDE the subgraph — the dense-cluster audit that separates
+    near-dup cliques (high mutual connectivity survives the peel) from
+    chained-false-positive stars (pendants peel away round one), one
+    step past graph_triangles' local view. Computed by iterative
+    peeling: each round drops nodes whose within-survivor degree < k;
+    a FIXED {_KCORE_ROUNDS}-round unroll keeps it oracle-expressible
+    (removal recursion can't be a recursive CTE), and fixture
+    convergence inside that depth — round {_KCORE_ROUNDS} ==
+    round {_KCORE_ROUNDS - 1} — is pinned in tests along with planted
+    clique-vs-pendant behavior. Each round is two semi-joins of the
+    edge list against the survivor set + one degree agg (keyed src —
+    pre-partitioned edges co-locate every round); survivors only ever
+    shrink, so round cost is non-increasing. Output: surviving nodes
+    with their final in-core degree. Fixture honesty: the symmetric
+    3-NN graph has min degree ≥ 3, so at k=3 every node survives (the
+    oracle still checks all 200 in-core degrees) and at k=4 the sparse
+    random graph peels to empty (measured) — the clique-survives /
+    pendant-cascade-peels semantics live in the planted-graph test."""
+    from pyspark.sql.window import Window as W
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    sims = (a.join(b, F.col("src") != F.col("dst"))
+            .select("src", "dst", V.dot("va", "vb").alias("dot")))
+    knn3 = (sims.withColumn(
+                "rn", F.row_number().over(
+                    W.partitionBy("src").orderBy(F.desc("dot"), "dst")))
+            .filter(F.col("rn") <= 3).select("src", "dst"))
+    edges = knn3.union(
+        knn3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    from parquetaivectorsearch_spark.operators.components import kcore
+
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 @register("label_propagation", _lpa_oracle())
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,

@@ -136,3 +136,60 @@ def test_label_propagation_recovers_planted_cliques(spark):
     again = {r.node: r.community
              for r in label_propagation_sync(edges, rounds=4).collect()}
     assert again == got
+
+
+def test_kcore_peels_pendants_keeps_cliques(spark):
+    """3-core semantics on a planted graph: a 4-clique (every node has 3
+    in-clique neighbors) must survive the peel intact with core_deg == 3;
+    a pendant chain hanging off the clique must peel away entirely —
+    including the chain's attachment-adjacent cascade (node i peels,
+    dropping node i-1 below k next round). Also pins convergence: an
+    extra peel round changes nothing."""
+    from itertools import combinations
+
+    from parquetaivectorsearch_spark.operators.components import kcore
+
+    clique = list(combinations(range(4), 2))
+    chain = [(3, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + chain, "src BIGINT, dst BIGINT")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    got = {r.node: r.core_deg for r in kcore(edges, k=3, rounds=8).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    more = {r.node: r.core_deg for r in kcore(edges, k=3, rounds=9).collect()}
+    assert more == got
+
+
+def test_kcore_fixture_converges_within_unroll(spark):
+    """The registered query's fixed 8-round unroll must have CONVERGED on
+    the fixture graph (round 8 == round 7 survivor sets) — otherwise the
+    oracle-checked output is a peel prefix, not the true k-core."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from parquetaivectorsearch_spark.functions import vector as V
+    from parquetaivectorsearch_spark.operators.components import kcore
+    from parquetaivectorsearch_spark.queries_text import (
+        _KCORE_K, _KCORE_ROUNDS)
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = (load_table(spark, SF_SMOKE, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    sims = (a.join(b, F.col("src") != F.col("dst"))
+            .select("src", "dst", V.dot("va", "vb").alias("dot")))
+    knn3 = (sims.withColumn(
+                "rn", F.row_number().over(
+                    W.partitionBy("src").orderBy(F.desc("dot"), "dst")))
+            .filter(F.col("rn") <= 3).select("src", "dst"))
+    edges = knn3.union(
+        knn3.selectExpr("dst AS src", "src AS dst")).distinct()
+    at = {r.node for r in
+          kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).collect()}
+    before = {r.node for r in
+              kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS - 1).collect()}
+    assert at == before, "peel had not converged within the unroll depth"
+    assert at, "fixture 3-core unexpectedly empty"
