@@ -264,3 +264,67 @@ def bottomk_quantiles(summary: DataFrame, qs: list[float],
     return (qdf.join(ranked,
                      F.col("rn") == F.floor(F.col("q") * F.lit(k - 1)) + 1)
             .select("q", F.col("value").alias("est")))
+
+
+def exact_order_statistic(rows: DataFrame, key_col: str, value_col: str,
+                          rank: int | None = None,
+                          sample_k: int = 1024,
+                          margin: int = 64) -> DataFrame:
+    """EXACT r-th order statistic (0-based, ascending) of an integer
+    value column WITHOUT a global sort — distributed selection in three
+    fixed passes (the Munro-Paterson/BFPRT posture, steered by the
+    bottom-k sample):
+
+    1. one agg pass: n, global min/max (rank defaults to the median
+       (n−1)//2 when not given);
+    2. one count pass: the bottom-k summary's values around the expected
+       sample position ±margin become ≤ 2·margin+3 candidate pivots
+       (global min/max always included, so a bracket ALWAYS exists —
+       no retry loop); count(v < c) for all candidates in ONE shared
+       scan (broadcast candidates, conditional sums); the true statistic
+       lies in [c_lo, c_hi] = the adjacent candidates bracketing the
+       target rank. The sample quantile's rank error is
+       ~sqrt(k)/2 sample positions, so margin=64 ≈ 8 sigma at k=1024;
+       min/max sentinels make an escape mathematically irrelevant but
+       still safe;
+    3. one bracket pass: groupBy the values INSIDE the bracket (≈ n·
+       (2·margin/k) of the data — never collected; stays a DataFrame),
+       running-count window over the bounded distinct-value set, pick
+       the smallest value whose cumulative count passes the target.
+
+    Driver pulls are the k-row sample, ~130 candidate counts, and the
+    final scalar — all bounded at any corpus size. Returns a 1-row
+    (n, target_rank, value) frame."""
+    from pyspark.sql.window import Window
+
+    spark = rows.sparkSession
+    li = rows.select(F.col(key_col).alias("key"),
+                     F.col(value_col).alias("value")) \
+        .localCheckpoint(eager=False)  # reused by all three passes
+    stats = li.agg(F.count("*").alias("n"), F.min("value").alias("vmin"),
+                   F.max("value").alias("vmax")).first()
+    n, vmin, vmax = int(stats["n"]), int(stats["vmin"]), int(stats["vmax"])
+    target = (n - 1) // 2 if rank is None else int(rank)
+    samp = sorted(r["value"] for r in
+                  bottomk_summary(li, "key", "value", k=sample_k).collect())
+    mid = int(round(target / max(n - 1, 1) * (len(samp) - 1)))
+    lo_i, hi_i = max(0, mid - margin), min(len(samp), mid + margin + 1)
+    cands = sorted({vmin, vmax, *samp[lo_i:hi_i]})
+    cdf = spark.createDataFrame([(int(c),) for c in cands], "c BIGINT")
+    lt = {int(r["c"]): int(r["lt"]) for r in
+          (li.crossJoin(F.broadcast(cdf))
+           .groupBy("c")
+           .agg(F.sum(F.when(F.col("value") < F.col("c"), 1).otherwise(0))
+                .alias("lt"))).collect()}
+    c_lo = max(c for c in cands if lt[c] <= target)
+    above = [c for c in cands if lt[c] > target]
+    c_hi = min(above) if above else vmax
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    return (li.filter((F.col("value") >= c_lo) & (F.col("value") <= c_hi))
+            .groupBy("value").agg(F.count("*").alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(w))
+            .filter(F.lit(lt[c_lo]) + F.col("cum") > target)
+            .orderBy("value").limit(1)
+            .select(F.lit(n).cast("bigint").alias("n"),
+                    F.lit(target).cast("bigint").alias("target_rank"),
+                    F.col("value").cast("bigint").alias("value")))

@@ -464,6 +464,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ann_filtered_auto", "quantile_sketch", "label_propagation",
     "itq_topk", "kneser_ney_logprob", "streaming_quantile_bottomk",
     "kmv_set_ops", "quantile_sketch_grouped", "kcore_membership",
+    "good_turing_vocab", "exact_median_selection",
     "dedup_phash", "blocklist_scan", "suffix_array_rank",
     "longest_repeated_substring",
     "ivf_opq_topk", "knn_join_bulk",
@@ -471,14 +472,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (d) the ENTIRE r5-evidence cohort (VERDICT r10 #5): the 35 queries
     #     whose latest driver sample is round 5 — after this round no
     #     query's evidence is older than r6
-    "argmax_agg", "big_orders", "bm25_rank",
+    "big_orders", "bm25_rank",
+    # (argmax_agg ceded to the good_turing_vocab newborn — the agg
+    #  family carries broad r8 evidence; sweeps cover it)
     "cheapest_supplier", "correlated_scalar_subquery",
     # (csv_roundtrip ceded to the kcore_membership newborn — the sources
     #  family keeps json/orc/xml roundtrip evidence; sweeps cover it)
     "datetime_functions", "decontaminate", "forecast_revenue",
     "incremental_rollup", "lateral_topn",
     "market_share", "merge_upsert", "pack_sequences",
-    "partitioned_write_prune", "percentile_agg",
+    "partitioned_write_prune",
+    # (percentile_agg ceded to exact_median_selection — the quantile
+    #  family now carries three fresher oracle-gated members)
     "priority_shipment_counts", "promo_revenue",
     "regional_revenue", "returned_customers", "scd2_intervals",
     "session_window_agg", "split_assign", "stratified_sample",

@@ -1909,3 +1909,59 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rn") * 3 <= F.col("n"), "head")
         .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
         .otherwise("tail").alias("bucket"))
+
+
+_GT_N = 8  # shingle width — the word stream is degenerate here (31-word
+           # closed vocab, zero hapaxes); 8-char shingles give a live tail
+
+
+@register("good_turing_vocab", f"""
+    WITH d AS (SELECT text FROM documents WHERE length(text) >= {_GT_N}),
+    s AS (
+      SELECT substring(text, CAST(i AS INTEGER), {_GT_N}) AS sh
+      FROM d, unnest(generate_series(1, length(text) - {_GT_N - 1})) t(i)
+    ),
+    c AS (SELECT sh, COUNT(*) AS n FROM s GROUP BY sh)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(n) AS BIGINT) AS total,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(n), 6) AS p0_unseen,
+           ROUND(COUNT(*)
+                 + (CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+                   / (2.0 * GREATEST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END),
+                                     1)), 6) AS chao1_est
+    FROM c
+""")
+def q_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-mass and total-vocabulary estimation — the 'how much of the
+    distribution has this corpus NOT seen yet' health metrics next to
+    zipf_fit/heaps_law: Good-Turing missing mass p₀ = N₁/N (Good 1953 —
+    the probability the next sampled shingle is a NEW type, the quantity
+    Kneser-Ney discounting reserves) and the Chao1 richness estimate
+    V + N₁²/(2N₂) (Chao 1984 — a lower bound on the true type count).
+    Species = {_GT_N}-char shingles (the word stream is a closed 31-type
+    vocabulary here — degenerate, documented). Everything folds from ONE
+    frequency-of-frequencies pass: shingle counts → (N₁, N₂, V, N) in a
+    single global agg, so at 100 TB this is a map-side-combinable count
+    per shingle plus four scalars. The p₀-predicts-held-out-novelty
+    property is test-pinned on a split corpus."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= _GT_N)
+    sh = (d.select(F.explode(F.sequence(
+              F.lit(1), F.length("text") - (_GT_N - 1))).alias("i"), "text")
+          .select(F.expr(f"substring(text, i, {_GT_N})").alias("sh")))
+    c = sh.groupBy("sh").agg(F.count("*").alias("n"))
+    n1 = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    return c.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.round(n1.cast("double") / F.sum("n"), 6).alias("p0_unseen"),
+        F.round(F.count("*")
+                + (n1.cast("double") * n1)
+                / (F.lit(2.0) * F.greatest(n2, F.lit(1))), 6)
+        .alias("chao1_est"))

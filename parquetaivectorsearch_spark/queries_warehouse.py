@@ -636,3 +636,34 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.cast("bigint").alias("target_rank"),
         F.abs(F.col("lt") - target).cast("bigint").alias("rank_err"),
         F.col("n").cast("bigint").alias("n"))
+
+
+@register("exact_median_selection", """
+    WITH li AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) - 1) // 2 AS BIGINT) AS target_rank,
+           (SELECT cents FROM li ORDER BY cents
+            LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM li)) AS value
+    FROM li
+""")
+def q_exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median by distributed selection, no global sort —
+    the exact tier the bottom-k quantile SKETCH (`quantile_sketch`)
+    steers: operators/sketch.exact_order_statistic runs three fixed
+    passes (n/min/max agg; ~130 sample-bracketing candidate pivots
+    counted in one shared scan; a running-count window over the bounded
+    distinct-value set INSIDE the bracket — ≈ (2·margin/k) ≈ 12% of
+    rows here, 1-2 orders less on longer-tailed data) where the naive
+    plan is a full ORDER BY of the fact table. Every driver pull is
+    bounded (k-row sample, candidate counts, one scalar); the oracle is
+    the definitional ORDER BY … OFFSET (n−1)/2."""
+    from parquetaivectorsearch_spark.operators.sketch import (
+        exact_order_statistic)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("key"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"))
+    return exact_order_statistic(li, "key", "cents")

@@ -185,3 +185,44 @@ def test_kneser_ney_is_a_proper_distribution(spark):
             + lam * (n1t.get(t, 0) / ntypes)
             for t in vocab)
         assert abs(total - 1.0) < 1e-12, f"context {a!r} sums to {total}"
+
+
+def test_good_turing_p0_predicts_heldout_novelty(spark):
+    """Good-Turing's actual claim: p0 = N1/N estimates the probability
+    that the NEXT sampled type is unseen. Split the fixture corpus in
+    half by doc parity, compute p0 on the seen half, and compare it to
+    the measured fraction of held-out shingle TOKENS whose type never
+    occurred in the seen half. GT is a first-order estimate, so the pin
+    is a 2x relative band plus same-order-of-magnitude sanity — loose
+    enough to be stable, tight enough to catch a broken N1 or total."""
+    import collections
+
+    import pandas as pd
+
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text").toPandas()
+    n = 8
+
+    def shingles(text):
+        return [text[i:i + n] for i in range(len(text) - n + 1)]
+
+    seen = collections.Counter()
+    for t in docs[docs["doc_id"] % 2 == 0]["text"]:
+        seen.update(shingles(t))
+    n1 = sum(1 for c in seen.values() if c == 1)
+    total = sum(seen.values())
+    p0 = n1 / total
+
+    held_tokens = 0
+    held_unseen = 0
+    for t in docs[docs["doc_id"] % 2 == 1]["text"]:
+        for s in shingles(t):
+            held_tokens += 1
+            if s not in seen:
+                held_unseen += 1
+    observed = held_unseen / held_tokens
+    assert 0 < p0 < 0.2
+    assert 0.5 * observed <= p0 <= 2.0 * observed, (p0, observed)

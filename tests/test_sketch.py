@@ -190,3 +190,39 @@ def test_kmv_set_ops_accuracy_bounds(spark):
         assert r.inter_est <= r.union_est + 1e-9
     assert sum(rel_errs) / len(rel_errs) <= 0.10, "mean union error > 10%"
     assert sum(jac_errs) / len(jac_errs) <= 0.08, "mean jaccard error > 8%"
+
+
+@pytest.mark.parametrize("rank_frac", [0.0, 0.1, 0.5, 0.9, 1.0])
+def test_exact_order_statistic_matches_numpy(spark, rank_frac):
+    """Distributed selection equals np.sort for arbitrary ranks,
+    including both extremes (the min/max sentinel candidates must carry
+    those) and on a TIE-HEAVY distribution (values drawn from only 50
+    distincts — the bracket pass must count duplicates, not distincts)."""
+    from parquetaivectorsearch_spark.operators.sketch import (
+        exact_order_statistic)
+
+    rng = np.random.RandomState(13)
+    n = 30_000
+    vals = rng.randint(0, 50, n) * 100  # heavy ties
+    pdf = pd.DataFrame({"key": np.arange(1, n + 1, dtype=np.int64),
+                        "value": vals})
+    rows = spark.createDataFrame(pdf).repartition(8)
+    rank = int(rank_frac * (n - 1))
+    got = exact_order_statistic(rows, "key", "value", rank=rank).first()
+    assert got["n"] == n and got["target_rank"] == rank
+    assert got["value"] == int(np.sort(vals)[rank])
+
+
+def test_exact_order_statistic_default_is_median(spark):
+    from parquetaivectorsearch_spark.operators.sketch import (
+        exact_order_statistic)
+
+    rng = np.random.RandomState(21)
+    n = 9_999
+    vals = (rng.lognormal(3.0, 1.0, n) * 100).astype(np.int64)
+    pdf = pd.DataFrame({"key": np.arange(1, n + 1, dtype=np.int64),
+                        "value": vals})
+    got = exact_order_statistic(
+        spark.createDataFrame(pdf).repartition(4), "key", "value").first()
+    assert got["target_rank"] == (n - 1) // 2
+    assert got["value"] == int(np.sort(vals)[(n - 1) // 2])
