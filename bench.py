@@ -171,6 +171,11 @@ HEADLINE = [
     "itq_topk",            # learned 1-bit tier: ITQ encode + Hamming serve
     "kneser_ney_logprob",  # interpolated KN bigram LM scoring
     "streaming_quantile_bottomk",  # bounded-state streaming p50/p90
+    "kmv_set_ops",         # per-source KMV sketches + pair union/Jaccard
+    "quantile_sketch_grouped",  # per-lang bottom-k summaries (group limit)
+    "kcore_membership",    # 8-round k-core peel over the 3-NN graph
+    "good_turing_vocab",   # missing-mass + Chao1 from one freq-of-freq pass
+    "exact_median_selection",  # 3-pass distributed selection, no global sort
 ]
 
 

@@ -85,7 +85,14 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # full-corpus edge set rides knn_graph, measured via
            # pagerank_simgraph_full above)
            "quantile_sketch", "kneser_ney_logprob", "itq_topk",
-           "maxsim_pruned", "streaming_quantile_bottomk"]
+           "maxsim_pruned", "streaming_quantile_bottomk",
+           # kmv rides one shingle pass + sketch-sized pair joins;
+           # good_turing one freq-of-freq pass; the median three bounded
+           # passes; the grouped sketch one group-limited window.
+           # kcore/label_propagation are EXCLUDED like the SA queries —
+           # bounded vec_id < 200 graphs by design
+           "kmv_set_ops", "good_turing_vocab", "exact_median_selection",
+           "quantile_sketch_grouped"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
