@@ -164,10 +164,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same train/apply asymmetry as the unigram: the bigram table builds
     with one hash agg (shuffle = |bigram vocab|), the left-context
-    totals derive from it with a second tiny agg, and both BROADCAST
-    back onto the bigram stream; the per-doc agg shuffles on doc_id.
-    Every scored bigram was observed (c2 ≥ 1), so no smoothing term is
-    needed and the score is exact."""
+    totals derive from it with a second tiny agg, and both JOIN back
+    onto the bigram stream WITHOUT a broadcast hint — the bigram-TYPE
+    table grows with the vocabulary (billions of types at 100 TB;
+    forcing a broadcast there is the unbounded-build-side mistake r10's
+    What's-wrong #1 named), so AQE broadcasts at runtime only while the
+    table is actually small. The per-doc agg shuffles on doc_id. Every
+    scored bigram was observed (c2 ≥ 1), so no smoothing term is needed
+    and the score is exact."""
     d = _t(spark, sf_dir, "documents", spread=True)
     ws = TX.words("text")
     b = (d.select("doc_id", ws.alias("ws"))
@@ -180,8 +184,8 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2"))
     f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"))
     return (
-        b.join(F.broadcast(f2), ["a", "t"])
-        .join(F.broadcast(f1), "a")
+        b.join(f2, ["a", "t"])
+        .join(f1, "a")
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_bigrams"),
              F.round(F.avg(-F.log(F.col("c2").cast("double") / F.col("c1"))),
@@ -234,10 +238,14 @@ def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing mass. Every ingredient is an integer count off the SAME
     one-pass bigram-type table (c2, row counts per a, per t, and the
     global type count), so the model trains with one hash agg + three
-    derived aggs, all broadcast back onto the bigram stream; per-doc agg
+    derived aggs joined back onto the bigram stream; per-doc agg
     shuffles on doc_id — identical shuffle budget to bigram_logprob.
-    p is pre-rounded 9 dp before the ln on BOTH engines (the repo-wide
-    divide-then-round determinism convention)."""
+    The model joins carry NO broadcast hint: the bigram-TYPE table grows
+    with the vocabulary (billions of types at 100 TB — forcing a
+    broadcast there is the admission-join mistake r10's What's-wrong #1
+    named), so AQE picks broadcast at runtime only while the table is
+    actually small. p is pre-rounded 9 dp before the ln on BOTH engines
+    (the repo-wide divide-then-round determinism convention)."""
     d = _t(spark, sf_dir, "documents", spread=True)
     ws = TX.words("text")
     b = (d.select("doc_id", ws.alias("ws"))
@@ -258,9 +266,9 @@ def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ((F.lit(_KN_D) * F.col("n1a")) / F.col("c1"))
         * (F.col("n1t").cast("double") / F.col("ntypes")), 9)
     return (
-        b.join(F.broadcast(f2), ["a", "t"])
-        .join(F.broadcast(f1), "a")
-        .join(F.broadcast(cont), "t")
+        b.join(f2, ["a", "t"])
+        .join(f1, "a")
+        .join(cont, "t")
         .crossJoin(F.broadcast(types))
         .select("doc_id", pkn.alias("pkn"))
         .groupBy("doc_id")
@@ -1893,8 +1901,8 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2"))
     f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"))
     scored = (
-        b.join(F.broadcast(f2), ["a", "t"])
-        .join(F.broadcast(f1), "a")
+        b.join(f2, ["a", "t"])
+        .join(f1, "a")
         .groupBy("doc_id")
         .agg(F.round(F.avg(-F.log(F.col("c2").cast("double") / F.col("c1"))),
                      6).alias("score")))
