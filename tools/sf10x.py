@@ -85,12 +85,17 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # full-corpus edge set rides knn_graph, measured via
            # pagerank_simgraph_full above)
            "quantile_sketch", "kneser_ney_logprob", "itq_topk",
-           "maxsim_pruned", "streaming_quantile_bottomk",
+           "maxsim_pruned",
            # kmv rides one shingle pass + sketch-sized pair joins;
            # good_turing one freq-of-freq pass; the median three bounded
            # passes; the grouped sketch one group-limited window.
            # kcore/label_propagation are EXCLUDED like the SA queries —
-           # bounded vec_id < 200 graphs by design
+           # bounded vec_id < 200 graphs by design.
+           # streaming_quantile_bottomk is EXCLUDED because the staged
+           # stream stages one parquet FILE and the 10x events table is
+           # a directory; its scale posture (bounded per-key state, a
+           # lossless k-row fold per micro-batch) is the batch
+           # quantile_sketch's TakeOrdered axis, measured below
            "kmv_set_ops", "good_turing_vocab", "exact_median_selection",
            "quantile_sketch_grouped"]
 
@@ -159,6 +164,28 @@ def build_10x(spark) -> None:
         out = out.unionAll(p_)
     out.repartition(32).write.mode("overwrite") \
         .parquet(f"{TENX}/events.parquet")
+
+    # lineitem: the quantile/selection queries' fact table. Replicas
+    # shift order keys (keeping the key*8+linenumber summary key unique)
+    # and perturb the price by a deterministic per-replica ±0.5% so the
+    # 10× value distribution is near-identical but not degenerate —
+    # prices stay positive and the median stays in the same region.
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = []
+    for r in range(10):
+        jig = (F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(r)), F.lit(101))
+               - 50) / 10000.0
+        parts.append(li.select(
+            (F.col("l_orderkey") + r * 100_000_000).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            (F.col("l_extendedprice") * (1.0 + jig)).alias("l_extendedprice"),
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate"))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    out.repartition(32).write.mode("overwrite") \
+        .parquet(f"{TENX}/lineitem.parquet")
     Path(f"{TENX}/_done").touch()
 
 
