@@ -69,13 +69,30 @@ def _kmeans_books(x: np.ndarray, m: int, k: int,
     return books
 
 
+def _det_sample(df: DataFrame, cols: list[str], cap: int) -> pd.DataFrame:
+    """Deterministic capped training sample: bottom-``cap`` rows by
+    xxhash64 of the selected columns (TakeOrderedAndProject — one scan,
+    ``cap`` rows pulled, never a global sort). A bare ``limit(cap)``
+    returns whichever partitions scan first, so the learned centers /
+    rotations — and every rows-only query built on them — would drift
+    across runs and file layouts (ADVICE r11). Hash-bottom-k is also a
+    UNIFORM sample, unlike limit()'s file-layout bias. The hash column
+    is the tiebreak-free sort key; distinct rows colliding on the 64-bit
+    hash are broken by the columns themselves (arrays are orderable)."""
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    pdf = (df.select(*cols)
+           .orderBy(h.asc(), *[F.col(c).asc() for c in cols])
+           .limit(cap).toPandas())
+    return pdf
+
+
 def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
              vec_col: str = "embedding", sample_cap: int = 50_000,
              iters: int = 10, seed: int = 42) -> np.ndarray:
     """Train per-subspace codebooks on a capped sample; returns
     float64[m, k, d/m]. Deterministic: seeded init, fixed iteration count,
     vectorized L2 k-means per subspace."""
-    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    pdf = _det_sample(corpus, [vec_col], sample_cap)
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return _kmeans_books(x, m, k, iters, seed)
 
@@ -120,7 +137,7 @@ def train_opq(corpus: DataFrame, m: int = 8, k: int = 16,
 
     All driver-side over the same capped sample train_pq uses; the SVD
     is d×d (64×64 here, 1536×1536 at the reference's width — trivial)."""
-    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    pdf = _det_sample(corpus, [vec_col], sample_cap)
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     d = x.shape[1]
     R = np.eye(d)
@@ -150,7 +167,7 @@ def train_opq_residual(index, m: int = 8, k: int = 16,
     ``pq_encode(…, residual_centroids=rc, rotation=R)`` and search with
     ``ivf_pq_search(…, residual=True, rotation=R)`` — orthogonality
     preserves <q, r̂>, so the coarse offset term stays in raw space."""
-    pdf = index.lists.select(vec_col, "list_id").limit(sample_cap).toPandas()
+    pdf = _det_sample(index.lists, [vec_col, "list_id"], sample_cap)
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     lids = pdf["list_id"].to_numpy()
     rc = index.centroids.astype(np.float64)[:, :x.shape[1]]
@@ -181,7 +198,7 @@ def train_pq_residual(index, m: int = 8, k: int = 16,
     the 'ip' metric's norm-augmented assignment geometry (k-means means
     of the members' raw coordinates — operators/ann.py:_pre_corpus only
     APPENDS the augmentation column, never rescales the first d)."""
-    pdf = index.lists.select(vec_col, "list_id").limit(sample_cap).toPandas()
+    pdf = _det_sample(index.lists, [vec_col, "list_id"], sample_cap)
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     lids = pdf["list_id"].to_numpy()
     rc = index.centroids.astype(np.float64)[:, :x.shape[1]]
@@ -462,7 +479,7 @@ def train_itq(corpus: DataFrame, bits: int | None = None,
     vector as sgn((x − center) @ proj) packed to int64 words; driver-side
     work is one d×d eigh + iters b×b SVDs (trivial at any corpus width,
     same posture as train_opq)."""
-    pdf = corpus.select(vec_col).limit(sample_cap).toPandas()
+    pdf = _det_sample(corpus, [vec_col], sample_cap)
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     d = x.shape[1]
     b = bits or d

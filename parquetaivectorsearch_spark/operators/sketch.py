@@ -252,17 +252,28 @@ def bottomk_merge(summaries: list[DataFrame], k: int = 1024) -> DataFrame:
 def bottomk_quantiles(summary: DataFrame, qs: list[float],
                       k: int) -> DataFrame:
     """Quantile estimates from the summary: for each q, the value at
-    row_number floor(q·(k−1)) + 1 of the summary ordered by (value, key)
-    — the discrete quantile of the sample, deterministic under ties.
-    Returns (q, est); the summary is ≤ k rows so this is driver-light."""
+    row_number floor(q·(k_eff−1)) + 1 of the summary ordered by
+    (value, key) — the discrete quantile of the sample, deterministic
+    under ties. k_eff is the summary's ACTUAL row count (computed in the
+    same plan, no extra action), not the caller-declared k: a table
+    smaller than k, or a merge of short shards, yields a summary of
+    fewer rows, and probing ranks against the declared k would silently
+    drop those q values instead of degrading to exact quantiles (the
+    grouped variant already handles this via k_g). `k` is kept as a
+    documented upper bound for API compatibility. Returns (q, est); the
+    summary is ≤ k rows so this is driver-light."""
     from pyspark.sql.window import Window
 
     spark = summary.sparkSession
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q DOUBLE")
-    ranked = summary.withColumn(
-        "rn", F.row_number().over(Window.orderBy("value", "key")))
+    ranked = (summary
+              .withColumn("rn",
+                          F.row_number().over(Window.orderBy("value", "key")))
+              .withColumn("k_eff",
+                          F.count("*").over(Window.partitionBy(F.lit(1)))))
     return (qdf.join(ranked,
-                     F.col("rn") == F.floor(F.col("q") * F.lit(k - 1)) + 1)
+                     F.col("rn")
+                     == F.floor(F.col("q") * (F.col("k_eff") - 1)) + 1)
             .select("q", F.col("value").alias("est")))
 
 
@@ -303,8 +314,14 @@ def exact_order_statistic(rows: DataFrame, key_col: str, value_col: str,
         .localCheckpoint(eager=False)  # reused by all three passes
     stats = li.agg(F.count("*").alias("n"), F.min("value").alias("vmin"),
                    F.max("value").alias("vmax")).first()
-    n, vmin, vmax = int(stats["n"]), int(stats["vmin"]), int(stats["vmax"])
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("exact_order_statistic: input has no rows")
+    vmin, vmax = int(stats["vmin"]), int(stats["vmax"])
     target = (n - 1) // 2 if rank is None else int(rank)
+    if not 0 <= target < n:
+        raise ValueError(
+            f"exact_order_statistic: rank {target} out of range [0, {n})")
     samp = sorted(r["value"] for r in
                   bottomk_summary(li, "key", "value", k=sample_k).collect())
     mid = int(round(target / max(n - 1, 1) * (len(samp) - 1)))

@@ -423,3 +423,22 @@ def test_itq_encode_matches_numpy_and_improves_shortlist(spark):
     raw_hits = len(ham_short(raw_bits) & exact20)
     assert itq_hits >= raw_hits, f"ITQ {itq_hits}/20 < raw sign {raw_hits}/20"
     assert itq_hits >= 10, f"ITQ shortlist too weak: {itq_hits}/20"
+
+
+def test_training_sample_is_layout_invariant(spark):
+    """ADVICE r11: trainers sampled with a bare limit(cap), so the
+    learned center/rotation depended on partition scan order. The fix
+    (bottom-cap by xxhash64) must give BIT-IDENTICAL models from the
+    same rows under different partitionings and row orders — the
+    determinism the train_itq docstring claims."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.repartition(16)
+    b = emb.repartition(3, "vec_id").sortWithinPartitions(
+        F.col("vec_id").desc())
+    cap = 200  # force a real subset so the sample choice matters
+    ca, pa, _ = PQ.train_itq(a, sample_cap=cap, iters=5)
+    cb, pb, _ = PQ.train_itq(b, sample_cap=cap, iters=5)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_array_equal(PQ.train_pq(a, sample_cap=cap, iters=3),
+                                  PQ.train_pq(b, sample_cap=cap, iters=3))

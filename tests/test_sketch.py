@@ -226,3 +226,43 @@ def test_exact_order_statistic_default_is_median(spark):
         spark.createDataFrame(pdf).repartition(4), "key", "value").first()
     assert got["target_rank"] == (n - 1) // 2
     assert got["value"] == int(np.sort(vals)[(n - 1) // 2])
+
+
+def test_bottomk_quantiles_short_summary_degrades_to_exact(spark):
+    """ADVICE r11: when the table has fewer rows than k the summary IS
+    the table, and probing ranks against the caller-declared k would
+    find no row for most q (those q values silently vanished from the
+    output). The fix derives k_eff from the summary's actual size, so a
+    short summary degrades to EXACT quantiles — every probed q present,
+    every estimate equal to numpy's discrete quantile."""
+    from parquetaivectorsearch_spark.operators.sketch import (
+        bottomk_quantiles, bottomk_summary)
+
+    n, k = 100, 1024  # table far smaller than the declared sketch size
+    vals = np.arange(n, dtype=np.int64) * 7
+    pdf = pd.DataFrame({"key": np.arange(1, n + 1, dtype=np.int64),
+                        "value": vals})
+    summary = bottomk_summary(spark.createDataFrame(pdf).repartition(4),
+                              "key", "value", k=k)
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    est = {r.q: r.est for r in bottomk_quantiles(summary, qs, k=k).collect()}
+    assert sorted(est) == qs, f"missing q values: {sorted(set(qs) - set(est))}"
+    for q in qs:
+        assert est[q] == int(vals[int(np.floor(q * (n - 1)))])
+
+
+def test_exact_order_statistic_rejects_empty_and_bad_rank(spark):
+    """ADVICE r11: empty input raised an opaque int(None) TypeError and
+    an out-of-range rank silently produced a wrong bracket. Both now
+    raise a clear ValueError before any distributed pass runs."""
+    from parquetaivectorsearch_spark.operators.sketch import (
+        exact_order_statistic)
+
+    pdf = pd.DataFrame({"key": np.arange(1, 11, dtype=np.int64),
+                        "value": np.arange(10, dtype=np.int64)})
+    rows = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="no rows"):
+        exact_order_statistic(rows.filter("value < 0"), "key", "value")
+    for bad in (-1, 10, 11):
+        with pytest.raises(ValueError, match="out of range"):
+            exact_order_statistic(rows, "key", "value", rank=bad)

@@ -113,7 +113,12 @@ UPPER = LOWER.upper()
 def build_10x(spark) -> None:
     from pyspark.sql import functions as F
 
-    if Path(f"{TENX}/_done").exists():
+    # The marker alone is not enough: pre-lineitem builds wrote _done
+    # without lineitem.parquet, so a stale corpus would silently skip the
+    # rebuild and the lineitem-backed 10x queries would fail on a missing
+    # path. Require every table the harness reads to actually exist.
+    if (Path(f"{TENX}/_done").exists()
+            and Path(f"{TENX}/lineitem.parquet").exists()):
         return
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     parts = []
