@@ -245,29 +245,85 @@ def label_propagation_sync(edges: DataFrame, rounds: int = 4,
     return labels.select("node", F.col("label").alias("community"))
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
-          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+def kcore(edges: DataFrame, k: int = 3, rounds: int | None = None,
+          src_col: str = "src", dst_col: str = "dst",
+          max_rounds: int = 10_000, stats: dict | None = None) -> DataFrame:
     """k-core peel (Seidman 1983) over a SYMMETRIC edge list: iteratively
     drop nodes whose degree among the survivors is < k; returns the
-    surviving (node, core_deg) rows after a FIXED `rounds` unroll (fixed
-    so the whole computation is oracle-expressible as chained CTEs —
-    removal recursion is inexpressible in a monotone recursive CTE).
-    Converged output (round R == round R−1) is the true k-core; fixture
-    convergence within the default depth is test-pinned. Each round: two
-    broadcast-or-shuffle semi-joins of the edge list against the (only
-    ever shrinking) survivor set + one degree agg keyed src, with
-    `localCheckpoint` truncating lineage per round."""
+    surviving (node, core_deg) rows.
+
+    Convergence contract (VERDICT r11 #1 — the r11 version ran a silent
+    fixed unroll and could return a strict SUPERSET of the true k-core
+    on deep-chain graphs, exactly the shape near-dup revision chains
+    produce):
+    - ``rounds=None`` (default): iterate to FIXPOINT. Survivors only
+      ever shrink (round t filters round t−1's set), so count equality
+      between rounds IS set equality; each non-converged round drops at
+      least one node, bounding the loop at |V| rounds — ``max_rounds``
+      is a pure safety backstop (raises if hit). The per-round count is
+      one cheap agg over the just-checkpointed survivor frame.
+    - ``rounds=R`` (int): FIXED unroll, kept so the whole computation
+      stays oracle-expressible as chained CTEs (removal recursion is
+      inexpressible in a monotone recursive CTE). After the unroll the
+      result is VERIFIED to be a fixpoint — every survivor must hold
+      within-survivor degree ≥ k (a survivor with degree < k, or one
+      with zero in-core edges and hence absent from the degree agg,
+      means one more round would still peel) — and a non-converged peel
+      raises ValueError instead of returning the superset.
+    ``stats`` (optional dict) records ``rounds`` executed and
+    ``converged``.
+
+    Each round: two broadcast-or-shuffle semi-joins of the edge list
+    against the (only ever shrinking) survivor set + one degree agg
+    keyed src, with `localCheckpoint` truncating lineage per round."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
         .localCheckpoint(eager=False)
-    surv = e.select(F.col("src").alias("node")).distinct()
-    for _ in range(rounds):
-        deg = (e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
-               .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    surv = e.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+
+    def peel_once(s: DataFrame) -> DataFrame:
+        deg = (e.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
+               .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
                .groupBy("src").agg(F.count("*").alias("c")))
-        surv = (deg.filter(F.col("c") >= k)
+        return (deg.filter(F.col("c") >= k)
                 .select(F.col("src").alias("node"))
                 .localCheckpoint(eager=False))
-    return (e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.count("*").cast("bigint").alias("core_deg")))
+
+    if rounds is None:
+        prev_n = surv.count()
+        done = 0
+        converged = prev_n == 0
+        while not converged:
+            if done >= max_rounds:
+                raise ValueError(
+                    f"kcore: no fixpoint within max_rounds={max_rounds} "
+                    f"(survivors={prev_n})")
+            surv = peel_once(surv)
+            done += 1
+            n = surv.count()
+            converged = n == prev_n or n == 0
+            prev_n = n
+    else:
+        done = rounds
+        for _ in range(rounds):
+            surv = peel_once(surv)
+
+    out = (e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
+           .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+           .groupBy(F.col("src").alias("node"))
+           .agg(F.count("*").cast("bigint").alias("core_deg"))
+           .localCheckpoint(eager=False))
+    if rounds is not None:
+        chk = out.agg(F.count("*").alias("n"),
+                      F.min("core_deg").alias("mind")).first()
+        converged = (int(chk["n"]) == surv.count()
+                     and (chk["mind"] is None or int(chk["mind"]) >= k))
+        if not converged:
+            raise ValueError(
+                f"kcore: fixed rounds={rounds} did not reach the k-core "
+                f"fixpoint (some survivors still below degree {k}); "
+                f"raise rounds or use rounds=None to iterate to fixpoint")
+    if stats is not None:
+        stats["rounds"] = done
+        stats["converged"] = converged
+    return out

