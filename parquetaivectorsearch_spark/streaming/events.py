@@ -482,3 +482,124 @@ def type_quantile_bottomk(events: DataFrame, k: int = 256) -> DataFrame:
             .groupBy("event_type")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", "NoTimeout"))
+
+
+def type_cms_cells(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """Bounded-state streaming Count-Min frequency sketch per event type:
+    the state per key is the d×w int64 cell matrix (d=4, w=256 ⇒ 8 KiB
+    per type FOREVER), the streaming twin of the batch cms_build
+    (operators/sketch.py — Cormode & Muthukrishnan 2005). Micro-batches
+    fold by CELL-WISE ADDITION — the linearity that makes CMS the
+    shard-parallel/streaming frequency tier, already pinned as the batch
+    merge rule in tests/test_sketch.py — so the final cells EQUAL a
+    batch cms_build over the whole stream, exact integer equality
+    (pinned in tests/test_streaming.py). Same hash family as the batch
+    tier ((a·vid + b) mod P mod w, P = 2³¹−1, the CMS_A/CMS_B rows), so
+    the cells are interchangeable with batch-built sketches. Per Arrow
+    batch the insert is one value_counts + d vectorized scatter-adds —
+    no per-row Python. Emits the NONZERO cells (event_type, j, col,
+    cell), the exact layout cms_build produces."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetaivectorsearch_spark.operators.sketch import (
+        CMS_A, CMS_B, CMS_P)
+
+    A = np.array(CMS_A[:d], dtype=np.int64)
+    B = np.array(CMS_B[:d], dtype=np.int64)
+
+    def update(key, pdfs, state):
+        cells = (np.array(state.get[0], dtype=np.int64).reshape(d, w)
+                 if state.exists else np.zeros((d, w), dtype=np.int64))
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            vids = vc.index.to_numpy(np.int64)
+            cnts = vc.to_numpy(np.int64)
+            cols = ((vids[None, :] * A[:, None] + B[:, None]) % CMS_P) % w
+            for j in range(d):
+                np.add.at(cells[j], cols[j], cnts)
+        state.update(([int(x) for x in cells.ravel()],))
+        jj, cc = np.nonzero(cells)
+        yield pd.DataFrame({"event_type": key[0],
+                            "j": jj.astype(np.int32),
+                            "col": cc.astype(np.int64),
+                            "cell": cells[jj, cc]})
+
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("j", IntegerType()),
+        StructField("col", LongType()),
+        StructField("cell", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("cells", ArrayType(LongType())),
+    ])
+    return (events
+            .groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))
+
+
+def type_kmv_distinct(events: DataFrame, k: int = 256) -> DataFrame:
+    """Bounded-state streaming KMV (k-minimum-values) distinct-user
+    synopsis per event type (Beyer et al., SIGMOD 2007): the state per
+    key is the k smallest (hash, user_id) pairs — ≤ k rows FOREVER, the
+    streaming twin of the batch kmv_set_ops sketches. Micro-batches
+    fold by BOTTOM-K-OF-UNION — the same lossless merge rule the batch
+    tier and quantile_bottomk pin — so the final synopsis (and hence the
+    (k−1)·H/h₍k₎ distinct estimate) EQUALS a batch bottom-k build over
+    the whole stream, exact equality pinned in tests/test_streaming.py.
+    Same md5-15-hex-digit 60-bit hash as the batch KMV family, so
+    synopses are interchangeable (and oracle-replayable via
+    conv(substring(md5(…),1,15),16,10)). Hashing is per UNIQUE uid per
+    batch (the HLL twin's posture), never per row. Emits
+    (event_type, n_synopsis, distinct_users_est)."""
+    import hashlib
+
+    import pandas as pd
+
+    hmax = float(1 << 60)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            cur = dict(zip(state.get[1], state.get[0]))  # uid -> h
+        else:
+            cur = {}
+        for pdf in pdfs:
+            for uid in pdf["user_id"].unique():
+                uid = int(uid)
+                if uid not in cur:
+                    cur[uid] = int(
+                        hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+            if len(cur) > k:
+                cur = {u: h for h, u in
+                       sorted((h, u) for u, h in cur.items())[:k]}
+        items = sorted((h, u) for u, h in cur.items())
+        n_kv = len(items)
+        est = (float(n_kv) if n_kv < k
+               else (k - 1) * hmax / float(items[-1][0]))
+        state.update(([h for h, _ in items], [u for _, u in items]))
+        yield pd.DataFrame({"event_type": [key[0]],
+                            "n_synopsis": [n_kv],
+                            "distinct_users_est": [est]})
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_synopsis", IntegerType()),
+        StructField("distinct_users_est", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("hs", ArrayType(LongType())),
+        StructField("us", ArrayType(LongType())),
+    ])
+    return (events
+            .groupBy("event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))

@@ -471,3 +471,107 @@ def test_streaming_quantile_bottomk_is_lossless(spark):
     two = {t: (g["p50_est"].iloc[-1], g["p90_est"].iloc[-1])
            for t, g in pdf.groupby("event_type")}
     assert two == want
+
+
+def test_streaming_cms_merge_equals_batch_build(spark):
+    """Streaming CMS: (a) a single availableNow run's per-type cells
+    EQUAL a batch cms_build over the same events (exact integer
+    equality — cell-wise addition is lossless); (b) a two-micro-batch
+    run over a split source lands the identical final cells —
+    batching-invariance of the linear sketch through the state store."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.operators.sketch import cms_build
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    want = {}
+    for t in types:
+        counted = (ev.filter(F.col("event_type") == t)
+                   .groupBy(F.col("user_id").alias("vid"))
+                   .agg(F.count("*").alias("cnt")))
+        want[t] = {(r.j, r.col): r.cell for r in cms_build(counted).collect()}
+
+    d = tempfile.mkdtemp(prefix="cms_stream_")
+    _sh.copy(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    one_rows = S.run_available_now(
+        S.type_cms_cells(S.read_event_stream(spark, d)), "update").collect()
+    one = {}
+    for r in one_rows:
+        one.setdefault(r.event_type, {})[(r.j, r.col)] = r.cell
+    assert one == want
+
+    d2 = tempfile.mkdtemp(prefix="cms_stream2_")
+    for name, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        tmp = tempfile.mkdtemp(prefix=f"cms_split_{name}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{d2}/{name}.parquet")
+    pdf = S.run_available_now(
+        S.type_cms_cells(
+            S.read_event_stream(spark, d2, max_files_per_trigger=1)),
+        "update").toPandas()
+    # update mode emits per key per batch; keep each key's LAST emission
+    # (the merged state). Batch ordering within the sink is file order,
+    # so rows are grouped by emission batch; dedupe keeping last.
+    pdf = pdf.drop_duplicates(subset=["event_type", "j", "col"], keep="last")
+    two = {}
+    for r in pdf.itertuples():
+        two.setdefault(r.event_type, {})[(r.j, r.col)] = r.cell
+    assert two == want
+
+
+def test_streaming_kmv_distinct_equals_batch_build(spark):
+    """Streaming KMV: (a) single-run estimates equal the batch bottom-k
+    formula replay ((k−1)·H/h_k, or exact count under k); (b) a
+    two-micro-batch run lands identical final estimates — bottom-k of a
+    union is the bottom-k of merged bottom-ks, end-to-end through the
+    state store."""
+    import glob as _glob
+    import hashlib
+    import shutil as _sh
+    import tempfile
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    k = 256
+    hmax = float(1 << 60)
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("event_type", "user_id").toPandas()
+    want = {}
+    for t, g in ev.groupby("event_type"):
+        hs = sorted(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16),
+             int(u))
+            for u in g["user_id"].unique())[:k]
+        n_kv = len(hs)
+        est = float(n_kv) if n_kv < k else (k - 1) * hmax / float(hs[-1][0])
+        want[t] = (n_kv, est)
+
+    d = tempfile.mkdtemp(prefix="kmv_stream_")
+    _sh.copy(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    one = {r.event_type: (r.n_synopsis, r.distinct_users_est) for r in
+           S.run_available_now(
+               S.type_kmv_distinct(S.read_event_stream(spark, d)),
+               "update").collect()}
+    assert one == want
+
+    evf = load_table(spark, SF_SMOKE, "events")
+    d2 = tempfile.mkdtemp(prefix="kmv_stream2_")
+    for name, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        tmp = tempfile.mkdtemp(prefix=f"kmv_split_{name}_")
+        evf.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{d2}/{name}.parquet")
+    pdf = S.run_available_now(
+        S.type_kmv_distinct(
+            S.read_event_stream(spark, d2, max_files_per_trigger=1)),
+        "update").toPandas()
+    two = {t: (g["n_synopsis"].iloc[-1], g["distinct_users_est"].iloc[-1])
+           for t, g in pdf.groupby("event_type")}
+    assert two == want
