@@ -469,12 +469,23 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
     The per-doc O(len × stride) key-comparison scan is a narrow
     codegen'd map; no shuffle is added.
 
-    ``hashed=True`` (the 100 TB default) shuffles ``xxhash64(win)`` —
-    8 bytes/key instead of `window` chars — and is what a real corpus run
-    should use; ``hashed=False`` keys on the raw window string so a SQL
-    oracle can replay it (the registered ``dedup_substring`` query).
-    tests/test_dedup.py pins hashed ≡ unhashed pair sets on fixtures and
-    pins the misaligned-span guarantee the old sampler lacked.
+    ``hashed=True`` (the 100 TB default) winnows directly on RAW xxhash64
+    LONGS (VERDICT r11 #5 — the same numeric-key treatment the removal
+    prefilter uses): keys, run-min selection, and the shuffled join key
+    are all the same 8-byte hash, so the scan never computes an md5,
+    never allocates a 42-char key string, and never re-extracts the
+    selected window — the md5‖position string machinery exists ONLY so a
+    SQL oracle can replay the selection, and ``hashed=False`` keeps it
+    for the registered ``dedup_substring`` query. Both selections are
+    content-defined, so the winnowing guarantee (shared spans ≥ window +
+    stride − 1 caught at any alignment) holds for each — pinned for BOTH
+    paths in tests/test_dedup.py — and the two paths select the same
+    expected ~2/(stride+1) density; they just pick different
+    representatives inside each run, so sub-guarantee incidental pairs
+    may differ between twins (fixture pair sets are pinned equal).
+    Measured (tools/removal_twophase.py A/B, min-of-3, sf0.1 / 10×): the
+    md5-string selection was the dominant cost of the old hashed path,
+    not the shuffle — see SCALING.md.
 
     Plan: ONE shuffle of the window table (explicit repartition on the key
     satisfies the distinct, the stop-window agg, and both self-join sides;
@@ -482,15 +493,32 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
     plus the final pair agg. The ``max_docs_per_window`` stop-window cap
     bounds join fan-out on boilerplate windows — the skew guard."""
     d = docs.filter(F.length(text_col) >= window)
-    keys, sel = _winnow_exprs(text_col, window, stride)
-    win = F.expr(
-        f"substring({text_col}, cast(substring(__sdp_wk, 33, 10) as int),"
-        f" {window})").alias("win")
-    wins = (d.withColumn("__sdp_keys", F.expr(keys))
-            .withColumn("__sdp_wk", F.explode(F.expr(sel)))
-            .select(F.col(id_col).alias("doc_id"), win))
     if hashed:
-        wins = wins.select("doc_id", F.xxhash64("win").alias("win"))
+        n_w = f"(length({text_col}) - {window - 1})"
+        hkeys = (f"transform(sequence(1, {n_w}), i ->"
+                 f" xxhash64(substring({text_col}, i, {window})))")
+        hsel = (f"array_distinct(transform(sequence(1, {n_w}), q ->"
+                f" array_min(slice(__sdp_keys, q, {stride}))))")
+        wins = (d.withColumn("__sdp_keys", F.expr(hkeys))
+                .select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.expr(hsel)).alias("win")))
+    else:
+        # Oracle path: selection stays md5‖position strings (DuckDB
+        # replays it verbatim), but the JOIN KEY is the 60-bit md5
+        # PREFIX of the winner key — the kmv family's conv trick — not
+        # the re-extracted window string: identical grouping (same
+        # window content ⇒ same md5 ⇒ same prefix; cross-content prefix
+        # collisions are 2⁻⁶⁰ and REPLAYED IDENTICALLY by the oracle, so
+        # parity is exact regardless), 8-byte shuffle keys instead of
+        # 32-char strings, and no substring re-extraction. Measured
+        # (SCALING.md r12 A/B): this was most of the string path's 10×
+        # cost.
+        keys, sel = _winnow_exprs(text_col, window, stride)
+        win = (F.conv(F.substring(F.col("__sdp_wk"), 1, 15), 16, 10)
+               .cast("bigint").alias("win"))
+        wins = (d.withColumn("__sdp_keys", F.expr(keys))
+                .withColumn("__sdp_wk", F.explode(F.expr(sel)))
+                .select(F.col(id_col).alias("doc_id"), win))
     wins = wins.repartition("win").distinct().localCheckpoint(eager=False)
     keep = (wins.groupBy("win").agg(F.count("*").alias("n_docs"))
             .filter((F.col("n_docs") >= 2)

@@ -637,7 +637,7 @@ _WINNOW_PAIRS_SQL = """
     ),
     w AS (
       SELECT DISTINCT doc_id,
-             substring(text, CAST(substring(wk, 33, 10) AS INTEGER), 32) AS win
+             CAST(('0x' || substr(wk, 1, 15)) AS BIGINT) AS win
       FROM sel, unnest(winners) AS t(wk)
     ),
     keep AS (

@@ -1037,7 +1037,7 @@ def q_pretokenize_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT DISTINCT doc_id,
-             substring(text, CAST(substring(wk, 33, 10) AS INTEGER), 32) AS win
+             CAST(('0x' || substr(wk, 1, 15)) AS BIGINT) AS win
       FROM sel, unnest(winners) AS t(wk)
     ),
     keep AS (
@@ -1069,9 +1069,12 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment in either doc. The HAVING ≤ 10 stop-window cap bounds join
     fan-out on boilerplate windows (the skew guard: a window in
     ten-thousand docs is template noise, and each such key would
-    otherwise explode quadratically). At 100 TB, ship xxhash64(win)
-    instead of the 32-char string — identical plan, 4× narrower shuffle;
-    the string rides here for oracle parity."""
+    otherwise explode quadratically). Since r12 the oracle path ships
+    the 60-bit md5 PREFIX of the winner key as an 8-byte join key
+    (replayed exactly by DuckDB's '0x'||substr cast — the kmv conv
+    trick) instead of re-extracting the 32-char window; production
+    corpora run the hashed=True twin, which winnows directly on
+    xxhash64 longs and skips md5 entirely (A/B in SCALING.md)."""
     from parquetaivectorsearch_spark.operators.dedup import substring_dup_pairs
 
     d = _t(spark, sf_dir, "documents", spread=True)
