@@ -176,6 +176,10 @@ HEADLINE = [
     "kcore_membership",    # 8-round k-core peel over the 3-NN graph
     "good_turing_vocab",   # missing-mass + Chao1 from one freq-of-freq pass
     "exact_median_selection",  # 3-pass distributed selection, no global sort
+    # r12 additions (judge compares shared subset):
+    "kmeans_clusters",     # distributed Lloyd: 3 full-corpus rounds, k=8
+    "streaming_cms_merge",  # bounded-state CMS cells, cell-wise-add fold
+    "streaming_kmv_distinct",  # bounded-state KMV synopsis, bottom-k fold
 ]
 
 

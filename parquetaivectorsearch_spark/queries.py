@@ -437,21 +437,24 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- round 12 window ---
     # (a) newborns (zero evidence, registered this round): the streaming
-    #     CMS + KMV sketch twins (VERDICT r11 #7)
-    "streaming_cms_merge", "streaming_kmv_distinct",
+    #     CMS + KMV sketch twins (VERDICT r11 #7) and the distributed
+    #     Lloyd k-means capstone (oracle-gated, full-iteration replay)
+    "streaming_cms_merge", "streaming_kmv_distinct", "kmeans_clusters",
     # (d) the ENTIRE stale-evidence cohort (VERDICT r11 #3): the 11
     #     queries whose latest driver sample is round 5 …
     "argmax_agg", "asof_join", "csv_roundtrip", "join_salted",
     "knn_checksum", "percentile_agg", "range_join",
     "streaming_tumbling_agg", "udtf_split_words", "variant_json",
     "window_range_frame",
-    # … plus 37 of the 39 round-6-evidence queries. The two cessions to
-    #     the newborn slots are window_lag_lead and window_running_sum:
-    #     the window family keeps TWO refreshes in this very window
-    #     (window_percent_rank from the r6 cohort, window_range_frame
-    #     from the r5 cohort) plus r8 window_rank evidence, so it is the
-    #     only family that can cede two slots without dropping below two
-    #     fresh members; both stay in the replica sweeps.
+    # … plus 36 of the 39 round-6-evidence queries. Cessions to the
+    #     three newborn slots: window_lag_lead and window_running_sum
+    #     (the window family keeps TWO refreshes in this very window —
+    #     window_percent_rank from the r6 cohort, window_range_frame
+    #     from the r5 cohort — plus r8 window_rank evidence) and
+    #     streaming_sliding_agg (the streaming family holds EIGHT other
+    #     window members: tumbling from r5, dedup/join/latest_state/
+    #     stateful_user_totals/tumbling_window_agg from r6, plus both
+    #     newborns). All three stay in the replica sweeps.
     "array_functions", "class_balance", "collect_agg", "cube_agg",
     "dedup_clusters", "dedup_simhash", "exists_subquery", "fingerprint",
     "full_outer_join", "gap_fill", "grouping_sets_agg", "hybrid_search",
@@ -460,7 +463,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "profit_by_nation_year", "python_datasource_scan",
     "recursive_calendar", "regexp_functions", "regression_agg",
     "stateful_user_totals", "streaming_dedup", "streaming_join",
-    "streaming_latest_state", "streaming_sliding_agg", "text_normalize",
+    "streaming_latest_state", "text_normalize",
     "text_tfidf", "top_supplier", "tumbling_window_agg", "unpivot_stack",
     "video_frame_sample", "window_percent_rank",
     # (c) changed-impl note, zero slots spent: the r12 rewrites (kcore

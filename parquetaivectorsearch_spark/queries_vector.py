@@ -532,3 +532,47 @@ def q_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(sim.groupby("query_id"))
         .applyInPandas(greedy, "query_id long, vec_id long, mmr_rank long")
     )
+
+
+_KM_K, _KM_ROUNDS, _KM_D = 8, 3, 64
+
+
+def _kmeans_oracle() -> str:
+    from parquetaivectorsearch_spark.operators.kmeans import kmeans_oracle_sql
+
+    sql = kmeans_oracle_sql(
+        _KM_K, _KM_ROUNDS, _KM_D,
+        "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings")
+    # Alias only the FINAL projection (4-space indent; the per-round
+    # CTEs' inner selects are 6-space indented and must keep `id`).
+    return sql.replace("\n    SELECT id, cid FROM (",
+                       "\n    SELECT id AS vec_id, cid FROM (", 1)
+
+
+@register("kmeans_clusters", _kmeans_oracle())
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the FULL embedding corpus
+    (operators/kmeans.py — Lloyd 1982), the corpus-wide semantic-
+    clustering pass a SemDeDup-style pipeline buckets with: unlike the
+    engine's other k-means uses (IVF coarse quantizer, PQ codebooks —
+    all trained on bounded driver samples), every row participates in
+    every round. Fixed {rounds} rounds, k = {k}, first-k-by-id seeding —
+    all chosen so the DuckDB oracle replays the ENTIRE iteration as
+    unrolled CTEs and hash-checks every final assignment. Plan per
+    round: one narrow codegen'd pass (centroids embedded as literals —
+    argmin is array_position(array_min), no n×k row explosion, no
+    assignment shuffle) + one groupBy(cid) with d map-side-partial avg
+    aggregates; driver pulls are k×d doubles per round. Centroids round
+    to 9 decimals in both engines, so IEEE partial-sum order can't
+    drift assignments. Ties argmin→smallest cid in both (total order).
+    """
+    from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (kmeans_lloyd(e, k=_KM_K, rounds=_KM_ROUNDS,
+                         vec_col="embedding", id_col="vec_id")
+            .select(F.col("id").alias("vec_id"), "cid"))
+
+
+q_kmeans_clusters.__doc__ = q_kmeans_clusters.__doc__.format(
+    rounds=_KM_ROUNDS, k=_KM_K)

@@ -55,6 +55,12 @@ NOTES = {
         'chunk df_cap + exact-clique star rescue (r11); best-match framing',
     'dedup_clusters_star':
         'same recursive-CTE closure oracle as dedup_clusters; O(log n) large/small-star contraction (r11)',
+    'kmeans_clusters':
+        'distributed Lloyd, FULL iteration replayed as unrolled CTEs: seed/assign/update/tie-break all hash-checked (r12)',
+    'streaming_cms_merge':
+        'cell-wise-add fold == batch cms_build, exact integer equality incl. split-source two-batch run (r12)',
+    'streaming_kmv_distinct':
+        'bottom-k-of-union fold == batch synopsis + estimate, exact equality incl. two-batch run (r12)',
     'dedup_substring_exact':
         'both tiers replayed: winnow CTEs + direct suffix sort (r11 capstone)',
     'dedup_substring_removal':

@@ -97,7 +97,15 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # lossless k-row fold per micro-batch) is the batch
            # quantile_sketch's TakeOrdered axis, measured below
            "kmv_set_ops", "good_turing_vocab", "exact_median_selection",
-           "quantile_sketch_grouped"]
+           "quantile_sketch_grouped",
+           # r12: distributed Lloyd — rounds × (one narrow argmin pass +
+           # one k×d-partial agg) over the FULL embedding corpus, the
+           # data-proportional axis the driver-sample trainers don't
+           # have. The streaming sketch twins are EXCLUDED like
+           # streaming_quantile_bottomk (single-file staging); their
+           # batch equivalents (cms_frequency, kmv_set_ops) carry the
+           # scale evidence.
+           "kmeans_clusters"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
