@@ -1,0 +1,62 @@
+"""Bench-record hygiene gate (VERDICT r11 #2): the r11 artifact of
+record carried 3-4× noisy single-run entries (host-side steal bursts)
+that misled round-over-round comparison. This gate compares a fresh
+BENCH_LAST.json against the controlled min-of-3 references in SCALING.md
+(the main table's sf0.1 column plus the 10× table's sf0.1 column) and
+FAILS if any shared query exceeds 2× its reference — the signal to
+re-record on a quieter machine rather than commit a noisy artifact.
+
+Usage: python tools/bench_gate.py [BENCH_LAST.json]
+Exits 0 (all shared queries within 2×) or 1 (lists offenders).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def scaling_refs() -> dict[str, float]:
+    """Min-of-3 sf0.1 references parsed from SCALING.md's tables:
+    the 5-column cross-SF table (col 3 = sf0.1) and the 4-column 10×
+    table (col 1 = sf0.1). Later tables win on duplicates (fresher)."""
+    refs: dict[str, float] = {}
+    for line in (_REPO / "SCALING.md").read_text().splitlines():
+        m = re.match(r"\|\s*(\w+)\s*\|" + r"\s*([\d.]+)\s*\|" * 2, line)
+        if not m:
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        name = cells[0]
+        if not re.fullmatch(r"\w+", name):
+            continue
+        try:
+            if len(cells) == 5:      # query | sf0.001 | sf0.01 | sf0.1 | alpha
+                refs[name] = float(cells[3])
+            elif len(cells) == 4:    # query | sf0.1 | 10x | alpha
+                refs[name] = float(cells[1])
+        except ValueError:
+            continue
+    return refs
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else str(_REPO / "BENCH_LAST.json")
+    rec = json.loads(Path(path).read_text())
+    refs = scaling_refs()
+    shared = {q: t for q, t in rec["queries"].items() if q in refs}
+    bad = {q: (t, refs[q]) for q, t in shared.items() if t > 2 * refs[q]}
+    print(json.dumps({
+        "shared": len(shared),
+        "offenders": {q: {"record": t, "min_of_3": r, "ratio": round(t / r, 2)}
+                      for q, (t, r) in sorted(bad.items())},
+        "gate": "pass" if not bad else "FAIL",
+    }))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
