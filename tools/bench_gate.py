@@ -48,7 +48,12 @@ def main() -> int:
     rec = json.loads(Path(path).read_text())
     refs = scaling_refs()
     shared = {q: t for q, t in rec["queries"].items() if q in refs}
-    bad = {q: (t, refs[q]) for q, t in shared.items() if t > 2 * refs[q]}
+    # The 2x ratio gate alone is noise-dominated on sub-second queries
+    # (a 0.13s delta on a 0.13s reference trips it while meaning
+    # nothing), so an offender must ALSO exceed the reference by 0.5s
+    # absolute — spark job-scheduling granularity on this host.
+    bad = {q: (t, refs[q]) for q, t in shared.items()
+           if t > 2 * refs[q] and t - refs[q] > 0.5}
     print(json.dumps({
         "shared": len(shared),
         "offenders": {q: {"record": t, "min_of_3": r, "ratio": round(t / r, 2)}
