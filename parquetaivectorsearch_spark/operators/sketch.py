@@ -150,8 +150,19 @@ def _cms_hashes(spark, d: int):
 
 
 def _cms_col(w: int):
-    return ((F.col("vid") * F.col("a") + F.col("b"))
-            % F.lit(CMS_P)) % F.lit(w)
+    # Reduce vid mod P BEFORE the multiply, and use pmod, not %:
+    # (a·vid + b) mod P == (a·(vid mod P) + b) mod P, and with
+    # vid mod P < 2³¹ and a < 2²³ the product stays < 2⁵⁴ — no int64
+    # overflow in any engine (Spark's ANSI mode THROWS on long overflow,
+    # so snowflake-scale uids previously aborted the build outright).
+    # pmod (non-negative, Python/numpy semantics) rather than Spark's
+    # dividend-sign %, so negative vids land in the same cells as the
+    # numpy streaming twin (streaming/events.type_cms_cells, ADVICE
+    # r12). For small positive vids (e.g. row_number vids in the
+    # registered cms_frequency query) this is bit-identical to the old
+    # formula, so oracles and pinned fixtures are unchanged.
+    return F.pmod(F.pmod(F.col("vid"), F.lit(CMS_P)) * F.col("a")
+                  + F.col("b"), F.lit(CMS_P)) % F.lit(w)
 
 
 def cms_build(counted: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
@@ -160,8 +171,9 @@ def cms_build(counted: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
     groupBy on (j, col). Cells are plain sums, so two sketches built
     from disjoint data MERGE by cell-wise addition (pinned in tests) —
     the property that makes CMS the streaming/shard-parallel frequency
-    tier. Hash family (a·vid + b) mod P mod w, P = 2³¹−1: integer-only,
-    replayable in any engine."""
+    tier. Hash family pmod(a·vid + b, P) mod w, P = 2³¹−1: integer-only,
+    replayable in any engine (non-negative pmod semantics so the numpy
+    streaming twin agrees for negative / int64-wrapping vids)."""
     spark = counted.sparkSession
     return (counted.crossJoin(F.broadcast(_cms_hashes(spark, d)))
             .groupBy("j", _cms_col(w).alias("col"))
@@ -201,9 +213,16 @@ BK_A, BK_B = 524287, 12289  # shared with the CMS family; P = CMS_P
 
 
 def bottomk_hash(key):
-    """The summary's deterministic hash: (a·key + b) mod P, P = 2³¹−1.
-    Integer-only so Spark, DuckDB, and pandas agree bit-for-bit."""
-    return (F.col(key) * F.lit(BK_A) + F.lit(BK_B)) % F.lit(CMS_P)
+    """The summary's deterministic hash: (a·key + b) mod P, P = 2³¹−1,
+    computed as pmod(pmod(key, P)·a + b, P) — key reduced first so the
+    product stays < 2⁵⁰ (ANSI Spark throws on int64 overflow), pmod
+    (non-negative, Python/numpy semantics) rather than Spark's
+    dividend-sign % so negative keys hash identically in the numpy
+    streaming twin (streaming/events.type_quantile_bottomk).
+    Bit-identical to the old formula for the small non-negative keys
+    every registered query feeds it, so oracles are unchanged."""
+    return F.pmod(F.pmod(F.col(key), F.lit(CMS_P)) * F.lit(BK_A)
+                  + F.lit(BK_B), F.lit(CMS_P))
 
 
 def bottomk_summary(rows: DataFrame, key_col: str, value_col: str,

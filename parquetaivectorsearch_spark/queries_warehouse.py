@@ -477,7 +477,8 @@ _BK_QS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
     ),
     samp AS (
       SELECT key, cents,
-             (key * 524287 + 12289) % 2147483647 AS h
+             ((key * 524287 + 12289) % 2147483647
+              + 2147483647) % 2147483647 AS h
       FROM li ORDER BY h, key LIMIT {_BK_K}
     ),
     ranked AS (
@@ -554,7 +555,8 @@ _BKG_QS = (0.1, 0.5, 0.9)
 @register("quantile_sketch_grouped", f"""
     WITH hv AS (
       SELECT lang, doc_id, n_chars,
-             (doc_id * 524287 + 12289) % 2147483647 AS h
+             ((doc_id * 524287 + 12289) % 2147483647
+              + 2147483647) % 2147483647 AS h
       FROM documents
     ),
     sk AS (

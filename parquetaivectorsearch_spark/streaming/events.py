@@ -447,7 +447,9 @@ def type_quantile_bottomk(events: DataFrame, k: int = 256) -> DataFrame:
             vs = np.array([], dtype=np.float64)
         for pdf in pdfs:
             ek = pdf["event_id"].to_numpy(np.int64)
-            hs = np.concatenate([hs, (ek * BK_A + BK_B) % CMS_P])
+            # reduce mod P before the multiply — same value, no int64
+            # wrap for huge/negative ids (matches bottomk_hash's pmod)
+            hs = np.concatenate([hs, ((ek % CMS_P) * BK_A + BK_B) % CMS_P])
             ks = np.concatenate([ks, ek])
             vs = np.concatenate([vs, pdf["value"].to_numpy(np.float64)])
             keep = np.lexsort((ks, hs))[:k]
@@ -494,8 +496,11 @@ def type_cms_cells(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
     merge rule in tests/test_sketch.py — so the final cells EQUAL a
     batch cms_build over the whole stream, exact integer equality
     (pinned in tests/test_streaming.py). Same hash family as the batch
-    tier ((a·vid + b) mod P mod w, P = 2³¹−1, the CMS_A/CMS_B rows), so
-    the cells are interchangeable with batch-built sketches. Per Arrow
+    tier (pmod(a·vid + b, P) mod w, P = 2³¹−1, the CMS_A/CMS_B rows —
+    numpy's % IS pmod for a positive modulus, and the batch tier uses
+    F.pmod since r13 so negative or int64-wrapping uids land in the
+    same cells in both engines), so the cells are interchangeable with
+    batch-built sketches for ANY int64 uid. Per Arrow
     batch the insert is one value_counts + d vectorized scatter-adds —
     no per-row Python. Emits the NONZERO cells (event_type, j, col,
     cell), the exact layout cms_build produces."""
@@ -513,7 +518,10 @@ def type_cms_cells(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
                  if state.exists else np.zeros((d, w), dtype=np.int64))
         for pdf in pdfs:
             vc = pdf["user_id"].value_counts()
-            vids = vc.index.to_numpy(np.int64)
+            vids = vc.index.to_numpy(np.int64) % CMS_P  # reduce first:
+            # (a·vid+b) mod P == (a·(vid mod P)+b) mod P, product < 2^54
+            # — no int64 wrap, matching the batch tier's pmod formula
+            # for negative / snowflake-scale uids (ADVICE r12)
             cnts = vc.to_numpy(np.int64)
             cols = ((vids[None, :] * A[:, None] + B[:, None]) % CMS_P) % w
             for j in range(d):

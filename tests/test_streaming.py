@@ -575,3 +575,56 @@ def test_streaming_kmv_distinct_equals_batch_build(spark):
     two = {t: (g["n_synopsis"].iloc[-1], g["distinct_users_est"].iloc[-1])
            for t, g in pdf.groupby("event_type")}
     assert two == want
+
+
+def test_cms_batch_streaming_agree_on_negative_and_huge_uids(spark):
+    """ADVICE r12: the numpy streaming fold uses Python-style non-negative
+    modulo while Spark's % follows the dividend's sign — for a negative
+    uid, or an int64-wrapping uid (vid*a past 2^63, snowflake-scale),
+    plain % in the batch tier landed cells at NEGATIVE cols while the
+    streaming twin landed them at positive ones. Since r13 the batch
+    tier uses F.pmod; this test plants exactly those adversarial uids
+    (the fixture's small positive uids can never catch the divergence)
+    and pins batch cms_build == streaming type_cms_cells cell-for-cell.
+    Also pins bottomk_hash (now pmod) == the numpy formula on the same
+    keys — the quantile tier shares the sign fix."""
+    import tempfile
+
+    import numpy as np
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.operators.sketch import (
+        BK_A, BK_B, CMS_P, bottomk_hash, cms_build)
+
+    # -7 (negative), 2^62-ish and 3e18 (vid*a wraps past 2^63), and the
+    # ~1.4e12 boundary ADVICE called out (131071 * 1.5e12 > 2^63).
+    uids = [-7, -3_000_000_000_000, 1_500_000_000_000,
+            4_611_686_018_427_387_904, 3_000_000_000_000_000_000, 42]
+    rows = [(i, 1_700_000_000_000_000 + i, u, "adv", 1.0, "{}")
+            for i, u in enumerate(uids * 3)]  # cnt=3 per uid
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING")
+
+    counted = (ev.groupBy(F.col("user_id").alias("vid"))
+               .agg(F.count("*").alias("cnt")))
+    want = {(r.j, r.col): r.cell for r in cms_build(counted).collect()}
+    assert all(0 <= col < 256 for _, col in want), \
+        "pmod batch cells must land at non-negative cols"
+
+    d = tempfile.mkdtemp(prefix="cms_adv_")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    got_rows = S.run_available_now(
+        S.type_cms_cells(S.read_event_stream(spark, d, ts_unit_divisor=1)),
+        "update").collect()
+    got = {(r.j, r.col): r.cell for r in got_rows}
+    assert got == want
+
+    # bottomk_hash parity with the numpy twin on the same adversarial keys
+    ks = np.array(uids, dtype=np.int64)
+    want_h = (((ks % CMS_P) * BK_A + BK_B) % CMS_P).tolist()
+    got_h = [r.h for r in
+             spark.createDataFrame([(int(u),) for u in uids], "key BIGINT")
+             .select(bottomk_hash("key").alias("h")).collect()]
+    assert got_h == want_h
+    assert all(h >= 0 for h in got_h)
