@@ -594,6 +594,23 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         if noisy:
             extras[f"{name}_noisy_reps"] = noisy
     extras["wide_ivf_pruned_frac"] = 0.25
+
+    # Distributed Lloyd k-means at the reference's own regime (VERDICT
+    # r12 #2): 50k × 1536-dim, k=256, 2 rounds — k·d = 393216 forces the
+    # arrow (broadcast-matmul mapInPandas) assignment tier; the literal
+    # tier cannot compile an expression tree this wide. One rep (each
+    # round already averages 32 tasks; the trainer is a build-time op,
+    # not a serve path).
+    def kmeans_wide():
+        from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
+        kmeans_lloyd(wcorpus, k=256, rounds=2) \
+            .write.format("noop").mode("overwrite").save()
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.monotonic()
+    kmeans_wide()
+    extras["wide_kmeans_k256_2r"] = round(time.monotonic() - t0, 3)
+
     # Reference bracket: the converged mid-tier wide_knn_bulk_8q number
     # vs the SAME query re-timed at tier end. An early-tier ref timing
     # kept catching the multi-rep warmup plateau (2.98s vs 0.62s steady
@@ -793,6 +810,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    # In-band hygiene verdict (ADVICE r12: a contended record must say so
+    # INSIDE the JSON so downstream comparison tooling can't mistake it
+    # for a controlled run): run the same 2×-AND-0.5s check
+    # tools/bench_gate.py applies, against SCALING.md's min-of-3
+    # references. Only meaningful at sf0.1 (the references' SF).
+    gate = None
+    if abs(sf - 0.1) < 1e-9:
+        try:
+            sys.path.insert(0, str(Path(_REPO) / "tools"))
+            from bench_gate import scaling_refs
+            refs = scaling_refs()
+            offenders = [q for q, t in timings.items()
+                         if q in refs and t > 2 * refs[q]
+                         and t - refs[q] > 0.5]
+            gate = "pass" if not offenders else \
+                f"FAIL:{len(offenders)} offenders vs SCALING min-of-3"
+        except Exception:
+            gate = None
     result = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -801,6 +836,7 @@ def main() -> None:
         "samples": samples,
         "recall": recall,
         "extras": extras,
+        "gate": gate,
         "sf": sf,
     })
     # Durable artifact (ADVICE r9: BENCH_r09's stdout capture was
@@ -832,6 +868,7 @@ def main() -> None:
         "n_queries": len(timings),
         "recall_min": min(flat_recall.values()) if flat_recall else None,
         "slowest": slowest,
+        "gate": gate,
         "full": "BENCH_LAST.json",
     }))
     spark.stop()

@@ -9,33 +9,59 @@ Algorithm: standard Lloyd (Lloyd 1982, "Least squares quantization in
 PCM"), FIXED round count so the whole computation is oracle-expressible
 as unrolled CTEs (the LPA/random-walks/kcore precedent).
 
-Spark shape (the plan you want at 100 TB):
-- Seeding is the first k rows by id — deterministic and replayable by
-  ``ORDER BY id LIMIT k`` in any engine (a k-means++ scan would add k
-  passes and a data-dependent RNG no SQL oracle can replay).
-- Each round is ONE narrow pass over the corpus: the k×d centroid matrix
-  (tiny, bounded — the IVF-centroid posture) is embedded as a LITERAL
-  array-of-arrays, the per-row argmin is a codegen'd fold over that
-  literal (array_position of array_min — NO n×k cross-join row
-  explosion, NO shuffle for assignment), and the update is one
-  groupBy(cid) with d avg aggregates — map-side partial aggregation
-  ships k×d partials per task, never rows.
-- Driver pulls are exactly k×d doubles per round (the audited bounded-
-  pull posture); the prepared corpus is lazily localCheckpointed so
-  every round reuses the same materialized scan.
+Spark shape — TWO assignment tiers, auto-selected on k·d (VERDICT r12
+#2: the literal tier is the right plan at IVF-coarse-quantizer size but
+its expression tree grows as k·d literals, which Catalyst cannot compile
+at the reference's own regime of d=1536, k≥256):
+
+- ``literal`` (k·d ≤ _LITERAL_KD_MAX): the k×d centroid matrix is
+  embedded as LITERAL arrays, the per-row argmin is a codegen'd fold
+  (array_position of array_min — NO n×k cross-join row explosion, NO
+  shuffle for assignment), and the update is one groupBy(cid) with d
+  avg aggregates — map-side partial aggregation ships k×d partials per
+  task, never rows. Whole-stage-codegen, zero Python. This is the tier
+  the DuckDB oracle replays.
+- ``arrow`` (k·d > _LITERAL_KD_MAX): the centroid matrix rides to the
+  executors as a broadcast numpy array; ONE ``mapInPandas`` pass per
+  round computes the batch argmin as a single matmul
+  (‖x‖² − 2·X·Cᵀ + ‖c‖², the operators/ann.py ivf_search_bulk shape)
+  and emits per-batch PARTIAL SUMS (cid, Σx, n) — manual map-side
+  combine, ≤ k rows of d doubles per Arrow batch, so the shuffle is
+  O(batches·k·d) regardless of corpus size. Partials merge per cid in
+  one ``applyInPandas``; the final divide + round runs Spark-side so
+  BOTH tiers share the exact JVM HALF_UP rounding.
+
+In both tiers each round is ONE narrow pass over the corpus; driver
+pulls are exactly k×d doubles per round (the audited bounded-pull
+posture); the prepared corpus is lazily localCheckpointed so every
+round reuses the same materialized scan AND lineage stays O(1) in
+rounds.
+
 - Centroid coordinates are rounded to 9 decimals each round, in the
   operator AND the oracle: both engines compute IEEE-double averages
   whose partial-sum order differs, so the raw last bits differ;
   rounding far above the 1e-15 drift and far below any real distance
   gap makes the per-round centroids — and therefore every assignment —
-  bit-identical across engines and partitionings.
+  bit-identical across engines and partitionings. (Caveat, ADVICE r12:
+  the cross-engine leg of that argument additionally leans on Spark
+  round() — BigDecimal HALF_UP on the exact double — and DuckDB
+  ROUND() — double-multiply based — agreeing; an average within ~1e-15
+  of a 5e-10 decimal boundary could round differently between engines.
+  No fixture has ever produced one; fixture hash-parity is the guard.
+  The two SPARK tiers share one rounding implementation, so tier parity
+  has no such caveat.)
+- Tier parity caveat: the literal tier accumulates Σ(a−b)² left-to-
+  right while the arrow tier uses the expanded matmul form — distances
+  agree to ~1e-12 relative, so assignments can only differ on near-ties
+  BELOW the 9dp centroid grain (exact ties resolve identically: numpy
+  argmin and array_position both return the FIRST minimal index =
+  smallest cid). The parity test pins identical assignments at 8×64 on
+  the fixture corpus, where every gap is orders of magnitude wider.
 
-Tie-breaks are total: equal distances resolve to the smallest cid
-(array_position returns the FIRST minimal index; centroid literals are
-built in ascending-cid order), matching the oracle's ORDER BY dist, cid.
-Empty clusters are DROPPED for the following round (k may shrink) — the
-same thing a GROUP BY produces in SQL, so the unrolled oracle mirrors it
-for free.
+Tie-breaks are total: equal distances resolve to the smallest cid,
+matching the oracle's ORDER BY dist, cid. Empty clusters are DROPPED
+for the following round (k may shrink) — the same thing a GROUP BY
+produces in SQL, so the unrolled oracle mirrors it for free.
 """
 
 from __future__ import annotations
@@ -45,9 +71,17 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Above this k·d the literal argmin's expression tree (one zip_with fold
+# per centroid, k·d literals total) stops being the plan you want:
+# Catalyst analysis/codegen cost grows with the tree while the Arrow
+# matmul amortizes to one BLAS call per batch. 4096 keeps every
+# IVF-coarse-sized model (8×64, 64×64) on the zero-Python tier and sends
+# the reference's own regime (1536-dim, k≥256 → ~400k literals) to Arrow.
+_LITERAL_KD_MAX = 4096
+
 
 def _assign_expr(cents: list[tuple[int, list[float]]], vec_col: str):
-    """(cid, dist²) columns for the argmin against the centroid literals:
+    """(cid) column for the argmin against the centroid literals:
     a codegen'd sum of squared differences per centroid, array_min +
     array_position for the first (= smallest-cid) minimal entry."""
     dists = [
@@ -64,30 +98,136 @@ def _assign_expr(cents: list[tuple[int, list[float]]], vec_col: str):
     return F.element_at(cid_by_pos, pos).alias("cid")
 
 
+def _cent_arrays(cents: list[tuple[int, list[float]]]):
+    """(cids int64[k], C float64[k×d], ‖c‖² float64[k]) from the sorted
+    (cid, coords) list — the broadcast payload of the arrow tier."""
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    return cids, C, (C * C).sum(axis=1)
+
+
+def _argmin_batch(X: np.ndarray, C: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Index (NOT cid) of the nearest centroid per row of X: one matmul,
+    first-minimal-index tie-break (numpy argmin) = smallest cid because
+    centroid rows are in ascending-cid order. ‖x‖² is constant per row
+    and argmin-invariant, but keeping it makes the values real distances
+    (non-negative up to FP), which keeps near-tie behavior aligned with
+    the literal tier's true Σ(a−b)²."""
+    xn = (X * X).sum(axis=1)
+    d2 = xn[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+    return d2.argmin(axis=1)
+
+
+def _arrow_assign(e: DataFrame, cents: list[tuple[int, list[float]]]
+                  ) -> DataFrame:
+    """(id, cid) via the broadcast-matmul tier — one mapInPandas pass,
+    output schema identical to the literal tier's select."""
+    import pandas as pd
+
+    sc = e.sparkSession.sparkContext
+    bc = sc.broadcast(_cent_arrays(cents))
+
+    def part(it):
+        cids, C, cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["v"]])
+            a = _argmin_batch(X, C, cn)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "cid": cids[a].astype(np.int32)})
+
+    return e.mapInPandas(part, "id bigint, cid int")
+
+
+def _arrow_round(e: DataFrame, cents: list[tuple[int, list[float]]],
+                 d: int) -> list:
+    """One Lloyd round on the arrow tier: batch argmin + per-batch
+    partial sums (≤ k rows of d doubles per Arrow batch — the manual
+    map-side combine), merged per cid in applyInPandas, divide+round
+    Spark-side (same HALF_UP as the literal tier's F.round). Returns
+    the collected (cid, c0..c{d-1}) rows, the literal tier's layout."""
+    import pandas as pd
+
+    sc = e.sparkSession.sparkContext
+    bc = sc.broadcast(_cent_arrays(cents))
+
+    def part(it):
+        cids, C, cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["v"]])
+            a = _argmin_batch(X, C, cn)
+            uniq = np.unique(a)
+            yield pd.DataFrame({
+                "cid": [int(cids[j]) for j in uniq],
+                "psum": [X[a == j].sum(axis=0).tolist() for j in uniq],
+                "cnt": [int((a == j).sum()) for j in uniq],
+            })
+
+    partials = e.mapInPandas(part, "cid int, psum array<double>, cnt bigint")
+
+    def merge(key, pdf):
+        s = np.array([np.asarray(p, dtype=np.float64)
+                      for p in pdf["psum"]]).sum(axis=0)
+        return pd.DataFrame({"cid": [int(key[0])],
+                             "s": [s.tolist()],
+                             "cnt": [int(pdf["cnt"].sum())]})
+
+    totals = partials.groupBy("cid").applyInPandas(
+        merge, "cid int, s array<double>, cnt bigint")
+    return (totals.select(
+        "cid", *[F.round(F.col("s").getItem(i) / F.col("cnt"), 9)
+                 .alias(f"c{i}") for i in range(d)])
+        .collect())
+
+
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 stats: dict | None = None) -> DataFrame:
+                 stats: dict | None = None,
+                 assign_tier: str = "auto") -> DataFrame:
     """Run ``rounds`` Lloyd iterations; returns the final (id, cid)
     assignment frame. ``stats["centroids"]`` records the final centroid
-    dict when a dict is passed (for tests and downstream encode)."""
+    dict when a dict is passed (for tests and downstream encode).
+    ``assign_tier``: "literal" | "arrow" | "auto" (k·d-thresholded —
+    see the module docstring for the two plans)."""
+    if assign_tier not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown assign_tier {assign_tier!r}")
     e = (corpus.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
          .localCheckpoint(eager=False))
-    d = len(e.select("v").first()["v"])
+    first = e.select("v").first()
+    if first is None or first["v"] is None:
+        raise ValueError(
+            "kmeans_lloyd: empty corpus (or NULL first vector) — "
+            "nothing to seed from")
+    d = len(first["v"])
     seed_rows = e.orderBy("id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    if assign_tier == "auto":
+        assign_tier = "arrow" if k * d > _LITERAL_KD_MAX else "literal"
+    if stats is not None:
+        stats["assign_tier"] = assign_tier
     for _ in range(rounds):
-        assign = e.select("id", "v", _assign_expr(cents, "v"))
-        agg = (assign.groupBy("cid")
-               .agg(*[F.round(F.avg(F.col("v").getItem(i)), 9)
-                      .alias(f"c{i}") for i in range(d)])
-               .collect())
+        if assign_tier == "arrow":
+            agg = _arrow_round(e, cents, d)
+        else:
+            assign = e.select("id", "v", _assign_expr(cents, "v"))
+            agg = (assign.groupBy("cid")
+                   .agg(*[F.round(F.avg(F.col("v").getItem(i)), 9)
+                          .alias(f"c{i}") for i in range(d)])
+                   .collect())
         cents = sorted(
             (int(r["cid"]), [float(r[f"c{i}"]) for i in range(d)])
             for r in agg)
     if stats is not None:
         stats["centroids"] = {cid: np.array(v) for cid, v in cents}
+    if assign_tier == "arrow":
+        return _arrow_assign(e, cents)
     return e.select("id", _assign_expr(cents, "v"))
 
 

@@ -435,26 +435,52 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero-evidence components outrank re-refreshing green canaries. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 12 window ---
-    # (a) newborns (zero evidence, registered this round): the streaming
-    #     CMS + KMV sketch twins (VERDICT r11 #7) and the distributed
-    #     Lloyd k-means capstone (oracle-gated, full-iteration replay)
+    # --- round 13 window ---
+    # (a) newborn (zero evidence, registered this round):
+    #     kmeans_clusters_arrow — the broadcast-matmul assignment tier
+    #     (VERDICT r12 #2) hash-checked against the same unrolled-CTE
+    #     oracle as the r12 literal tier, so the wide-regime code path
+    #     gets driver-level oracle evidence.
+    "kmeans_clusters_arrow",
+    # (d) the ENTIRE stale-evidence cohort (VERDICT r12 #3): the 3
+    #     queries whose latest driver sample is round 6 (the r12
+    #     rotation's cessions — their turn comes first) …
+    "window_lag_lead", "window_running_sum", "streaming_sliding_agg",
+    # … plus ALL 43 round-7-evidence queries …
+    "above_avg_orders", "approx_count_distinct", "approx_percentile_agg",
+    "bitwise_functions", "bpe_merge_step", "brand_supplier_count",
+    "conditional_functions", "count_distinct", "datetime_constructors",
+    "disjunctive_preds", "doc_char_entropy", "ewma_revenue",
+    "fk_expectations", "histogram_totalprice", "hll_distinct",
+    "idle_customers", "image_resize", "in_subquery", "knn_topk_binary",
+    "lang_id", "late_orders_priority", "map_functions",
+    "ngram_jaccard_pairs", "not_exists_subquery", "ntile_bucket",
+    "order_count_distribution", "pmi_collocations", "profile_columns",
+    "project_features", "quality_score", "repetition_score",
+    "sample_hash", "sequence_explode", "sessionize_lag",
+    "sliding_window_agg", "small_qty_revenue", "text_chunks",
+    "typo_pairs", "unigram_logprob", "vector_arithmetic",
+    "waiting_suppliers", "window_first_last", "xml_roundtrip",
+    # … plus 3 of the 46 round-8-evidence queries — the core canaries
+    #     (reference headline path: scan → filter/agg → KNN). The other
+    #     43 r8-evidence queries are the r14 window's cohort; all stay
+    #     in the replica sweeps meanwhile.
+    "scan_parquet", "knn_topk", "groupby_agg",
+    # (c) changed-impl note, zero slots spent: the r13 pmod hash rewrite
+    #     (CMS/bottom-k sketch family) is bit-identical on every
+    #     registered fixture (quantile_sketch/quantile_sketch_grouped/
+    #     cms_frequency/kmv_set_ops replay oracle-equal — re-verified
+    #     this round) and all carry fresh r11/r12 hash evidence; the
+    #     full-registry replica sweeps re-gate them.
+)
+
+_DRIVER_WINDOW_R12: tuple[str, ...] = (
+    # --- round 12 window (kept for the rotation audit trail) ---
     "streaming_cms_merge", "streaming_kmv_distinct", "kmeans_clusters",
-    # (d) the ENTIRE stale-evidence cohort (VERDICT r11 #3): the 11
-    #     queries whose latest driver sample is round 5 …
     "argmax_agg", "asof_join", "csv_roundtrip", "join_salted",
     "knn_checksum", "percentile_agg", "range_join",
     "streaming_tumbling_agg", "udtf_split_words", "variant_json",
     "window_range_frame",
-    # … plus 36 of the 39 round-6-evidence queries. Cessions to the
-    #     three newborn slots: window_lag_lead and window_running_sum
-    #     (the window family keeps TWO refreshes in this very window —
-    #     window_percent_rank from the r6 cohort, window_range_frame
-    #     from the r5 cohort — plus r8 window_rank evidence) and
-    #     streaming_sliding_agg (the streaming family holds EIGHT other
-    #     window members: tumbling from r5, dedup/join/latest_state/
-    #     stateful_user_totals/tumbling_window_agg from r6, plus both
-    #     newborns). All three stay in the replica sweeps.
     "array_functions", "class_balance", "collect_agg", "cube_agg",
     "dedup_clusters", "dedup_simhash", "exists_subquery", "fingerprint",
     "full_outer_join", "gap_fill", "grouping_sets_agg", "hybrid_search",
@@ -466,12 +492,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_latest_state", "text_normalize",
     "text_tfidf", "top_supplier", "tumbling_window_agg", "unpivot_stack",
     "video_frame_sample", "window_percent_rank",
-    # (c) changed-impl note, zero slots spent: the r12 rewrites (kcore
-    #     fixpoint verification, bottomk_quantiles k_eff, PQ/ITQ
-    #     deterministic sampling) keep bit-identical outputs on the
-    #     registered fixtures (kcore_membership/quantile_sketch* replay
-    #     oracle-equal — re-verified this round) and all carry fresh r11
-    #     hash evidence; the full-registry replica sweeps re-gate them.
 )
 
 _DRIVER_WINDOW_R11: tuple[str, ...] = (

@@ -565,6 +565,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; driver pulls are k×d doubles per round. Centroids round
     to 9 decimals in both engines, so IEEE partial-sum order can't
     drift assignments. Ties argmin→smallest cid in both (total order).
+    (At this k·d the auto tier picks the literal plan; above 4096 —
+    the reference's 1536-dim k≥256 regime — kmeans_lloyd switches to
+    the broadcast-matmul Arrow tier, parity-pinned in tests/
+    test_kmeans.py and benched as extras.wide_kmeans_k256_2r.)
     """
     from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
 
@@ -576,3 +580,27 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_kmeans_clusters.__doc__ = q_kmeans_clusters.__doc__.format(
     rounds=_KM_ROUNDS, k=_KM_K)
+
+
+@register("kmeans_clusters_arrow", _kmeans_oracle())
+def q_kmeans_clusters_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Lloyd iteration FORCED onto the arrow assignment tier
+    (broadcast numpy centroid matrix, one matmul per Arrow batch with
+    per-batch partial-sum combine — the tier `auto` selects above
+    k·d = 4096, i.e. at the reference's own 1536-dim k≥256 regime where
+    the literal tier's expression tree cannot compile). Hash-checked
+    against the IDENTICAL unrolled-CTE oracle as kmeans_clusters: the
+    two tiers compute the same Σ(a−b)² (to ~1e-12, far below the 9dp
+    centroid grain and every fixture distance gap), share Spark-side
+    HALF_UP rounding, and break ties first-minimal-index = smallest
+    cid — so every assignment must match bit-for-bit. This gives the
+    wide-regime code path driver-level oracle evidence at a k·d the
+    oracle can still replay (tier parity is additionally pinned at
+    tests/test_kmeans.py)."""
+    from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (kmeans_lloyd(e, k=_KM_K, rounds=_KM_ROUNDS,
+                         vec_col="embedding", id_col="vec_id",
+                         assign_tier="arrow")
+            .select(F.col("id").alias("vec_id"), "cid"))

@@ -64,3 +64,95 @@ def test_kmeans_drops_empty_clusters(spark):
     assert {r.cid for r in got} == {0}
     assert len(got) == 10
     assert set(stats["centroids"]) == {0}
+
+
+def test_kmeans_tier_parity_assignments_and_centroids(spark):
+    """VERDICT r12 #2: the arrow (broadcast-matmul mapInPandas) tier must
+    produce IDENTICAL assignments and identical 9dp-rounded centroids to
+    the literal (codegen fold) tier at small k·d — the two compute the
+    same Σ(a−b)² up to ~1e-12 relative, far below the fixture blobs'
+    distance gaps, and share the Spark-side HALF_UP rounding."""
+    docs = _blob_frame(spark, seed=7)
+    sa: dict = {}
+    sb: dict = {}
+    lit = {(r.id, r.cid) for r in
+           kmeans_lloyd(docs, k=3, rounds=3, stats=sa,
+                        assign_tier="literal").collect()}
+    arw = {(r.id, r.cid) for r in
+           kmeans_lloyd(docs, k=3, rounds=3, stats=sb,
+                        assign_tier="arrow").collect()}
+    assert sa["assign_tier"] == "literal" and sb["assign_tier"] == "arrow"
+    assert lit == arw
+    assert set(sa["centroids"]) == set(sb["centroids"])
+    for cid in sa["centroids"]:
+        assert np.array_equal(sa["centroids"][cid], sb["centroids"][cid])
+
+
+def test_kmeans_auto_tier_thresholds_on_kd(spark):
+    """auto keeps IVF-coarse-sized models (k·d ≤ 4096) on the zero-Python
+    literal tier and routes the reference's wide regime to arrow; the
+    arrow run must still assign every row to a live centroid."""
+    docs = _blob_frame(spark, seed=5)  # k·d = 3×8 = 24 → literal
+    st: dict = {}
+    kmeans_lloyd(docs, k=3, rounds=1, stats=st)
+    assert st["assign_tier"] == "literal"
+
+    rng = np.random.RandomState(0)
+    d, n, k = 48, 300, 90  # k·d = 4320 > 4096 → arrow
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [[float(x) for x in rng.randn(d)] for _ in range(n)]})
+    wide = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    st2: dict = {}
+    got = kmeans_lloyd(wide, k=k, rounds=2, stats=st2).toPandas()
+    assert st2["assign_tier"] == "arrow"
+    assert len(got) == n and got["id"].nunique() == n
+    assert set(got["cid"]).issubset(set(st2["centroids"]))
+
+
+def test_kmeans_empty_corpus_raises(spark):
+    """ADVICE r12: an empty corpus (or NULL first vector) must raise a
+    clear ValueError, not an opaque 'None is not subscriptable' from the
+    dimensionality probe — mirroring exact_order_statistic's input
+    validation."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_lloyd(empty, k=3, rounds=1)
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [None]}),
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="NULL first vector"):
+        kmeans_lloyd(nulls, k=3, rounds=1)
+
+
+def test_kmeans_round_plan_partial_agg_and_flat_lineage(spark):
+    """VERDICT r12 #7 plan pin: (a) the literal tier's per-round update
+    aggregates map-side BEFORE its one Exchange (k×d partials per task,
+    never rows); (b) lineage stays O(1) in rounds — the final assignment
+    is a select over the localCheckpointed scan, NOT a stack of
+    per-round aggregates, so its plan is round-count-invariant."""
+    from parquetaivectorsearch_spark.operators.kmeans import _assign_expr
+    from parquetaivectorsearch_spark.plans import inspect as P
+
+    docs = _blob_frame(spark, seed=3)
+    e = (docs.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").cast("array<double>").alias("v"))
+         .localCheckpoint(eager=False))
+    cents = [(i, [float(x) for x in r["v"]])
+             for i, r in enumerate(e.orderBy("id").limit(3).collect())]
+    rnd = (e.select("id", "v", _assign_expr(cents, "v"))
+           .groupBy("cid")
+           .agg(*[F.round(F.avg(F.col("v").getItem(i)), 9).alias(f"c{i}")
+                  for i in range(8)]))
+    assert P.has_partial_aggregate(rnd)
+    plan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert plan.replace("BroadcastExchange", "").count("Exchange") == 1, plan
+
+    p1 = kmeans_lloyd(docs, k=3, rounds=1)._jdf.queryExecution() \
+        .analyzed().toString()
+    p3 = kmeans_lloyd(docs, k=3, rounds=3)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "Aggregate" not in p1 and "Aggregate" not in p3
+    assert len(p1.splitlines()) == len(p3.splitlines())

@@ -20,25 +20,40 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 
 
+# The ONLY two tables the gate reads, identified by their exact header
+# rows (ADVICE r12: the old shape-based parse — any word-first 4/5-column
+# numeric row anywhere in the doc — would silently consume or shadow
+# references from a future unrelated A/B table). Value = index of the
+# sf0.1 column in each.
+_ANCHORED_HEADERS = {
+    "| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha(0.01→0.1) |": 3,
+    "| query | sf0.1 s | 10x s | alpha |": 1,
+}
+
+
 def scaling_refs() -> dict[str, float]:
-    """Min-of-3 sf0.1 references parsed from SCALING.md's tables:
-    the 5-column cross-SF table (col 3 = sf0.1) and the 4-column 10×
-    table (col 1 = sf0.1). Later tables win on duplicates (fresher)."""
+    """Min-of-3 sf0.1 references parsed from SCALING.md — ONLY from the
+    two anchored tables above (the cross-SF main table and the 10×
+    table), each consumed from its header row to the first non-table
+    line. Later tables win on duplicates (fresher)."""
     refs: dict[str, float] = {}
+    sf01_col: int | None = None
     for line in (_REPO / "SCALING.md").read_text().splitlines():
-        m = re.match(r"\|\s*(\w+)\s*\|" + r"\s*([\d.]+)\s*\|" * 2, line)
-        if not m:
+        stripped = " ".join(line.split())
+        if stripped in _ANCHORED_HEADERS:
+            sf01_col = _ANCHORED_HEADERS[stripped]
+            continue
+        if sf01_col is None:
+            continue
+        if not line.lstrip().startswith("|"):
+            sf01_col = None  # table ended
             continue
         cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        name = cells[0]
-        if not re.fullmatch(r"\w+", name):
-            continue
+        if not cells or not re.fullmatch(r"\w+", cells[0]):
+            continue  # separator row etc.
         try:
-            if len(cells) == 5:      # query | sf0.001 | sf0.01 | sf0.1 | alpha
-                refs[name] = float(cells[3])
-            elif len(cells) == 4:    # query | sf0.1 | 10x | alpha
-                refs[name] = float(cells[1])
-        except ValueError:
+            refs[cells[0]] = float(cells[sf01_col])
+        except (ValueError, IndexError):
             continue
     return refs
 
