@@ -180,6 +180,8 @@ HEADLINE = [
     "kmeans_clusters",     # distributed Lloyd: 3 full-corpus rounds, k=8
     "streaming_cms_merge",  # bounded-state CMS cells, cell-wise-add fold
     "streaming_kmv_distinct",  # bounded-state KMV synopsis, bottom-k fold
+    # r13 additions (judge compares shared subset):
+    "kmeans_clusters_arrow",  # the broadcast-matmul assignment tier, same oracle
 ]
 
 

@@ -73,6 +73,55 @@ def xxh_sel_pairs(docs: DataFrame) -> DataFrame:
                                max_docs_per_window=CAP, hashed=True)
 
 
+def reg_pairs(docs: DataFrame) -> DataFrame:
+    """The REGISTERED query's path (hashed=False since r12: md5-string
+    selection, md5-prefix bigint join keys) — the 0.54-alpha row this
+    r13 A/B attacks."""
+    from parquetaivectorsearch_spark.operators.dedup import (
+        substring_dup_pairs)
+
+    return substring_dup_pairs(docs, window=WINDOW, stride=STRIDE,
+                               max_docs_per_window=CAP, hashed=False)
+
+
+# r13 arm (VERDICT r12 #6): shed the per-position md5 from the ORACLE
+# path too. Selection runs on an integer polynomial window hash —
+# (Σ c·B^j) mod P, P prime < 2^40 so the packed (hash·2^23 + position)
+# sort key AND the fold's acc·B + c both stay inside int64 under ANSI —
+# and md5 (the 60-bit-prefix join key DuckDB replays) is computed ONLY
+# at the ~2/(stride+1) winnow-selected positions. Every step is exact
+# integer/md5 arithmetic DuckDB 1.0 replays verbatim (list_transform +
+# list_reduce + list_slice + list_min + '0x'||substr), unlike the
+# xxhash64 selection which no DuckDB build exposes. Position cap 2^23
+# chars/doc (8M) from the packing; selection hash ties across DIFFERENT
+# contents in one run (~stride²/2⁴⁰) fall back to leftmost-position —
+# still deterministic, replayed identically, marginally non-content-
+# defined for that run only.
+POLY_B, POLY_P = 131, 1099511627689  # P prime, < 2^40
+POS_PACK = 1 << 23
+
+
+def poly_sel_pairs(docs: DataFrame) -> DataFrame:
+    d = docs.filter((F.length("text") >= WINDOW)
+                    & (F.length("text") < POS_PACK))
+    n_w = f"(length(text) - {WINDOW - 1})"
+    keys = (f"transform(sequence(1, {n_w}), i ->"
+            f" aggregate(slice(__ch, i, {WINDOW}), cast(0 as bigint),"
+            f" (a, c) -> (a * {POLY_B} + ascii(c)) % {POLY_P})"
+            f" * {POS_PACK} + (i - 1))")
+    sel = (f"array_distinct(transform(sequence(1, {n_w}), q ->"
+           f" array_min(slice(__sdp_keys, q, {STRIDE}))))")
+    return _pairs_from_wins(
+        d.withColumn("__ch", F.split(F.col("text"), ""))
+        .withColumn("__sdp_keys", F.expr(keys))
+        .select("doc_id", "text", F.explode(F.expr(sel)).alias("pk"))
+        .withColumn("pos", (F.col("pk") % POS_PACK + 1).cast("int"))
+        .select("doc_id",
+                F.conv(F.substring(
+                    F.md5(F.expr(f"substring(text, pos, {WINDOW})")),
+                    1, 15), 16, 10).cast("bigint").alias("win")))
+
+
 def main() -> None:
     from parquetaivectorsearch_spark.session import get_spark
     from tools.sf10x import TENX, build_10x
@@ -86,7 +135,8 @@ def main() -> None:
         "sf0.1": "/root/testdata/sf0.1/documents.parquet",
         "10x": f"{TENX}/documents.parquet",
     }
-    arms = {"md5-sel": md5_sel_pairs, "xxh-sel": xxh_sel_pairs}
+    arms = {"md5-sel": md5_sel_pairs, "xxh-sel": xxh_sel_pairs,
+            "reg-md5": reg_pairs, "poly-sel": poly_sel_pairs}
     t: dict[str, dict[str, float]] = {a: {} for a in arms}
     # warm both arms at both scales, then min-of-3 interleaved
     for scale, path in srcs.items():
@@ -107,12 +157,17 @@ def main() -> None:
         out[arm] = {"sf0.1": round(t[arm]["sf0.1"], 3),
                     "10x": round(t[arm]["10x"], 3),
                     "alpha": round(alpha, 2)}
-    # sanity: both arms find the same pair set at sf0.1
+    # sanity: pair sets at sf0.1 (content-defined selections may differ
+    # on sub-guarantee incidental pairs; overlap shows how much)
     docs = spark.read.parquet(srcs["sf0.1"])
     a = {(r.doc_a, r.doc_b) for r in md5_sel_pairs(docs).collect()}
     b = {(r.doc_a, r.doc_b) for r in xxh_sel_pairs(docs).collect()}
+    c = {(r.doc_a, r.doc_b) for r in reg_pairs(docs).collect()}
+    p = {(r.doc_a, r.doc_b) for r in poly_sel_pairs(docs).collect()}
     out["pairs_sf0.1"] = {"md5": len(a), "xxh": len(b),
-                          "set_equal": a == b}
+                          "reg": len(c), "poly": len(p),
+                          "md5_xxh_equal": a == b,
+                          "reg_poly_overlap": len(c & p)}
     print(json.dumps(out))
     spark.stop()
 
