@@ -596,23 +596,6 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
         if noisy:
             extras[f"{name}_noisy_reps"] = noisy
     extras["wide_ivf_pruned_frac"] = 0.25
-
-    # Distributed Lloyd k-means at the reference's own regime (VERDICT
-    # r12 #2): 50k × 1536-dim, k=256, 2 rounds — k·d = 393216 forces the
-    # arrow (broadcast-matmul mapInPandas) assignment tier; the literal
-    # tier cannot compile an expression tree this wide. One rep (each
-    # round already averages 32 tasks; the trainer is a build-time op,
-    # not a serve path).
-    def kmeans_wide():
-        from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
-        kmeans_lloyd(wcorpus, k=256, rounds=2) \
-            .write.format("noop").mode("overwrite").save()
-
-    spark.sparkContext._jvm.System.gc()
-    t0 = time.monotonic()
-    kmeans_wide()
-    extras["wide_kmeans_k256_2r"] = round(time.monotonic() - t0, 3)
-
     # Reference bracket: the converged mid-tier wide_knn_bulk_8q number
     # vs the SAME query re-timed at tier end. An early-tier ref timing
     # kept catching the multi-rep warmup plateau (2.98s vs 0.62s steady
@@ -626,6 +609,26 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
     extras["wide_ref_last"] = ref_last
     ratio = max(ref_first, ref_last) / max(min(ref_first, ref_last), 1e-9)
     extras["wide_ref_ratio"] = round(ratio, 3)
+
+    # Distributed Lloyd k-means at the reference's own regime (VERDICT
+    # r12 #2): 50k × 1536-dim, k=256, 2 rounds — k·d = 393216 forces the
+    # arrow (broadcast-matmul mapInPandas) assignment tier; the literal
+    # tier cannot compile an expression tree this wide. One rep (each
+    # round already averages 32 tasks; the trainer is a build-time op,
+    # not a serve path). Runs AFTER the ref bracket's second leg: the
+    # r13 first cut sat between the legs and its 600 MB/round Arrow
+    # churn inflated ref_last 0.82→1.87s, a self-inflicted
+    # wide_contended flag.
+    def kmeans_wide():
+        from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
+        kmeans_lloyd(wcorpus, k=256, rounds=2) \
+            .write.format("noop").mode("overwrite").save()
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.monotonic()
+    kmeans_wide()
+    extras["wide_kmeans_k256_2r"] = round(time.monotonic() - t0, 3)
+
     if meter is not None:
         meter.lap("wide")
     # Contended = drift bracket OR sustained hypervisor steal during the

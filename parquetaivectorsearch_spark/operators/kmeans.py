@@ -132,8 +132,8 @@ def _arrow_assign(e: DataFrame, cents: list[tuple[int, list[float]]]
         for pdf in it:
             if not len(pdf):
                 continue
-            X = np.array([np.asarray(v, dtype=np.float64)
-                          for v in pdf["v"]])
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64,
+                                                     copy=False)
             a = _argmin_batch(X, C, cn)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                 "cid": cids[a].astype(np.int32)})
@@ -141,13 +141,20 @@ def _arrow_assign(e: DataFrame, cents: list[tuple[int, list[float]]]
     return e.mapInPandas(part, "id bigint, cid int")
 
 
-def _arrow_round(e: DataFrame, cents: list[tuple[int, list[float]]],
-                 d: int) -> list:
+def _arrow_round(e: DataFrame, cents: list[tuple[int, list[float]]]
+                 ) -> list[tuple[int, list[float]]]:
     """One Lloyd round on the arrow tier: batch argmin + per-batch
     partial sums (≤ k rows of d doubles per Arrow batch — the manual
     map-side combine), merged per cid in applyInPandas, divide+round
     Spark-side (same HALF_UP as the literal tier's F.round). Returns
-    the collected (cid, c0..c{d-1}) rows, the literal tier's layout."""
+    the new sorted (cid, coords) list directly.
+
+    The rounding projects ONE F.transform over the sum array, NOT d
+    per-dimension getItem columns: at the wide regime (d=1536) the
+    d-column form cost ~35s/round in Catalyst analysis + interpreted
+    projection and another ~4.5s in O(d)-per-access Row name lookups on
+    the driver, versus <0.1s for the array form — measured r13, same
+    values bit-for-bit (HALF_UP either way)."""
     import pandas as pd
 
     sc = e.sparkSession.sparkContext
@@ -158,8 +165,8 @@ def _arrow_round(e: DataFrame, cents: list[tuple[int, list[float]]],
         for pdf in it:
             if not len(pdf):
                 continue
-            X = np.array([np.asarray(v, dtype=np.float64)
-                          for v in pdf["v"]])
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64,
+                                                     copy=False)
             a = _argmin_batch(X, C, cn)
             uniq = np.unique(a)
             yield pd.DataFrame({
@@ -179,10 +186,11 @@ def _arrow_round(e: DataFrame, cents: list[tuple[int, list[float]]],
 
     totals = partials.groupBy("cid").applyInPandas(
         merge, "cid int, s array<double>, cnt bigint")
-    return (totals.select(
-        "cid", *[F.round(F.col("s").getItem(i) / F.col("cnt"), 9)
-                 .alias(f"c{i}") for i in range(d)])
-        .collect())
+    rows = totals.select(
+        "cid", F.transform("s", lambda x: F.round(x / F.col("cnt"), 9))
+        .alias("v")).collect()
+    return sorted((int(r["cid"]), [float(x) for x in r["v"]])
+                  for r in rows)
 
 
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
@@ -196,31 +204,40 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
     see the module docstring for the two plans)."""
     if assign_tier not in ("auto", "literal", "arrow"):
         raise ValueError(f"unknown assign_tier {assign_tier!r}")
-    e = (corpus.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("v"))
-         .localCheckpoint(eager=False))
-    first = e.select("v").first()
+    raw = corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+    first = raw.select("v").first()
     if first is None or first["v"] is None:
         raise ValueError(
             "kmeans_lloyd: empty corpus (or NULL first vector) — "
             "nothing to seed from")
     d = len(first["v"])
-    seed_rows = e.orderBy("id").limit(k).collect()
-    cents: list[tuple[int, list[float]]] = [
-        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
     if assign_tier == "auto":
         assign_tier = "arrow" if k * d > _LITERAL_KD_MAX else "literal"
     if stats is not None:
         stats["assign_tier"] = assign_tier
+    # The literal tier folds over array<double> so the codegen'd Σ(a−b)²
+    # is the double arithmetic the oracle replays. The arrow tier keeps
+    # the SOURCE element type through the checkpoint and Arrow transfer
+    # and widens to float64 in numpy — float→double widening is exact,
+    # so every distance/seed/centroid is bit-identical to casting first,
+    # and a float32 corpus ships half the bytes per round (the wide
+    # regime is transfer-bound — measured r13).
+    if assign_tier == "literal":
+        raw = raw.select("id", F.col("v").cast("array<double>").alias("v"))
+    e = raw.localCheckpoint(eager=False)
+    seed_rows = e.orderBy("id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
     for _ in range(rounds):
         if assign_tier == "arrow":
-            agg = _arrow_round(e, cents, d)
-        else:
-            assign = e.select("id", "v", _assign_expr(cents, "v"))
-            agg = (assign.groupBy("cid")
-                   .agg(*[F.round(F.avg(F.col("v").getItem(i)), 9)
-                          .alias(f"c{i}") for i in range(d)])
-                   .collect())
+            cents = _arrow_round(e, cents)
+            continue
+        assign = e.select("id", "v", _assign_expr(cents, "v"))
+        agg = (assign.groupBy("cid")
+               .agg(*[F.round(F.avg(F.col("v").getItem(i)), 9)
+                      .alias(f"c{i}") for i in range(d)])
+               .collect())
         cents = sorted(
             (int(r["cid"]), [float(r[f"c{i}"]) for i in range(d)])
             for r in agg)
