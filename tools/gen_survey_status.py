@@ -57,6 +57,8 @@ NOTES = {
         'same recursive-CTE closure oracle as dedup_clusters; O(log n) large/small-star contraction (r11)',
     'kmeans_clusters':
         'distributed Lloyd, FULL iteration replayed as unrolled CTEs: seed/assign/update/tie-break all hash-checked (r12)',
+    'kmeans_clusters_arrow':
+        'the broadcast-matmul assignment tier (auto-selected above k*d=4096, the reference 1536-dim regime) hash-checked against the SAME unrolled oracle; tier parity + plan pins in tests/test_kmeans.py (r13)',
     'streaming_cms_merge':
         'cell-wise-add fold == batch cms_build, exact integer equality incl. split-source two-batch run (r12)',
     'streaming_kmv_distinct':
