@@ -196,12 +196,17 @@ def _arrow_round(e: DataFrame, cents: list[tuple[int, list[float]]]
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  stats: dict | None = None,
-                 assign_tier: str = "auto") -> DataFrame:
+                 assign_tier: str = "auto",
+                 init: list[tuple[int, list[float]]] | None = None
+                 ) -> DataFrame:
     """Run ``rounds`` Lloyd iterations; returns the final (id, cid)
     assignment frame. ``stats["centroids"]`` records the final centroid
     dict when a dict is passed (for tests and downstream encode).
     ``assign_tier``: "literal" | "arrow" | "auto" (k·d-thresholded —
-    see the module docstring for the two plans)."""
+    see the module docstring for the two plans). ``init`` overrides the
+    default first-k-by-id seeding with explicit (cid, coords) seeds —
+    the kmeans_parallel_seed hook (first-k-by-id stays the default
+    because the DuckDB oracle replays it as ORDER BY id LIMIT k)."""
     if assign_tier not in ("auto", "literal", "arrow"):
         raise ValueError(f"unknown assign_tier {assign_tier!r}")
     raw = corpus.select(F.col(id_col).alias("id"),
@@ -226,9 +231,15 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
     if assign_tier == "literal":
         raw = raw.select("id", F.col("v").cast("array<double>").alias("v"))
     e = raw.localCheckpoint(eager=False)
-    seed_rows = e.orderBy("id").limit(k).collect()
-    cents: list[tuple[int, list[float]]] = [
-        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    if init is not None:
+        if len(init) > k:
+            raise ValueError(f"init has {len(init)} seeds for k={k}")
+        cents: list[tuple[int, list[float]]] = sorted(
+            (int(c), [float(x) for x in v]) for c, v in init)
+    else:
+        seed_rows = e.orderBy("id").limit(k).collect()
+        cents = [
+            (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
     for _ in range(rounds):
         if assign_tier == "arrow":
             cents = _arrow_round(e, cents)
@@ -288,3 +299,131 @@ def kmeans_oracle_sql(k: int, rounds: int, d: int, table_sql: str) -> str:
       FROM e CROSS JOIN c{rounds} c) t WHERE rn = 1
 """
     return "WITH " + ",".join(parts) + final
+
+
+# ---------------------------------------------------------------------------
+# k-means|| seeding (Bahmani et al., VLDB 2012, "Scalable k-means++")
+# ---------------------------------------------------------------------------
+
+_SEED_A, _SEED_B = 524287, 12289
+_SEED_P = 2147483647  # shared with the sketch family's hash constants
+
+
+def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
+                         seed_rounds: int = 5,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         stats: dict | None = None
+                         ) -> list[tuple[int, list[float]]]:
+    """k-means|| seeding (Bahmani et al. 2012): the DISTRIBUTED seeding
+    that fixes first-k-by-id's failure mode (when low ids cluster —
+    ingest order usually correlates with content — every seed lands in
+    one region and Lloyd converges to a bad local optimum; test-pinned).
+    kmeans++'s k sequential passes don't distribute; k-means|| replaces
+    them with ``seed_rounds`` passes that each sample ~l candidates in
+    PARALLEL with probability ∝ d²(x, C), then reduces the ≤ 1 + l·r
+    candidates to k centers driver-side.
+
+    Determinism (the engine-wide contract): the per-point Bernoulli draw
+    uses the hash-uniform u(id) = pmod(a·id + b, P)/P — content-free,
+    partitioning-invariant, replayable — against min(1, l·d²/φ); the
+    driver-side reduction is weighted kmeans++ under a FIXED-seed numpy
+    RNG. Two runs of the same corpus give byte-identical seeds (pinned),
+    but the reduction's data-dependent weighted draws are not
+    SQL-expressible, so queries built on it are rows-only per SURVEY §5.
+
+    Spark shape: per round ONE narrow arrow pass (broadcast candidate
+    matrix, batch matmul — the _arrow_round kernel) computing d² +
+    map-side partial sum for φ, then a filtered collect of the ~l new
+    candidates (bounded driver pull: l·d doubles expected; hard-capped
+    at 4·l by taking the smallest u/d² ratios if a degenerate corpus
+    over-selects). Weights = one assignment pass + groupBy count (k-row
+    pull). Total driver state: ≤ (1 + l·r)·d doubles — the IVF-trainer
+    posture, never corpus-sized."""
+    if l is None:
+        l = 2 * k
+    raw = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    first = raw.select("v").first()
+    if first is None or first["v"] is None:
+        raise ValueError(
+            "kmeans_parallel_seed: empty corpus (or NULL first vector)")
+    e = raw.localCheckpoint(eager=False)
+
+    # u(id) ∈ [0, 1): deterministic hash-uniform, the sketch family's
+    # overflow-free pmod form (id reduced mod P before the multiply)
+    u = (F.pmod(F.pmod(F.col("id"), F.lit(_SEED_P)) * F.lit(_SEED_A)
+                + F.lit(_SEED_B), F.lit(_SEED_P))
+         .cast("double") / F.lit(float(_SEED_P)))
+
+    c0 = e.orderBy("id").limit(1).collect()[0]
+    cand_ids = [int(c0["id"])]
+    cand = [[float(x) for x in c0["v"]]]
+
+    sc = e.sparkSession.sparkContext
+    import pandas as pd
+
+    for _ in range(seed_rounds):
+        C = np.array(cand, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        bc = sc.broadcast((C, cn))
+
+        def d2_part(it):
+            Cm, cnm = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64,
+                                                         copy=False)
+                xn = (X * X).sum(axis=1)
+                d2 = (xn[:, None] - 2.0 * (X @ Cm.T)
+                      + cnm[None, :]).min(axis=1)
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "d2": np.maximum(d2, 0.0)})
+
+        dists = e.mapInPandas(d2_part, "id bigint, d2 double") \
+            .localCheckpoint(eager=False)
+        phi = dists.agg(F.sum("d2")).collect()[0][0]
+        if not phi or phi <= 0.0:  # all mass on candidates already
+            break
+        # select u < l·d²/φ; cap a degenerate over-selection at 4l by
+        # keeping the strongest selections (smallest u·φ/(l·d²))
+        sel = (dists.join(e, "id")
+               .withColumn("__u", u)
+               .filter(F.col("__u") * F.lit(float(phi))
+                       < F.lit(float(l)) * F.col("d2"))
+               .withColumn("__r", F.col("__u") * F.lit(float(phi))
+                           / (F.lit(float(l)) * F.col("d2")))
+               .orderBy("__r", "id").limit(4 * l)
+               .select("id", "v").collect())
+        for r in sel:
+            if int(r["id"]) not in cand_ids:
+                cand_ids.append(int(r["id"]))
+                cand.append([float(x) for x in r["v"]])
+
+    # candidate weights: corpus points nearest to each candidate
+    cents = list(enumerate(cand))
+    wrows = (_arrow_assign(e, cents).groupBy("cid")
+             .agg(F.count("*").alias("w")).collect())
+    w = np.zeros(len(cand))
+    for r in wrows:
+        w[int(r["cid"])] = float(r["w"])
+
+    # driver-side weighted kmeans++ reduction (Bahmani §3.3), fixed RNG
+    Cm = np.array(cand, dtype=np.float64)
+    rng = np.random.RandomState(0)
+    chosen = [int(np.argmax(w))]
+    while len(chosen) < min(k, len(cand)):
+        d2 = np.min(
+            ((Cm[:, None, :] - Cm[chosen][None, :, :]) ** 2).sum(-1),
+            axis=1)
+        p = w * d2
+        tot = p.sum()
+        if tot <= 0.0:
+            remaining = [i for i in range(len(cand)) if i not in chosen]
+            chosen.extend(remaining[:k - len(chosen)])
+            break
+        chosen.append(int(rng.choice(len(cand), p=p / tot)))
+    seeds = sorted(chosen)
+    if stats is not None:
+        stats["n_candidates"] = len(cand)
+        stats["candidate_ids"] = cand_ids
+    return [(i, cand[c]) for i, c in enumerate(seeds)]

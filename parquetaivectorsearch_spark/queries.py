@@ -436,12 +436,14 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- round 13 window ---
-    # (a) newborn (zero evidence, registered this round):
+    # (a) newborns (zero evidence, registered this round):
     #     kmeans_clusters_arrow — the broadcast-matmul assignment tier
     #     (VERDICT r12 #2) hash-checked against the same unrolled-CTE
     #     oracle as the r12 literal tier, so the wide-regime code path
-    #     gets driver-level oracle evidence.
-    "kmeans_clusters_arrow",
+    #     gets driver-level oracle evidence; kmeans_parallel_init — the
+    #     k-means|| seeding tier (rows-only per SURVEY §5, first-k-trap
+    #     recovery + determinism pinned in tests/test_kmeans.py).
+    "kmeans_clusters_arrow", "kmeans_parallel_init",
     # (d) the ENTIRE stale-evidence cohort (VERDICT r12 #3): the 3
     #     queries whose latest driver sample is round 6 (the r12
     #     rotation's cessions — their turn comes first) …
@@ -461,11 +463,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sliding_window_agg", "small_qty_revenue", "text_chunks",
     "typo_pairs", "unigram_logprob", "vector_arithmetic",
     "waiting_suppliers", "window_first_last", "xml_roundtrip",
-    # … plus 3 of the 46 round-8-evidence queries — the core canaries
-    #     (reference headline path: scan → filter/agg → KNN). The other
-    #     43 r8-evidence queries are the r14 window's cohort; all stay
-    #     in the replica sweeps meanwhile.
-    "scan_parquet", "knn_topk", "groupby_agg",
+    # … plus 2 of the 46 round-8-evidence queries — the core canaries
+    #     (the reference's own headline path: scan → KNN; groupby_agg
+    #     ceded its slot to the second newborn and keeps r8 evidence +
+    #     replica-sweep coverage). The other 44 r8-evidence queries are
+    #     the r14 window's cohort; all stay in the replica sweeps.
+    "scan_parquet", "knn_topk",
     # (c) changed-impl note, zero slots spent: the r13 pmod hash rewrite
     #     (CMS/bottom-k sketch family) is bit-identical on every
     #     registered fixture (quantile_sketch/quantile_sketch_grouped/

@@ -604,3 +604,31 @@ def q_kmeans_clusters_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                          vec_col="embedding", id_col="vec_id",
                          assign_tier="arrow")
             .select(F.col("id").alias("vec_id"), "cid"))
+
+
+@register("kmeans_parallel_init")  # rows-only: the candidate-set reduction
+# is weighted kmeans++ under a fixed driver RNG (Bahmani §3.3) — data-
+# dependent sequential draws no SQL oracle can replay; determinism and
+# the first-k-trap recovery are pinned in tests/test_kmeans.py
+def q_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeded Lloyd (Bahmani et al., VLDB 2012 — "Scalable
+    k-means++"): the seeding tier that fixes first-k-by-id's failure
+    mode (ingest order correlates with content, so prefix ids can all
+    land in one region and Lloyd converges to a provably-stuck local
+    optimum — the trap is test-pinned). Per seeding round ONE narrow
+    broadcast-matmul pass computes d²(x, C) and a hash-uniform Bernoulli
+    (u(id) < l·d²/φ) samples ~l new candidates in parallel — bounded
+    driver pulls (≤ 4l rows/round), deterministic and partitioning-
+    invariant. Candidates reduce to k seeds driver-side (weighted
+    kmeans++, fixed RNG), then the standard Lloyd rounds run with
+    ``init`` overriding the default seeding."""
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_lloyd, kmeans_parallel_seed)
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = kmeans_parallel_seed(e, k=_KM_K, vec_col="embedding",
+                                 id_col="vec_id")
+    return (kmeans_lloyd(e, k=_KM_K, rounds=_KM_ROUNDS,
+                         vec_col="embedding", id_col="vec_id",
+                         init=seeds)
+            .select(F.col("id").alias("vec_id"), "cid"))

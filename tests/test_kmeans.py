@@ -156,3 +156,80 @@ def test_kmeans_round_plan_partial_agg_and_flat_lineage(spark):
         .analyzed().toString()
     assert "Aggregate" not in p1 and "Aggregate" not in p3
     assert len(p1.splitlines()) == len(p3.splitlines())
+
+
+def _trap_frame(spark, n_per=40, d=8, seed=9):
+    """The classic Lloyd trap: one far blob F holding ALL the low ids
+    (ingest order correlating with content — the realistic failure) and
+    a close pair B1/B2 far away. First-k-by-id seeds land entirely in F:
+    round 1 sends every B1∪B2 point to one seed, whose update lands
+    between B1 and B2 — a stable local optimum (B1,B2 merged, F split)
+    that Lloyd can never escape. k-means|| samples ∝ d²(x, C), so B1/B2
+    get seeds and the planted structure is recovered."""
+    rng = np.random.RandomState(seed)
+    centers = {"F": np.zeros(d), "B1": np.full(d, 40.0),
+               "B2": np.full(d, 44.0)}
+    rows = []
+    nid = 0
+    for name in ("F", "B1", "B2"):  # F gets ids 0..n_per-1
+        for _ in range(n_per):
+            v = centers[name] + rng.randn(d) * 0.5
+            rows.append((nid, name, [float(x) for x in v]))
+            nid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "blob", "embedding"])
+    return spark.createDataFrame(
+        pdf, "vec_id long, blob string, embedding array<double>")
+
+
+def test_kmeans_parallel_seed_escapes_first_k_trap(spark):
+    """k-means|| (Bahmani et al. 2012) must recover the planted structure
+    where the default first-k-by-id seeding provably cannot: on the trap
+    fixture the default converges with B1∪B2 merged under one centroid
+    (pinned — it IS the motivation), while kmeans_parallel_seed + the
+    same Lloyd rounds produce a perfect blob↔cid bijection."""
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_parallel_seed)
+
+    docs = _trap_frame(spark)
+    truth = docs.select("vec_id", "blob").toPandas()
+
+    def purity(assign_pdf):
+        m = assign_pdf.merge(truth, left_on="id", right_on="vec_id")
+        tab = m.groupby(["cid", "blob"]).size().unstack(fill_value=0)
+        return tab
+
+    # default seeding: B1 and B2 share a centroid (the trap)
+    tab0 = purity(kmeans_lloyd(docs, k=3, rounds=4).toPandas())
+    b1_cid = tab0["B1"].idxmax()
+    assert tab0.loc[b1_cid, "B2"] > 0, tab0  # merged pair — the trap
+
+    # k-means|| seeding: perfect recovery under the same Lloyd budget
+    seeds = kmeans_parallel_seed(docs, k=3)
+    tab1 = purity(kmeans_lloyd(docs, k=3, rounds=4, init=seeds).toPandas())
+    assert (tab1.gt(0).sum(axis=1) == 1).all(), tab1
+    assert tab1.to_numpy().sum() == len(truth)
+    assert (tab1.gt(0).sum(axis=0) == 1).all(), tab1  # one cid per blob
+
+
+def test_kmeans_parallel_seed_is_deterministic_and_bounded(spark):
+    """Two runs give byte-identical seeds (hash-uniform Bernoulli + fixed
+    driver RNG — the engine's determinism contract), candidates stay
+    driver-bounded (≤ 1 + seed_rounds·4l), and partitioning doesn't
+    change the result."""
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_parallel_seed)
+
+    docs = _trap_frame(spark, seed=21)
+    st1: dict = {}
+    st2: dict = {}
+    s1 = kmeans_parallel_seed(docs, k=3, stats=st1)
+    s2 = kmeans_parallel_seed(docs.repartition(7), k=3, stats=st2)
+    assert s1 == s2
+    assert st1["candidate_ids"] == st2["candidate_ids"]
+    l = 2 * 3
+    assert st1["n_candidates"] <= 1 + 5 * 4 * l
+
+    import pytest
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_parallel_seed(empty, k=3)
