@@ -331,12 +331,18 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
     but the reduction's data-dependent weighted draws are not
     SQL-expressible, so queries built on it are rows-only per SURVEY §5.
 
-    Spark shape: per round ONE narrow arrow pass (broadcast candidate
-    matrix, batch matmul — the _arrow_round kernel) computing d² +
-    map-side partial sum for φ, then a filtered collect of the ~l new
-    candidates (bounded driver pull: l·d doubles expected; hard-capped
-    at 4·l by taking the smallest u/d² ratios if a degenerate corpus
-    over-selects). Weights = one assignment pass + groupBy count (k-row
+    Spark shape (Bahmani's two-pass round, NO corpus shuffle): pass 1 is
+    a narrow arrow scan (broadcast candidate matrix, batch matmul — the
+    _arrow_round kernel) emitting ONE partial Σd² per Arrow batch → φ;
+    pass 2 re-computes d² under the same broadcast and emits ONLY the
+    rows with u < l·d²/φ — a filtered collect of the ~l new candidates
+    (bounded driver pull: l·d doubles expected; hard-capped at 4·l by
+    taking the smallest u·φ/(l·d²) ratios if a degenerate corpus
+    over-selects). Recomputing the matmul in pass 2 is deliberate: the
+    alternative (materialize (id, d²) and join back to the corpus for
+    the vectors) shuffles the whole corpus per round, while the matmul
+    is a narrow scan — at 100 TB the shuffle loses by orders of
+    magnitude. Weights = one assignment pass + groupBy count (k-row
     pull). Total driver state: ≤ (1 + l·r)·d doubles — the IVF-trainer
     posture, never corpus-sized."""
     if l is None:
@@ -348,12 +354,6 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
             "kmeans_parallel_seed: empty corpus (or NULL first vector)")
     e = raw.localCheckpoint(eager=False)
 
-    # u(id) ∈ [0, 1): deterministic hash-uniform, the sketch family's
-    # overflow-free pmod form (id reduced mod P before the multiply)
-    u = (F.pmod(F.pmod(F.col("id"), F.lit(_SEED_P)) * F.lit(_SEED_A)
-                + F.lit(_SEED_B), F.lit(_SEED_P))
-         .cast("double") / F.lit(float(_SEED_P)))
-
     c0 = e.orderBy("id").limit(1).collect()[0]
     cand_ids = [int(c0["id"])]
     cand = [[float(x) for x in c0["v"]]]
@@ -361,43 +361,73 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
     sc = e.sparkSession.sparkContext
     import pandas as pd
 
+    def _batch_d2(pdf, Cm, cnm):
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        xn = (X * X).sum(axis=1)
+        d2 = (xn[:, None] - 2.0 * (X @ Cm.T) + cnm[None, :]).min(axis=1)
+        return np.maximum(d2, 0.0)
+
     for _ in range(seed_rounds):
         C = np.array(cand, dtype=np.float64)
         cn = (C * C).sum(axis=1)
         bc = sc.broadcast((C, cn))
 
-        def d2_part(it):
+        # pass 1: φ = Σ d² — one partial per Arrow batch, nothing else
+        def phi_part(it):
             Cm, cnm = bc.value
             for pdf in it:
                 if not len(pdf):
                     continue
-                X = np.stack(pdf["v"].to_numpy()).astype(np.float64,
-                                                         copy=False)
-                xn = (X * X).sum(axis=1)
-                d2 = (xn[:, None] - 2.0 * (X @ Cm.T)
-                      + cnm[None, :]).min(axis=1)
-                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
-                                    "d2": np.maximum(d2, 0.0)})
+                yield pd.DataFrame(
+                    {"p": [float(_batch_d2(pdf, Cm, cnm).sum())]})
 
-        dists = e.mapInPandas(d2_part, "id bigint, d2 double") \
-            .localCheckpoint(eager=False)
-        phi = dists.agg(F.sum("d2")).collect()[0][0]
-        if not phi or phi <= 0.0:  # all mass on candidates already
+        phi_row = (e.mapInPandas(phi_part, "p double")
+                   .agg(F.sum("p")).collect()[0][0])
+        phi = float(phi_row) if phi_row is not None else 0.0
+        if phi <= 0.0:  # all mass on candidates already
             break
-        # select u < l·d²/φ; cap a degenerate over-selection at 4l by
-        # keeping the strongest selections (smallest u·φ/(l·d²))
-        sel = (dists.join(e, "id")
-               .withColumn("__u", u)
-               .filter(F.col("__u") * F.lit(float(phi))
-                       < F.lit(float(l)) * F.col("d2"))
-               .withColumn("__r", F.col("__u") * F.lit(float(phi))
-                           / (F.lit(float(l)) * F.col("d2")))
-               .orderBy("__r", "id").limit(4 * l)
+
+        # pass 2: re-compute d² under the same broadcast, draw the
+        # hash-uniform u(id) = pmod((id mod P)·a + b, P)/P, and emit
+        # ONLY the selected rows (u < l·d²/φ) with their selection
+        # strength r = u·φ/(l·d²) — expected ~l rows total
+        lphi = float(l), phi
+
+        def sel_part(it):
+            Cm, cnm = bc.value
+            lf, ph = lphi
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                d2 = _batch_d2(pdf, Cm, cnm)
+                ids = pdf["id"].to_numpy(np.int64)
+                uu = (((ids % _SEED_P) * _SEED_A + _SEED_B) % _SEED_P
+                      ).astype(np.float64) / float(_SEED_P)
+                mask = uu * ph < lf * d2
+                if not mask.any():
+                    continue
+                with np.errstate(divide="ignore"):
+                    r = uu[mask] * ph / (lf * d2[mask])
+                yield pd.DataFrame({
+                    "id": ids[mask],
+                    # widen explicitly: the checkpoint keeps the SOURCE
+                    # element type (float32 corpora ship half the bytes),
+                    # but this emitted column is declared array<double>
+                    "v": [np.asarray(x, dtype=np.float64).tolist()
+                          for x in pdf["v"].to_numpy()[mask]],
+                    "r": r,
+                })
+
+        # cap a degenerate over-selection at 4l by keeping the
+        # strongest selections (smallest r); TakeOrdered ships ≤ 4l
+        # rows per partition
+        sel = (e.mapInPandas(sel_part, "id bigint, v array<double>, r double")
+               .orderBy("r", "id").limit(4 * l)
                .select("id", "v").collect())
-        for r in sel:
-            if int(r["id"]) not in cand_ids:
-                cand_ids.append(int(r["id"]))
-                cand.append([float(x) for x in r["v"]])
+        for row in sel:
+            if int(row["id"]) not in cand_ids:
+                cand_ids.append(int(row["id"]))
+                cand.append([float(x) for x in row["v"]])
 
     # candidate weights: corpus points nearest to each candidate
     cents = list(enumerate(cand))
