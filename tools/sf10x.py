@@ -105,7 +105,12 @@ QUERIES = ["dedup_minhash", "dedup_substring", "dedup_substring_removal",
            # streaming_quantile_bottomk (single-file staging); their
            # batch equivalents (cms_frequency, kmv_set_ops) carry the
            # scale evidence.
-           "kmeans_clusters"]
+           "kmeans_clusters",
+           # r13: the arrow assignment tier (same rounds, broadcast-
+           # matmul passes instead of the codegen fold) and the
+           # k-means|| seeding (2 narrow passes per seeding round +
+           # bounded candidate pulls + the same Lloyd rounds)
+           "kmeans_clusters_arrow", "kmeans_parallel_init"]
 
 # Deliberately SKEWED 10× corpus for domain_cap_sample (VERDICT r9 #7):
 # replicas r>0 collapse onto one mega-domain, so ~90% of all rows share a
