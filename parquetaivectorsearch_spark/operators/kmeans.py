@@ -457,3 +457,32 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
         stats["n_candidates"] = len(cand)
         stats["candidate_ids"] = cand_ids
     return [(i, cand[c]) for i, c in enumerate(seeds)]
+
+
+def kmeans_update_oracle_sql(k: int, d: int, table_sql: str) -> str:
+    """The DuckDB replay of ONE Lloyd update step (the streaming
+    centroid-update tier's oracle, streaming/vectors.py): seed = first k
+    by id, one argmin assignment, per-(cid, dim) ROUND(AVG, 9). Emits
+    (cid, dim, val) — dim 0-based to match posexplode. Generated next to
+    kmeans_oracle_sql so the seed/tie-break/rounding rules can't drift."""
+    sel_dist = (f"list_sum(list_transform(generate_series(1, {d}),"
+                f" i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))")
+    return f"""
+    WITH e AS ({table_sql}),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v
+      FROM (SELECT id, v FROM e ORDER BY id LIMIT {k})
+    ),
+    a1 AS (
+      SELECT id, cid FROM (
+        SELECT e.id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.id
+                                  ORDER BY {sel_dist}, c.cid) AS rn
+        FROM e CROSS JOIN c0 c) t WHERE rn = 1
+    )
+    SELECT a.cid, CAST(u.i - 1 AS INTEGER) AS dim,
+           ROUND(AVG(e.v[u.i]), 9) + 0.0 AS val
+    FROM a1 a JOIN e USING (id),
+         unnest(generate_series(1, {d})) AS u(i)
+    GROUP BY a.cid, u.i
+"""

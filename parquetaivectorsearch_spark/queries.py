@@ -442,8 +442,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #     oracle as the r12 literal tier, so the wide-regime code path
     #     gets driver-level oracle evidence; kmeans_parallel_init — the
     #     k-means|| seeding tier (rows-only per SURVEY §5, first-k-trap
-    #     recovery + determinism pinned in tests/test_kmeans.py).
+    #     recovery + determinism pinned in tests/test_kmeans.py);
+    #     streaming_kmeans_update — the clustering family's streaming
+    #     tier, HASH-checked against the one-step unrolled oracle (its
+    #     cession is sliding_window_agg: the window family keeps six
+    #     other members in this very window, and the streaming family
+    #     keeps streaming_sliding_agg).
     "kmeans_clusters_arrow", "kmeans_parallel_init",
+    "streaming_kmeans_update",
     # (d) the ENTIRE stale-evidence cohort (VERDICT r12 #3): the 3
     #     queries whose latest driver sample is round 6 (the r12
     #     rotation's cessions — their turn comes first) …
@@ -460,7 +466,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "order_count_distribution", "pmi_collocations", "profile_columns",
     "project_features", "quality_score", "repetition_score",
     "sample_hash", "sequence_explode", "sessionize_lag",
-    "sliding_window_agg", "small_qty_revenue", "text_chunks",
+    "small_qty_revenue", "text_chunks",
     "typo_pairs", "unigram_logprob", "vector_arithmetic",
     "waiting_suppliers", "window_first_last", "xml_roundtrip",
     # … plus 2 of the 46 round-8-evidence queries — the core canaries

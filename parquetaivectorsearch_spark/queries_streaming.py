@@ -395,3 +395,45 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmv_set_ops computes (VERDICT r11 #7)."""
     return S.run_available_now(
         S.type_kmv_distinct(_staged_stream(spark, sf_dir)), "update")
+
+
+def _kmeans_update_oracle() -> str:
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_update_oracle_sql)
+
+    return kmeans_update_oracle_sql(
+        8, 64, "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings")
+
+
+@register("streaming_kmeans_update", _kmeans_update_oracle())
+def q_streaming_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Lloyd update step (streaming/vectors.py
+    streaming_centroid_update): the clustering family's streaming tier —
+    assignment frozen to the first-8-by-id seeds, per-cid state = (Σx, n)
+    folded LINEARLY across micro-batches (the CMS/KMV merge-rule family),
+    final centroids = round(Σx/n, 9) computed Spark-side (HALF_UP shared
+    with the batch tiers). One staged file → one emission per cid ==
+    the batch one-step update, HASH-CHECKED against the same unrolled-CTE
+    machinery as kmeans_clusters (the a1/c1 CTEs); multi-batch fold
+    invariance and bounded state are pinned in tests/test_streaming.py.
+    Output: (cid, dim, val) — d×k rows, dim 0-based."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (emb.select("vec_id", "embedding")
+                 .orderBy("vec_id").limit(8).collect())
+    cents = [(i, [float(x) for x in r["embedding"]])
+             for i, r in enumerate(seed_rows)]
+    staged = tempfile.mkdtemp(prefix="kmeans_stream_")
+    (emb.select(F.col("vec_id").cast("long"),
+                F.col("embedding").cast("array<float>"),
+                F.col("label").cast("int"))
+     .coalesce(1).write.mode("overwrite").parquet(staged))
+    out = S.run_available_now(
+        S.streaming_centroid_update(spark, staged, cents), "update")
+    return (out.select("cid", "n", F.posexplode("s").alias("dim", "ssum"))
+            .select("cid", "dim",
+                    (F.round(F.col("ssum") / F.col("n"), 9)
+                     + F.lit(0.0)).alias("val")))

@@ -134,3 +134,85 @@ def stream_ingest_hnsw(spark: SparkSession, staged_dir: str, graph_path: str,
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_centroid_update(spark: SparkSession, staged_dir: str,
+                              cents: list[tuple[int, list[float]]],
+                              max_files_per_trigger: int | None = None
+                              ) -> DataFrame:
+    """Streaming Lloyd UPDATE STEP: one k-means centroid update computed
+    incrementally over micro-batches — the streaming twin of a single
+    kmeans_lloyd round (operators/kmeans.py), completing the clustering
+    family's streaming tier next to the IVF/HNSW ingest above.
+
+    Assignment is FROZEN to the given seed centroids (the closure ships
+    the tiny k×d matrix; per Arrow batch one matmul argmin — the arrow
+    tier's kernel), so the per-cid state is just (Σx, n), and the fold
+    is LINEAR exactly like the CMS/KMV family: micro-batches add partial
+    sums, so the final state EQUALS the batch one-step update over the
+    whole stream (up to float addition order, absorbed by the contract's
+    9-decimal centroid rounding downstream — the same argument the batch
+    tiers make across engines). State per cid: d doubles + a count,
+    FOREVER — batches never grow it. Iterating further rounds = re-seed
+    with the emitted centroids and re-stream (an epoch loop; each epoch
+    is this same bounded-state pass).
+
+    Emits (cid, n, s) per update — the RAW running sums; callers compute
+    round(s[i]/n, 9) Spark-side so the rounding implementation (HALF_UP)
+    is shared with the batch tiers and the SQL oracle."""
+    import pandas as pd
+
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        _argmin_batch, _cent_arrays)
+
+    cids_np, C, cn = _cent_arrays(cents)
+
+    reader = spark.readStream.schema(VEC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(staged_dir)
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False)
+            a = _argmin_batch(X, C, cn)
+            uniq = np.unique(a)
+            yield pd.DataFrame({
+                "cid": [int(cids_np[j]) for j in uniq],
+                "psum": [X[a == j].sum(axis=0).tolist() for j in uniq],
+                "cnt": [int((a == j).sum()) for j in uniq],
+            })
+
+    partials = stream.mapInPandas(
+        part, "cid int, psum array<double>, cnt bigint")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            s = np.array(state.get[0], dtype=np.float64)
+            n = int(state.get[1])
+        else:
+            s, n = None, 0
+        for pdf in pdfs:
+            ps = np.array([np.asarray(p, dtype=np.float64)
+                           for p in pdf["psum"]]).sum(axis=0)
+            s = ps if s is None else s + ps
+            n += int(pdf["cnt"].sum())
+        state.update(([float(x) for x in s], n))
+        yield pd.DataFrame({"cid": [int(key[0])], "n": [n],
+                            "s": [[float(x) for x in s]]})
+
+    out_schema = T.StructType([
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("n", T.LongType()),
+    ])
+    return (partials.groupBy("cid")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))

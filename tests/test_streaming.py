@@ -712,3 +712,56 @@ def test_streaming_sketches_survive_ten_micro_batches(spark):
                for r in final.itertuples()}
     assert got_kmv == want_kmv
     assert n_cms_emissions > len(types)  # CMS too saw multiple batches
+
+
+def test_streaming_kmeans_update_folds_across_batches(spark):
+    """Streaming Lloyd update step (streaming/vectors.py): a 4-micro-batch
+    run's final per-cid state must yield the same 9dp-rounded centroids
+    (and exactly the same counts) as a single-batch run — the (Σx, n)
+    fold is linear, so batching cannot change the step; and state stays
+    exactly one (d-array, count) row per cid at every emission."""
+    import tempfile
+
+    import numpy as np
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed_rows = (emb.select("vec_id", "embedding")
+                 .orderBy("vec_id").limit(8).collect())
+    cents = [(i, [float(x) for x in r["embedding"]])
+             for i, r in enumerate(seed_rows)]
+    norm = emb.select(F.col("vec_id").cast("long"),
+                      F.col("embedding").cast("array<float>"),
+                      F.col("label").cast("int"))
+
+    def run(staged, mfpt=None):
+        out = S.run_available_now(
+            S.streaming_centroid_update(spark, staged, cents,
+                                        max_files_per_trigger=mfpt),
+            "update").toPandas()
+        assert (out["s"].map(len) == 64).all()  # bounded state shape
+        final = out.drop_duplicates(subset=["cid"], keep="last")
+        return {int(r.cid): (int(r.n),
+                             tuple(np.round(np.array(r.s) / r.n, 9)))
+                for r in final.itertuples()}, len(out)
+
+    one_dir = tempfile.mkdtemp(prefix="km_one_")
+    norm.coalesce(1).write.mode("overwrite").parquet(one_dir)
+    one, n_one = run(one_dir)
+
+    import glob as _glob
+    import shutil as _sh
+    four_dir = tempfile.mkdtemp(prefix="km_four_")
+    for i in range(4):
+        tmp = tempfile.mkdtemp(prefix=f"km_split_{i}_")
+        norm.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i) \
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0],
+                 f"{four_dir}/{i:02d}.parquet")
+    four, n_four = run(four_dir, mfpt=1)
+
+    assert four == one
+    assert n_four > n_one  # multiple batches actually fired

@@ -59,6 +59,8 @@ NOTES = {
         'distributed Lloyd, FULL iteration replayed as unrolled CTEs: seed/assign/update/tie-break all hash-checked (r12)',
     'kmeans_clusters_arrow':
         'the broadcast-matmul assignment tier (auto-selected above k*d=4096, the reference 1536-dim regime) hash-checked against the SAME unrolled oracle; tier parity + plan pins in tests/test_kmeans.py (r13)',
+    'streaming_kmeans_update':
+        'oracle (streaming Lloyd update step: frozen-seed assignment, linear (sum,n) fold across micro-batches, one staged file -> one emission == the batch one-step update, hash-checked vs the unrolled a1/c1 CTEs; 4-batch fold invariance pinned in tests) (r13)',
     'kmeans_parallel_init':
         'k-means|| seeding (Bahmani 2012): hash-uniform Bernoulli sampling prop. to d2, bounded driver pulls, fixed-RNG weighted-kmeans++ reduction; first-k-trap recovery + determinism + partitioning-invariance pinned in tests/test_kmeans.py (r13)',
     'streaming_cms_merge':
