@@ -182,6 +182,8 @@ HEADLINE = [
     "streaming_kmv_distinct",  # bounded-state KMV synopsis, bottom-k fold
     # r13 additions (judge compares shared subset):
     "kmeans_clusters_arrow",  # the broadcast-matmul assignment tier, same oracle
+    "kmeans_parallel_init",   # k-means|| seeding + the same Lloyd rounds
+    "streaming_kmeans_update",  # streaming Lloyd update step, linear fold
 ]
 
 
