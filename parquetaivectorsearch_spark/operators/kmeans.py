@@ -10,9 +10,11 @@ PCM"), FIXED round count so the whole computation is oracle-expressible
 as unrolled CTEs (the LPA/random-walks/kcore precedent).
 
 Spark shape — TWO assignment tiers, auto-selected on k·d (VERDICT r12
-#2: the literal tier is the right plan at IVF-coarse-quantizer size but
-its expression tree grows as k·d literals, which Catalyst cannot compile
-at the reference's own regime of d=1536, k≥256):
+#2 introduced the split; r13's bench A/B then showed the Arrow tier 3×
+faster already at k·d=512, so the auto cut sits at 256 — see
+_LITERAL_KD_MAX — and the literal plan serves only genuinely tiny
+models; its expression tree grows as k·d literals, which Catalyst
+cannot compile at the reference's own regime of d=1536, k≥256):
 
 - ``literal`` (k·d ≤ _LITERAL_KD_MAX): the k×d centroid matrix is
   embedded as LITERAL arrays, the per-row argmin is a codegen'd fold
@@ -42,14 +44,19 @@ rounds.
   whose partial-sum order differs, so the raw last bits differ;
   rounding far above the 1e-15 drift and far below any real distance
   gap makes the per-round centroids — and therefore every assignment —
-  bit-identical across engines and partitionings. (Caveat, ADVICE r12:
-  the cross-engine leg of that argument additionally leans on Spark
-  round() — BigDecimal HALF_UP on the exact double — and DuckDB
-  ROUND() — double-multiply based — agreeing; an average within ~1e-15
-  of a 5e-10 decimal boundary could round differently between engines.
-  No fixture has ever produced one; fixture hash-parity is the guard.
-  The two SPARK tiers share one rounding implementation, so tier parity
-  has no such caveat.)
+  bit-identical across engines and partitionings. (Caveat, ADVICE r12,
+  PINNED r14: the cross-engine leg of that argument additionally leans
+  on Spark round() and DuckDB ROUND() agreeing at 5e-10 decimal
+  boundaries. Measured (tests/test_kmeans.py::
+  test_centroid_rounding_boundary_cross_engine_pin): Spark's round()
+  operates on the SHORTEST DECIMAL REPRESENTATION of the double
+  (scala BigDecimal(double) = java BigDecimal.valueOf = Double.toString
+  → HALF_UP), so an average one ulp BELOW a half-way point whose
+  shortest repr reads as the clean half still rounds UP — matching
+  DuckDB's double-multiply ROUND on the same fixtures. The pinned
+  boundary cases agree; the shortest-repr semantics is why no fixture
+  has ever produced a divergence. The two SPARK tiers share one
+  rounding implementation, so tier parity has no such caveat.)
 - Tier parity caveat: the literal tier accumulates Σ(a−b)² left-to-
   right while the arrow tier uses the expanded matmul form — distances
   agree to ~1e-12 relative, so assignments can only differ on near-ties
@@ -74,10 +81,17 @@ from pyspark.sql import functions as F
 # Above this k·d the literal argmin's expression tree (one zip_with fold
 # per centroid, k·d literals total) stops being the plan you want:
 # Catalyst analysis/codegen cost grows with the tree while the Arrow
-# matmul amortizes to one BLAS call per batch. 4096 keeps every
-# IVF-coarse-sized model (8×64, 64×64) on the zero-Python tier and sends
-# the reference's own regime (1536-dim, k≥256 → ~400k literals) to Arrow.
-_LITERAL_KD_MAX = 4096
+# matmul amortizes to one BLAS call per batch. r13 set this at 4096
+# (every IVF-coarse-sized model stayed literal) but the bench A/B showed
+# the Arrow tier 3× faster already at the 8×64 headline fixture (2.47s
+# vs 7.43s — per-round Catalyst analysis + codegen of 512 literals
+# dominates at k·d=512; BENCH_NOTES r13/r14), so r14 lowers the cut to
+# 256: only genuinely tiny models (PQ-subspace-sized, k·d ≤ 256) keep
+# the zero-Python literal plan; everything else — including the
+# reference's own 1536-dim k≥256 regime (~400k literals) — rides Arrow.
+# The literal plan keeps driver-level oracle evidence via the forced-
+# tier `kmeans_clusters_literal` query (queries_vector.py).
+_LITERAL_KD_MAX = 256
 
 
 def _assign_expr(cents: list[tuple[int, list[float]]], vec_col: str):
@@ -259,21 +273,58 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
     return e.select("id", _assign_expr(cents, "v"))
 
 
-def kmeans_oracle_sql(k: int, rounds: int, d: int, table_sql: str) -> str:
-    """The unrolled DuckDB replay of ``kmeans_lloyd`` over ``table_sql``
-    (a SELECT yielding (id, v DOUBLE[])): seed = first k by id, each
-    round = ROW_NUMBER argmin over the cross join (ORDER BY dist, cid —
-    the operator's smallest-cid tie-break) + per-dimension AVG rounded
-    to 9 decimals. Generated next to the operator so the two unrollings
-    can never drift apart."""
-    sel_dist = (f"list_sum(list_transform(generate_series(1, {d}),"
-                f" i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))")
-    parts = [f"""
-    e AS ({table_sql}),
+def _seed_cte(k: int, seeds: list[tuple[int, list[float]]] | None) -> str:
+    """The c0 CTE: default first-k-by-id, or EXPLICIT (cid, coords)
+    literals (the frozen-seed replay the kmeans‖→Lloyd composition's
+    hash-gated test needs — seeding itself is rows-only per SURVEY §5,
+    but GIVEN the seeds, the Lloyd half is fully SQL-expressible)."""
+    if seeds is None:
+        return f"""
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v
       FROM (SELECT id, v FROM e ORDER BY id LIMIT {k})
-    )"""]
+    )"""
+    vals = ",\n             ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            int(cid), ", ".join(repr(float(x)) for x in v))
+        for cid, v in seeds)
+    return f"""
+    c0 AS (
+      SELECT * FROM (VALUES {vals}) AS t(cid, v)
+    )"""
+
+
+def kmeans_oracle_sql(k: int, rounds: int, d: int, table_sql: str,
+                      seeds: list[tuple[int, list[float]]] | None = None
+                      ) -> str:
+    """The unrolled DuckDB replay of ``kmeans_lloyd`` over ``table_sql``
+    (a SELECT yielding (id, v DOUBLE[])): seed = first k by id (or the
+    explicit ``seeds`` literals — the ``init=`` replay), each round =
+    ROW_NUMBER argmin over the cross join (ORDER BY dist, cid — the
+    operator's smallest-cid tie-break) + per-dimension AVG rounded to 9
+    decimals. Generated next to the operator so the two unrollings can
+    never drift apart."""
+    sel_dist, parts = _round_ctes(k, rounds, d, table_sql, seeds)
+    final = f"""
+    SELECT id, cid FROM (
+      SELECT e.id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.id
+                                ORDER BY {sel_dist}, c.cid) AS rn
+      FROM e CROSS JOIN c{rounds} c) t WHERE rn = 1
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+def _round_ctes(k: int, rounds: int, d: int, table_sql: str,
+                seeds: list[tuple[int, list[float]]] | None
+                ) -> tuple[str, list[str]]:
+    """The shared unrolling behind kmeans_oracle_sql (final ASSIGNMENTS)
+    and kmeans_rounds_oracle_sql (final CENTROIDS): e + c0 + per-round
+    a{t}/c{t} CTEs. One generator, so the two oracles cannot drift."""
+    sel_dist = (f"list_sum(list_transform(generate_series(1, {d}),"
+                f" i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))")
+    parts = [f"""
+    e AS ({table_sql}),{_seed_cte(k, seeds)}"""]
     for t in range(1, rounds + 1):
         parts.append(f"""
     a{t} AS (
@@ -291,12 +342,25 @@ def kmeans_oracle_sql(k: int, rounds: int, d: int, table_sql: str) -> str:
         GROUP BY a.cid, u.i)
       GROUP BY cid
     )""")
+    return sel_dist, parts
+
+
+def kmeans_rounds_oracle_sql(k: int, rounds: int, d: int, table_sql: str,
+                             seeds: list[tuple[int, list[float]]] | None
+                             = None) -> str:
+    """The DuckDB replay of ``rounds`` Lloyd UPDATE steps emitting the
+    FINAL CENTROIDS as (cid, dim, val) — dim 0-based, val the 9dp-rounded
+    coordinate — the multi-round generalization of
+    kmeans_update_oracle_sql and the oracle of the streaming epoch loop
+    (streaming/vectors.streaming_lloyd_rounds): each streamed epoch folds
+    one frozen-assignment update whose result equals one batch Lloyd
+    round, so R epochs replay as the same unrolled c{{R}} CTE chain the
+    assignment oracle uses. ``+ 0.0`` normalizes -0.0 for value-hashing
+    (same as kmeans_update_oracle_sql)."""
+    _sel_dist, parts = _round_ctes(k, rounds, d, table_sql, seeds)
     final = f"""
-    SELECT id, cid FROM (
-      SELECT e.id, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.id
-                                ORDER BY {sel_dist}, c.cid) AS rn
-      FROM e CROSS JOIN c{rounds} c) t WHERE rn = 1
+    SELECT cid, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] + 0.0 AS val
+    FROM c{rounds}, unnest(generate_series(1, {d})) AS u(i)
 """
     return "WITH " + ",".join(parts) + final
 

@@ -15,11 +15,15 @@ Two payload tiers:
 - **png** (format "png"): REAL decode (and a test-facing encoder) via
   stdlib zlib + numpy unfiltering — no codec libraries needed; see the
   PNG codec section below.
-- **other compressed codecs** ("jpeg", "mp3", video…): decoding needs
+- **jpeg** (format "jpeg"): REAL baseline-JFIF decode (and a test-facing
+  encoder) in pure numpy — Huffman + dequant + IDCT + YCbCr upsample
+  (operators/jpeg.py); format-boundary guards (progressive, 12-bit…)
+  raise NotImplementedError.
+- **other compressed codecs** ("mp3", compressed video…): decoding needs
   codec libraries this container does not ship, so decode raises
   NotImplementedError for them (clearly-marked stub per the build plan);
   the Spark-side plumbing (schema, batching, partitioning) is identical
-  and fully exercised by the raw and png tiers.
+  and fully exercised by the raw, png, and jpeg tiers.
 
 Scale posture (100 TB of media): payloads never leave executors; all
 per-row outputs are bounded (features, thumbnails, sampled frames);

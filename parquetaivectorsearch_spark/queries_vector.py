@@ -559,16 +559,18 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round. Fixed {rounds} rounds, k = {k}, first-k-by-id seeding —
     all chosen so the DuckDB oracle replays the ENTIRE iteration as
     unrolled CTEs and hash-checks every final assignment. Plan per
-    round: one narrow codegen'd pass (centroids embedded as literals —
-    argmin is array_position(array_min), no n×k row explosion, no
-    assignment shuffle) + one groupBy(cid) with d map-side-partial avg
-    aggregates; driver pulls are k×d doubles per round. Centroids round
-    to 9 decimals in both engines, so IEEE partial-sum order can't
-    drift assignments. Ties argmin→smallest cid in both (total order).
-    (At this k·d the auto tier picks the literal plan; above 4096 —
-    the reference's 1536-dim k≥256 regime — kmeans_lloyd switches to
-    the broadcast-matmul Arrow tier, parity-pinned in tests/
-    test_kmeans.py and benched as extras.wide_kmeans_k256_2r.)
+    round: one narrow pass over the localCheckpointed scan (at this
+    k·d = 512 > 256 the auto tier picks the broadcast-matmul ARROW
+    plan — r13's A/B measured it 3× faster than the literal fold here,
+    BENCH_NOTES r14; per-batch partial sums are the manual map-side
+    combine) + one k-row merge; driver pulls are k×d doubles per
+    round. Centroids round to 9 decimals in both engines, so IEEE
+    partial-sum order can't drift assignments. Ties argmin→smallest
+    cid in both (total order). The zero-Python literal fold plan —
+    auto-selected only at k·d ≤ 256 now — keeps its own driver-level
+    oracle evidence via kmeans_clusters_literal below; tier parity is
+    additionally pinned in tests/test_kmeans.py and the wide regime
+    benched as extras.wide_kmeans_k256_2r.
     """
     from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
 
@@ -587,8 +589,8 @@ def q_kmeans_clusters_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same Lloyd iteration FORCED onto the arrow assignment tier
     (broadcast numpy centroid matrix, one matmul per Arrow batch with
     per-batch partial-sum combine — the tier `auto` selects above
-    k·d = 4096, i.e. at the reference's own 1536-dim k≥256 regime where
-    the literal tier's expression tree cannot compile). Hash-checked
+    k·d = 256 since r14, and the only tier that compiles at the
+    reference's own 1536-dim k≥256 regime). Hash-checked
     against the IDENTICAL unrolled-CTE oracle as kmeans_clusters: the
     two tiers compute the same Σ(a−b)² (to ~1e-12, far below the 9dp
     centroid grain and every fixture distance gap), share Spark-side
@@ -629,6 +631,55 @@ def q_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = kmeans_parallel_seed(e, k=_KM_K, vec_col="embedding",
                                  id_col="vec_id")
     return (kmeans_lloyd(e, k=_KM_K, rounds=_KM_ROUNDS,
+                         vec_col="embedding", id_col="vec_id",
+                         init=seeds)
+            .select(F.col("id").alias("vec_id"), "cid"))
+
+
+@register("kmeans_clusters_literal", _kmeans_oracle())
+def q_kmeans_clusters_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Lloyd iteration FORCED onto the literal assignment tier
+    (k×d centroid literals folded in whole-stage codegen — argmin is
+    array_position(array_min), the assignment never leaves the JVM).
+    Since r14 the auto cut sits at k·d = 256, so at this 8×64 fixture
+    auto picks arrow (measured 3× faster, BENCH_NOTES r14) and this
+    query is what keeps the literal PLAN hash-checked at driver level
+    against the identical unrolled-CTE oracle — both tiers share the
+    Spark-side HALF_UP rounding and the smallest-cid tie-break, so the
+    assignments must match bit-for-bit (tier parity additionally pinned
+    in tests/test_kmeans.py)."""
+    from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (kmeans_lloyd(e, k=_KM_K, rounds=_KM_ROUNDS,
+                         vec_col="embedding", id_col="vec_id",
+                         assign_tier="literal")
+            .select(F.col("id").alias("vec_id"), "cid"))
+
+
+@register("kmeans_seeded_clusters")  # rows-only: the kmeans|| candidate
+# reduction is weighted kmeans++ under a fixed driver RNG (Bahmani §3.3)
+# — not SQL-expressible; GIVEN the seeds, the Lloyd half IS, and is
+# hash-gated against kmeans_oracle_sql(seeds=...) in tests/test_kmeans.py
+def q_kmeans_seeded_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed seeding→Lloyd pipeline at the engine's scale tier
+    (VERDICT r13 #2): kmeans‖ seeding (3 rounds, l = 2k oversampling)
+    feeds Lloyd via ``init=`` at k = 16 — k·d = 1024, so the auto tier
+    picks the broadcast-matmul ARROW plan, the one that serves the
+    reference's own 1536-dim k≥256 regime. This is the end-to-end path
+    the operator docstrings promise (seed distributed, iterate
+    distributed, never a corpus-sized driver pull: ≤ 4l rows/seed-round
+    + k×d doubles/Lloyd-round). Distinct from kmeans_parallel_init
+    (k = 8, default seeding budget, auto→arrow at 512): this entry pins
+    the WIDE composed configuration; the frozen-seed Lloyd half is
+    hash-gated in tests via the seeds= oracle replay."""
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_lloyd, kmeans_parallel_seed)
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = kmeans_parallel_seed(e, k=16, seed_rounds=3,
+                                 vec_col="embedding", id_col="vec_id")
+    return (kmeans_lloyd(e, k=16, rounds=2,
                          vec_col="embedding", id_col="vec_id",
                          init=seeds)
             .select(F.col("id").alias("vec_id"), "cid"))

@@ -89,16 +89,25 @@ def test_kmeans_tier_parity_assignments_and_centroids(spark):
 
 
 def test_kmeans_auto_tier_thresholds_on_kd(spark):
-    """auto keeps IVF-coarse-sized models (k·d ≤ 4096) on the zero-Python
-    literal tier and routes the reference's wide regime to arrow; the
-    arrow run must still assign every row to a live centroid."""
+    """auto keeps only genuinely tiny models (k·d ≤ 256 since r14 —
+    the bench A/B showed arrow 3× faster already at k·d = 512,
+    BENCH_NOTES r14) on the zero-Python literal tier and routes
+    everything else to arrow; the arrow run must still assign every row
+    to a live centroid."""
     docs = _blob_frame(spark, seed=5)  # k·d = 3×8 = 24 → literal
     st: dict = {}
     kmeans_lloyd(docs, k=3, rounds=1, stats=st)
     assert st["assign_tier"] == "literal"
 
+    # the r13→r14 flip case: the 8×64 headline fixture shape now rides
+    # arrow (k·d = 512 > 256)
+    docs64 = _blob_frame(spark, seed=5, d=64)
+    st512: dict = {}
+    kmeans_lloyd(docs64, k=8, rounds=1, stats=st512)
+    assert st512["assign_tier"] == "arrow"
+
     rng = np.random.RandomState(0)
-    d, n, k = 48, 300, 90  # k·d = 4320 > 4096 → arrow
+    d, n, k = 48, 300, 90  # k·d = 4320 → arrow
     pdf = pd.DataFrame({
         "vec_id": range(n),
         "embedding": [[float(x) for x in rng.randn(d)] for _ in range(n)]})
@@ -233,3 +242,77 @@ def test_kmeans_parallel_seed_is_deterministic_and_bounded(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         kmeans_parallel_seed(empty, k=3)
+
+
+def test_seeded_lloyd_half_matches_frozen_seed_oracle(spark):
+    """VERDICT r13 #2: the composed kmeans‖→Lloyd path's Lloyd HALF is
+    hash-gated — the seeding itself is rows-only (driver-RNG weighted
+    kmeans++ reduction), but GIVEN the seeds it produced, the remaining
+    Lloyd rounds are fully SQL-expressible, so this test freezes the
+    seeds into kmeans_oracle_sql(seeds=...) VALUES literals and checks
+    every final assignment against the DuckDB replay. This is the
+    correctness evidence behind the rows-only kmeans_seeded_clusters
+    registry entry."""
+    import duckdb
+
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_oracle_sql, kmeans_parallel_seed)
+
+    docs = _trap_frame(spark, seed=33)
+    seeds = kmeans_parallel_seed(docs, k=3, seed_rounds=3)
+    got = {(r.id, r.cid) for r in
+           kmeans_lloyd(docs, k=3, rounds=2, init=seeds).collect()}
+
+    src = docs.select("vec_id", "embedding").toPandas()
+    con = duckdb.connect()
+    con.register("src", src)
+    sql = kmeans_oracle_sql(
+        3, 2, 8, "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM src",
+        seeds=seeds)
+    want = {(int(i), int(c)) for i, c in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_centroid_rounding_boundary_cross_engine_pin(spark):
+    """VERDICT r13 #8: the documented cross-engine round() caveat
+    (operators/kmeans.py module docstring) turned into pinned behavior.
+    Construct cluster averages that land ON a 5e-10 decimal rounding
+    boundary (avg of {0, 3e-9} = 1.5e-9, and of {0, 1e-9} = 5e-10 —
+    both within one ulp of the half-way point at scale 9, where Spark's
+    BigDecimal-HALF_UP-on-the-exact-double and DuckDB's double-multiply
+    ROUND() could in principle disagree) and assert the two engines
+    round the SAME way. If an engine upgrade ever flips one side, this
+    test localizes the break to the documented caveat instead of a
+    mystery oracle mismatch in the kmeans family."""
+    import duckdb
+    import pandas as pd
+
+    # one cluster (k=1): centroid after round 1 = elementwise avg
+    vals = [[0.0, 0.0], [3e-9, 1e-9]]
+    pdf = pd.DataFrame({"vec_id": [0, 1], "embedding": vals})
+    docs = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    for tier in ("literal", "arrow"):
+        st: dict = {}
+        kmeans_lloyd(docs, k=1, rounds=1, stats=st,
+                     assign_tier=tier).collect()
+        got = [float(x) for x in st["centroids"][0]]
+        con = duckdb.connect()
+        con.register("src", pdf)
+        want = con.execute(
+            "SELECT ROUND(AVG(embedding[1]), 9), ROUND(AVG(embedding[2]), 9)"
+            " FROM src").fetchone()
+        assert got == [float(want[0]), float(want[1])], (tier, got, want)
+        # Document the direction, with the measured mechanism: the exact
+        # double avg(0, 3e-9) is 1.49999999999999999002…e-9 — one ulp
+        # BELOW the decimal half-way point — yet BOTH engines round UP
+        # to 2e-9. Spark because its round() goes through the SHORTEST
+        # DECIMAL REPRESENTATION (scala BigDecimal(double) =
+        # java BigDecimal.valueOf = Double.toString → "1.5E-9" → HALF_UP
+        # up), not the exact binary value; DuckDB because its
+        # double-multiply 1.4999…e-9 · 1e9 lands ≥ 1.5. avg(0, 1e-9) =
+        # 5.00000000000000031…e-10 is above the half-way point and both
+        # engines agree upward trivially. The shortest-repr semantics is
+        # WHY no fixture has ever produced a divergence: any average
+        # whose shortest repr reads as the clean half-way decimal rounds
+        # up on both sides.
+        assert got == [2e-9, 1e-9], (tier, got)
