@@ -437,3 +437,57 @@ def q_streaming_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", "dim",
                     (F.round(F.col("ssum") / F.col("n"), 9)
                      + F.lit(0.0)).alias("val")))
+
+
+def _kmeans_rounds_oracle() -> str:
+    from parquetaivectorsearch_spark.operators.kmeans import (
+        kmeans_rounds_oracle_sql)
+
+    return kmeans_rounds_oracle_sql(
+        8, 2, 64, "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings")
+
+
+@register("streaming_kmeans_rounds", _kmeans_rounds_oracle())
+def q_streaming_kmeans_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-round streaming k-means (streaming/vectors.py
+    streaming_lloyd_rounds — VERDICT r13 #4): two epochs over a
+    two-file staged stream at maxFilesPerTrigger=1, so EVERY epoch
+    genuinely folds (Σx, n) state across two micro-batches before
+    re-seeding the next epoch with the 9dp-rounded means. One epoch ≡
+    one batch Lloyd round (linear fold), so the final centroids are
+    HASH-CHECKED against the two-round unrolled-CTE oracle
+    (kmeans_rounds_oracle_sql — the same c1/c2 chain the kmeans_clusters
+    assignment oracle uses); R-batch fold invariance and batch-equality
+    are additionally pinned in tests/test_streaming.py. Output:
+    (cid, dim, val) — d×k rows, dim 0-based."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (emb.select("vec_id", "embedding")
+                 .orderBy("vec_id").limit(8).collect())
+    cents = [(i, [float(x) for x in r["embedding"]])
+             for i, r in enumerate(seed_rows)]
+    staged = tempfile.mkdtemp(prefix="kmeans_rounds_stream_")
+    # two files split by vec_id parity → two micro-batches per epoch
+    # under maxFilesPerTrigger=1 (repartition by expression would hash-
+    # shuffle; two explicit writes keep each file's content deterministic)
+    norm = emb.select(F.col("vec_id").cast("long"),
+                      F.col("embedding").cast("array<float>"),
+                      F.col("label").cast("int"))
+    norm.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{staged}/even")
+    norm.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{staged}/odd")
+    import glob as _glob
+    import shutil as _shutil
+    merged = f"{staged}/merged"
+    import os as _os
+    _os.makedirs(merged, exist_ok=True)
+    for i, part in enumerate(sorted(
+            _glob.glob(f"{staged}/even/part-*.parquet")
+            + _glob.glob(f"{staged}/odd/part-*.parquet"))):
+        _shutil.copy(part, f"{merged}/{i:02d}.parquet")
+    return S.streaming_lloyd_rounds(spark, merged, cents, rounds=2,
+                                    max_files_per_trigger=1)

@@ -216,3 +216,63 @@ def streaming_centroid_update(spark: SparkSession, staged_dir: str,
     return (partials.groupBy("cid")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", "NoTimeout"))
+
+
+def streaming_lloyd_rounds(spark: SparkSession, staged_dir: str,
+                           cents0: list[tuple[int, list[float]]],
+                           rounds: int,
+                           max_files_per_trigger: int | None = None,
+                           state_partitions: int | None = 4):
+    """Multi-round streaming k-means — the epoch loop the one-step
+    operator's docstring promises, made concrete (VERDICT r13 #4,
+    mini-batch k-means lineage per Sculley, WWW 2010 — with the epoch
+    boundary, not the per-batch SGD step, as the update grain so the
+    result is EXACTLY batch Lloyd): each epoch re-streams the staged
+    corpus through ``streaming_centroid_update`` with assignment frozen
+    to the previous epoch's centroids, folds the linear (Σx, n) state
+    across micro-batches, and re-seeds the next epoch with the
+    9dp-rounded means. One epoch ≡ one batch Lloyd round (the fold is
+    linear, pinned through ten micro-batches), so R epochs ≡
+    ``kmeans_lloyd(..., rounds=R)`` and the whole loop replays as the
+    unrolled-CTE oracle ``kmeans_rounds_oracle_sql`` — the streaming
+    clustering tier's first MULTI-round oracle-gated member.
+
+    Per-epoch state: k × (d doubles + count), FOREVER — epochs never
+    grow it; the driver pull between epochs is k×d doubles (the audited
+    bounded-pull posture). Empty clusters drop exactly like the batch
+    tiers (a cid with no assigned points never emits, so it leaves the
+    seed list — the GROUP BY semantics the oracle mirrors for free).
+
+    Returns the final-epoch centroids as (cid, dim, val) — dim 0-based,
+    val the 9dp-rounded coordinate computed Spark-side (HALF_UP shared
+    with the batch tiers and the SQL oracle); rounding uses the SAME
+    F.round the batch tiers use, so an epoch's re-seed is bit-identical
+    to the batch round's centroid list."""
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.streaming.events import (
+        run_available_now)
+
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in cents0)
+    tot = None
+    for _ in range(rounds):
+        out = run_available_now(
+            streaming_centroid_update(spark, staged_dir, cents,
+                                      max_files_per_trigger), "update",
+            state_partitions=state_partitions)
+        # The update-mode memory sink holds one row per (cid, batch) —
+        # the LAST emission per cid carries the fully-folded (Σx, n);
+        # n is monotone per cid, so max_by(n) selects it without
+        # depending on sink row order.
+        tot = out.groupBy("cid").agg(
+            F.max("n").alias("n"), F.max_by("s", "n").alias("s"))
+        rows = tot.select(
+            "cid",
+            F.transform("s", lambda x: F.round(x / F.col("n"), 9))
+            .alias("v")).collect()
+        cents = sorted((int(r["cid"]), [float(x) for x in r["v"]])
+                       for r in rows)
+    return (tot.select("cid", "n", F.posexplode("s").alias("dim", "ssum"))
+            .select("cid", "dim",
+                    (F.round(F.col("ssum") / F.col("n"), 9)
+                     + F.lit(0.0)).alias("val")))

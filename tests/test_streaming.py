@@ -765,3 +765,63 @@ def test_streaming_kmeans_update_folds_across_batches(spark):
 
     assert four == one
     assert n_four > n_one  # multiple batches actually fired
+
+
+def test_streaming_lloyd_rounds_equal_batch_lloyd_and_fold_invariant(spark):
+    """Multi-round streaming k-means (streaming/vectors.py
+    streaming_lloyd_rounds, VERDICT r13 #4): R epochs over the staged
+    stream must produce EXACTLY the batch ``kmeans_lloyd(rounds=R)``
+    centroids — each epoch's linear (Σx, n) fold equals one batch Lloyd
+    round and the 9dp re-seed rounding is the same F.round — and the
+    result must be invariant to micro-batching (1-file vs 4-file at
+    maxFilesPerTrigger=1, i.e. 3 epochs × 4 batches of genuine folding)."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile
+
+    import numpy as np
+
+    from parquetaivectorsearch_spark import streaming as S
+    from parquetaivectorsearch_spark.operators.kmeans import kmeans_lloyd
+    from parquetaivectorsearch_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed_rows = (emb.select("vec_id", "embedding")
+                 .orderBy("vec_id").limit(8).collect())
+    cents = [(i, [float(x) for x in r["embedding"]])
+             for i, r in enumerate(seed_rows)]
+    norm = emb.select(F.col("vec_id").cast("long"),
+                      F.col("embedding").cast("array<float>"),
+                      F.col("label").cast("int"))
+
+    def run(staged, mfpt=None):
+        pdf = S.streaming_lloyd_rounds(spark, staged, cents, rounds=3,
+                                       max_files_per_trigger=mfpt).toPandas()
+        return {(int(r.cid), int(r.dim)): float(r.val)
+                for r in pdf.itertuples()}
+
+    one_dir = tempfile.mkdtemp(prefix="kmr_one_")
+    norm.coalesce(1).write.mode("overwrite").parquet(one_dir)
+    one = run(one_dir)
+
+    four_dir = tempfile.mkdtemp(prefix="kmr_four_")
+    for i in range(4):
+        tmp = tempfile.mkdtemp(prefix=f"kmr_split_{i}_")
+        norm.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i) \
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0],
+                 f"{four_dir}/{i:02d}.parquet")
+    four = run(four_dir, mfpt=1)
+    assert four == one  # micro-batching cannot change any coordinate
+
+    st: dict = {}
+    kmeans_lloyd(emb, k=8, rounds=3, vec_col="embedding",
+                 id_col="vec_id", stats=st).collect()
+    want = {(int(cid), int(d)): float(v[d])
+            for cid, v in st["centroids"].items()
+            for d in range(len(v))}
+    assert one == want  # R streamed epochs ≡ R batch Lloyd rounds
+    # bounded driver/state shape: k × d coordinates, nothing more
+    assert len(one) == len(st["centroids"]) * 64
+    assert all(np.isfinite(v) for v in one.values())
