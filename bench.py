@@ -631,6 +631,25 @@ def _bench_wide(spark, extras: dict, meter: "_StealMeter | None" = None) -> None
     kmeans_wide()
     extras["wide_kmeans_k256_2r"] = round(time.monotonic() - t0, 3)
 
+    # Distributed IVF coarse-quantizer training at the reference's width
+    # (VERDICT r13 #1): kmeans‖ seeding → Arrow-tier Lloyd over ALL 50k
+    # rows at 1536 dims, nlist=32 (same as widx) — the full-corpus
+    # trainer that replaces the 65k driver sample at 100 TB. One rep
+    # (build-time op); 2 seed + 2 Lloyd rounds ≈ 8 narrow corpus passes
+    # (each transfer-bound at ~300 MB float32 Arrow), driver pulls ≤ 4l
+    # rows + k·d doubles per round. max_norm=1.0 is exact (the corpus is
+    # unit-normalized by construction), skipping the max-‖x‖ scan.
+    def ivf_train_distributed():
+        from parquetaivectorsearch_spark.operators.ann import (
+            train_centroids_distributed)
+        train_centroids_distributed(wcorpus, nlist=32, max_norm=1.0,
+                                    seed_rounds=2, lloyd_rounds=2)
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.monotonic()
+    ivf_train_distributed()
+    extras["wide_ivf_train_distributed"] = round(time.monotonic() - t0, 3)
+
     if meter is not None:
         meter.lap("wide")
     # Contended = drift bracket OR sustained hypervisor steal during the

@@ -501,21 +501,27 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
     for r in wrows:
         w[int(r["cid"])] = float(r["w"])
 
-    # driver-side weighted kmeans++ reduction (Bahmani §3.3), fixed RNG
+    # driver-side weighted kmeans++ reduction (Bahmani §3.3), fixed RNG.
+    # d² to the chosen set folds INCREMENTALLY (min against each newly
+    # chosen center only — O(k·|cand|·d) total); the r13 form recomputed
+    # the full |cand|×|chosen| distance matrix per draw (O(k²·|cand|·d)
+    # with a giant broadcast temporary — ~10s of the 131s wide-trainer
+    # first cut, BENCH_NOTES r14). Same draws bit-for-bit: min over a
+    # growing set IS the incremental fold.
     Cm = np.array(cand, dtype=np.float64)
     rng = np.random.RandomState(0)
     chosen = [int(np.argmax(w))]
+    d2min = ((Cm - Cm[chosen[0]]) ** 2).sum(axis=1)
     while len(chosen) < min(k, len(cand)):
-        d2 = np.min(
-            ((Cm[:, None, :] - Cm[chosen][None, :, :]) ** 2).sum(-1),
-            axis=1)
-        p = w * d2
+        p = w * d2min
         tot = p.sum()
         if tot <= 0.0:
             remaining = [i for i in range(len(cand)) if i not in chosen]
             chosen.extend(remaining[:k - len(chosen)])
             break
-        chosen.append(int(rng.choice(len(cand), p=p / tot)))
+        nxt = int(rng.choice(len(cand), p=p / tot))
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((Cm - Cm[nxt]) ** 2).sum(axis=1))
     seeds = sorted(chosen)
     if stats is not None:
         stats["n_candidates"] = len(cand)

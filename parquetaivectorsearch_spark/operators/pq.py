@@ -97,6 +97,117 @@ def train_pq(corpus: DataFrame, m: int = 8, k: int = 16,
     return _kmeans_books(x, m, k, iters, seed)
 
 
+def train_pq_distributed(corpus: DataFrame, m: int = 8, k: int = 16,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", rounds: int = 3,
+                         residual_centroids: np.ndarray | None = None
+                         ) -> np.ndarray:
+    """The DISTRIBUTED codebook trainer (VERDICT r13 #1, the PQ half):
+    per-subspace Lloyd over EVERY corpus row instead of ``train_pq``'s
+    capped driver sample — at 100 TB a 50k sample under-represents tail
+    structure and the quantizer's MSE silently degrades. Returns
+    float64[m, k, d/m], drop-in for pq_encode/pq_adc_search.
+
+    Spark shape — ALL m subspaces in ONE pass per round (m separate
+    kmeans_lloyd runs would scan the corpus m×rounds times): each Arrow
+    batch computes the per-subspace argmin with m small matmuls against
+    the broadcast (m, k, d/m) codebook tensor and emits per-batch
+    partial sums keyed (subspace, code) — ≤ m·k rows of d/m doubles per
+    batch, the manual map-side combine — merged per key in
+    applyInPandas; the divide + 9dp round runs Spark-side (the
+    kmeans_lloyd arrow-tier shape, operators/kmeans.py). Driver pull
+    per round: m·k·(d/m) = k·d doubles, corpus-size-independent.
+
+    Determinism: seeding is the first k rows by id (each row's j-th
+    subvector seeds codeword j — the kmeans_lloyd convention), rounds
+    are fixed, and the 9dp rounding absorbs partial-sum order — two
+    runs over any partitioning give byte-identical codebooks (pinned in
+    tests/test_pq.py). Empty codewords KEEP their previous centroid
+    (matching _kmeans_books' empty-cluster behavior of never NaN-ing a
+    row; k stays constant because codes must stay in [0, k)).
+
+    ``residual_centroids`` (raw-space (nlist, d)) trains on IVFADC
+    residuals x − rc[list_id] (requires a ``list_id`` column, same
+    contract as pq_encode) — the distributed twin of
+    train_pq_residual."""
+    from pyspark.sql import functions as F
+
+    need = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if residual_centroids is not None:
+        need.append(F.col("list_id"))
+    raw = corpus.select(*need)
+    first = raw.select("v").first()
+    if first is None or first["v"] is None:
+        raise ValueError(
+            "train_pq_distributed: empty corpus (or NULL first vector)")
+    d = len(first["v"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    e = raw.localCheckpoint(eager=False)
+    seed_rows = e.orderBy("id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"corpus of {len(seed_rows)} rows cannot seed {k} codewords")
+    rc = (None if residual_centroids is None
+          else residual_centroids.astype(np.float64))
+    X0 = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+    if rc is not None:
+        X0 = X0 - rc[np.array([int(r["list_id"]) for r in seed_rows])]
+    books = np.stack([X0[:, j * dsub:(j + 1) * dsub].copy()
+                      for j in range(m)])  # (m, k, dsub)
+
+    sc = corpus.sparkSession.sparkContext
+    for _ in range(rounds):
+        bc = sc.broadcast(books)
+
+        def part(it):
+            B = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64,
+                                                         copy=False)
+                if rc is not None:
+                    X = X - rc[pdf["list_id"].to_numpy()]
+                js, cs, ps, ns = [], [], [], []
+                for j in range(m):
+                    xj = X[:, j * dsub:(j + 1) * dsub]
+                    d2 = ((xj * xj).sum(1)[:, None] - 2.0 * (xj @ B[j].T)
+                          + (B[j] * B[j]).sum(1)[None, :])
+                    a = d2.argmin(1)  # first-minimal-index = smallest code
+                    for c in np.unique(a):
+                        js.append(j)
+                        cs.append(int(c))
+                        ps.append(xj[a == c].sum(axis=0).tolist())
+                        ns.append(int((a == c).sum()))
+                yield pd.DataFrame(
+                    {"j": js, "cid": cs, "psum": ps, "cnt": ns})
+
+        partials = e.mapInPandas(
+            part, "j int, cid int, psum array<double>, cnt bigint")
+
+        def merge(key, pdf):
+            s = np.array([np.asarray(p, dtype=np.float64)
+                          for p in pdf["psum"]]).sum(axis=0)
+            return pd.DataFrame({"j": [int(key[0])], "cid": [int(key[1])],
+                                 "s": [s.tolist()],
+                                 "cnt": [int(pdf["cnt"].sum())]})
+
+        totals = partials.groupBy("j", "cid").applyInPandas(
+            merge, "j int, cid int, s array<double>, cnt bigint")
+        rows = totals.select(
+            "j", "cid",
+            F.transform("s", lambda x: F.round(x / F.col("cnt"), 9))
+            .alias("v")).collect()
+        new_books = books.copy()  # empty codewords keep previous centers
+        for r in rows:
+            new_books[int(r["j"]), int(r["cid"])] = np.asarray(
+                r["v"], dtype=np.float64)
+        books = new_books
+    return books
+
+
 def _encode_mat(x: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Vectorized driver-side encode of a sample matrix; int32[n, m]."""
     m, k, dsub = books.shape

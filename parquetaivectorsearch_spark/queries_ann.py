@@ -86,6 +86,28 @@ def q_ann_ivf_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall(out, emb, queries, k=20)
 
 
+@register("ann_ivf_distributed")  # rows-only: approximate results; the
+# trainer's kmeans|| reduction is driver-RNG (not SQL-expressible) and
+# the serve is ANN — recall column carries the quality evidence, and
+# trainer parity/determinism are pinned in tests/test_ann.py
+def q_ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF built with the DISTRIBUTED coarse-quantizer trainer
+    (VERDICT r13 #1 — operators/ann.train_centroids_distributed:
+    kmeans‖ seeding → Arrow-tier Lloyd over EVERY row, replacing the
+    65k-row driver sample whose tail-cluster starvation silently
+    degrades quantizer quality at 100 TB; driver pulls stay ≤ 4l
+    rows/seed-round + nlist×d doubles/Lloyd-round). Same serve path as
+    ann_ivf_bulk (Arrow-bulk probed-union scan), same recall column —
+    the end-to-end evidence that the full-corpus trainer slots into the
+    reference's build→search flow (Program.cs:125-227) unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=10, trainer="distributed")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = ANN.ivf_search_bulk(index, queries, k=20, nprobe=8)
+    return _with_recall(out, emb, queries, k=20)
+
+
 @register("knn_join_int8_bulk")  # rows-only: int8 shortlist + einsum rerank
 def q_knn_join_int8_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk int8 serve, Arrow-native (operators/knn.int8_knn_join_bulk):

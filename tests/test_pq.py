@@ -442,3 +442,66 @@ def test_training_sample_is_layout_invariant(spark):
     np.testing.assert_array_equal(pa, pb)
     np.testing.assert_array_equal(PQ.train_pq(a, sample_cap=cap, iters=3),
                                   PQ.train_pq(b, sample_cap=cap, iters=3))
+
+
+def test_train_pq_distributed_determinism_descent_and_parity(spark):
+    """VERDICT r13 #1 (PQ half): the distributed codebook trainer must be
+    (a) deterministic and partitioning-invariant (first-k-by-id seeding,
+    9dp-rounded rounds), (b) a genuine Lloyd descent — full-corpus
+    quantization MSE strictly improves on the seed codebooks — and
+    (c) numerically equivalent to the driver-side _kmeans_books run from
+    the SAME init for the same round count (the two compute the same
+    means up to the expanded-vs-literal distance form's ~1e-12 and the
+    distributed tier's 9dp rounding)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    m, k, rounds = 8, 16, 3
+    b1 = PQ.train_pq_distributed(emb, m=m, k=k, rounds=rounds)
+    b2 = PQ.train_pq_distributed(emb.repartition(7), m=m, k=k,
+                                 rounds=rounds)
+    assert b1.shape == (m, k, 8)
+    assert np.array_equal(b1, b2)
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def mse(books):
+        return float(((x - PQ._decode_mat(PQ._encode_mat(x, books), books))
+                      ** 2).mean())
+
+    seed_books = np.stack([x[:k, j * 8:(j + 1) * 8].copy()
+                           for j in range(m)])
+    assert mse(b1) < mse(seed_books)
+
+    driver_books = PQ._kmeans_books(x, m, k, iters=rounds, seed=0,
+                                    init=seed_books)
+    assert np.allclose(b1, driver_books, atol=1e-6)
+
+
+def test_train_pq_distributed_residual_variant(spark):
+    """The residual path (IVFADC twin of train_pq_residual): trains on
+    x − rc[list_id] over every row; deterministic, and its codebooks
+    model the residual distribution (reconstruction MSE of residuals
+    beats the seed codebooks')."""
+    from parquetaivectorsearch_spark.operators import ann as ANN
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = ANN.IVFIndex.build(emb, nlist=4)
+    rc = index.centroids.astype(np.float64)[:, :64]
+    b1 = PQ.train_pq_distributed(index.lists, m=8, k=8, rounds=2,
+                                 residual_centroids=rc)
+    b2 = PQ.train_pq_distributed(index.lists.repartition(5), m=8, k=8,
+                                 rounds=2, residual_centroids=rc)
+    assert b1.shape == (8, 8, 8)
+    assert np.array_equal(b1, b2)
+
+    pdf = index.lists.orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    res = x - rc[pdf["list_id"].to_numpy()]
+    seed_books = np.stack([res[:8, j * 8:(j + 1) * 8].copy()
+                           for j in range(8)])
+
+    def mse(books):
+        return float(((res - PQ._decode_mat(PQ._encode_mat(res, books),
+                                            books)) ** 2).mean())
+
+    assert mse(b1) < mse(seed_books)
