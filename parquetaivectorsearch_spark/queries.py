@@ -435,7 +435,47 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero-evidence components outrank re-refreshing green canaries. Pinned by
 # tests/test_properties.py::test_driver_window_covers_all_suites.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 13 window ---
+    # --- round 14 window ---
+    # (a) newborns REGISTERED THIS ROUND (zero driver evidence):
+    #     kmeans_clusters_literal — keeps the literal assignment plan
+    #     hash-checked at driver level now that auto picks arrow at the
+    #     8×64 fixture (VERDICT r13 #5); kmeans_seeded_clusters — the
+    #     composed kmeans‖→Lloyd pipeline at k=16/arrow (VERDICT r13 #2,
+    #     rows-only, Lloyd half hash-gated in tests);
+    #     streaming_kmeans_rounds — multi-round streaming k-means,
+    #     HASH-checked against the 2-round unrolled-CTE oracle (VERDICT
+    #     r13 #4); ann_ivf_distributed — IVF built by the distributed
+    #     full-corpus trainer (VERDICT r13 #1, rows-only, recall column).
+    "kmeans_clusters_literal", "kmeans_seeded_clusters",
+    "streaming_kmeans_rounds", "ann_ivf_distributed",
+    # (b) changed-impl canary: kmeans_clusters' auto tier FLIPPED
+    #     literal→arrow this round (_LITERAL_KD_MAX 4096→256), so its
+    #     r12 hash evidence describes the other plan — re-gate it.
+    "kmeans_clusters",
+    # (c) the ENTIRE stale-evidence cohort (VERDICT r13 #3): the one
+    #     query whose latest driver sample is round 7 …
+    "sliding_window_agg",
+    # … plus ALL 44 round-8-evidence queries (my recount of
+    #     CORRECTNESS_r1..r13) — together every query whose evidence
+    #     predates round 9.
+    "ann_filtered_topk", "ann_index_stats", "ann_range_search",
+    "audio_features", "cast_embedding", "cosine_topk", "date_trunc_agg",
+    "dedup_exact", "dedup_minhash", "dedup_minhash_incremental",
+    "dedup_substring", "dot_product", "embedding_int8_quantize",
+    "excess_inventory", "filter_pushdown", "groupby_agg",
+    "image_features", "image_features_png", "important_stock",
+    "ivf_compact_maintenance", "join_broadcast_nation", "join_bucketed",
+    "join_orders_customer", "json_extract", "knn_range_search",
+    "matryoshka_topk", "maxsim_join", "maxsim_multivector",
+    "pagerank_simgraph", "pca_project_embeddings", "pretokenize_pieces",
+    "retrieve_docs", "rollup_agg", "set_ops", "similarity_join",
+    "sort_by_id", "streaming_enrich_join", "streaming_hnsw_ingest",
+    "streaming_ivf_ingest", "text_stats", "token_cost", "token_count",
+    "vector_norm", "window_rank",
+)
+
+_DRIVER_WINDOW_R13: tuple[str, ...] = (
+    # --- round 13 window (kept for the rotation audit trail) ---
     # (a) newborns (zero evidence, registered this round):
     #     kmeans_clusters_arrow — the broadcast-matmul assignment tier
     #     (VERDICT r12 #2) hash-checked against the same unrolled-CTE
