@@ -56,9 +56,17 @@ NOTES = {
     'dedup_clusters_star':
         'same recursive-CTE closure oracle as dedup_clusters; O(log n) large/small-star contraction (r11)',
     'kmeans_clusters':
-        'distributed Lloyd, FULL iteration replayed as unrolled CTEs: seed/assign/update/tie-break all hash-checked (r12)',
+        'distributed Lloyd, FULL iteration replayed as unrolled CTEs: seed/assign/update/tie-break all hash-checked (r12); auto tier = arrow since the r14 threshold retune (bench A/B 3x)',
+    'kmeans_clusters_literal':
+        'the zero-Python literal codegen-fold plan FORCED (auto picks arrow at 8x64 since r14), hash-checked against the same unrolled oracle so the literal tier keeps driver-level evidence (r14)',
     'kmeans_clusters_arrow':
-        'the broadcast-matmul assignment tier (auto-selected above k*d=4096, the reference 1536-dim regime) hash-checked against the SAME unrolled oracle; tier parity + plan pins in tests/test_kmeans.py (r13)',
+        'the broadcast-matmul assignment tier (auto-selected above k*d=256 since the r14 retune; the only tier that compiles at the reference 1536-dim regime) hash-checked against the SAME unrolled oracle; tier parity + plan pins in tests/test_kmeans.py (r13)',
+    'kmeans_seeded_clusters':
+        'composed kmeans||->Lloyd at k=16/arrow (VERDICT r13 #2); seeding rows-only by nature, the frozen-seed Lloyd half hash-gated via kmeans_oracle_sql(seeds=...) VALUES replay in tests/test_kmeans.py (r14)',
+    'streaming_kmeans_rounds':
+        'oracle (multi-round streaming k-means: R epochs of frozen-assignment linear (sum,n) folds re-seeded with 9dp-rounded means == R batch Lloyd rounds, hash-checked vs the R-round unrolled-CTE oracle; batch equality + 4-file fold invariance pinned in tests) (r14)',
+    'ann_ivf_distributed':
+        'IVF built by the FULL-CORPUS distributed trainer (kmeans|| -> arrow Lloyd, VERDICT r13 #1); recall column on the serve, trainer recall-parity vs sampled + byte determinism pinned in tests/test_ann.py (r14)',
     'streaming_kmeans_update':
         'oracle (streaming Lloyd update step: frozen-seed assignment, linear (sum,n) fold across micro-batches, one staged file -> one emission == the batch one-step update, hash-checked vs the unrolled a1/c1 CTEs; 4-batch fold invariance pinned in tests) (r13)',
     'kmeans_parallel_init':
