@@ -38,6 +38,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # Lazy checkpoint + the convergence count as the SAME action
+        # (r14, guide §1/§2: the eager-checkpoint job and the count job
+        # were two driver round trips per round; the count's join
+        # materializes the checkpoint as a side effect, so each round is
+        # now ONE job — same rounds, same labels).
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -45,7 +50,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
                 .alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             labels.withColumnRenamed("label", "old")
@@ -118,13 +123,23 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
               .filter(F.col("v") != F.col("m"))
               .select(F.col("m").alias("u"), F.col("v").alias("v")))
         s2 = mins2.select(F.col("m").alias("u"), F.col("u").alias("v"))
-        new_e = s1.union(s2).distinct().localCheckpoint(eager=True)
-        # fixed point: same row count AND no row outside the old set
-        if (new_e.count() == E.count()
-                and new_e.join(E, ["u", "v"], "left_anti").count() == 0):
-            E = new_e
-            break
+        # Fixed point: set equality of two DISTINCT edge sets, tested as
+        # a full-outer join whose every row carries both side markers.
+        # r14 (guide §1/§2): one round used to cost THREE driver actions
+        # — eager checkpoint, new count, anti-join count (plus an
+        # E.count() re-run on the old side). Now the lazy checkpoint
+        # materializes inside ONE agg job: |union| == |new| == |old| ⇔
+        # equal. Same alternations, same edges, same labels — one job
+        # per round instead of three.
+        new_e = s1.union(s2).distinct().localCheckpoint(eager=False)
+        chk = (new_e.withColumn("_new", F.lit(1))
+               .join(E.withColumn("_old", F.lit(1)), ["u", "v"],
+                     "full_outer")
+               .agg(F.count("*").alias("n"), F.count("_new").alias("nn"),
+                    F.count("_old").alias("no")).first())
         E = new_e
+        if int(chk["nn"]) == int(chk["n"]) == int(chk["no"]):
+            break
     if stats is not None:
         stats["rounds"] = rounds
     members = E.select(F.col("v").alias("doc_id"),
@@ -178,23 +193,29 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     # a dst-only node would leak rank mass (receives but never redistributes)
     # and skew n; a src-only node would vanish from `ranks` after round 1
     # (inner contribution join). One cheap job, runs once, not per round.
-    srcs = e.select(F.col("src").alias("node"))
-    dsts = e.select(F.col("dst").alias("node"))
-    asymmetric = (
-        dsts.join(srcs, "node", "left_anti")
-        .union(srcs.join(dsts, "node", "left_anti"))
-        .count()
+    # Precondition check + node count in ONE job (r14; they were two):
+    # a full-outer join of the distinct src/dst node sets yields both
+    # the asymmetric-node count and n = |distinct srcs| from one agg.
+    chk = (
+        e.select(F.col("src").alias("node")).distinct()
+        .withColumn("_out", F.lit(1))
+        .join(e.select(F.col("dst").alias("node")).distinct()
+              .withColumn("_in", F.lit(1)), "node", "full_outer")
+        .agg(F.count("*").alias("n_all"), F.count("_out").alias("n_out"),
+             F.count("_in").alias("n_in"))
+        .first()
     )
-    if asymmetric:
+    if int(chk["n_out"]) != int(chk["n_all"]) or \
+            int(chk["n_in"]) != int(chk["n_all"]):
         raise ValueError(
             "pagerank: edge list references nodes with no out-edges or no "
             "in-edges; symmetrize the graph (add reverse edges) first"
         )
     deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
     ew = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("src").alias("node"))
-    n = nodes.count()  # one tiny job on the (already aggregated) node set
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    n = int(chk["n_out"])
+    ranks = deg.select(F.col("src").alias("node")) \
+        .withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for i in range(n_iter):
         contribs = (
@@ -206,7 +227,10 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
             "node", (F.lit(teleport) + F.lit(damping) * F.col("c")).alias("rank")
         )
         if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # Lazy: plan stays O(1) in rounds, but no mid-loop job — the
+            # caller's single action materializes every checkpoint level
+            # in one cascade (r14; each level still computes exactly once)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -519,7 +519,16 @@ def substring_dup_pairs(docs: DataFrame, window: int = 32, stride: int = 16,
         wins = (d.withColumn("__sdp_keys", F.expr(keys))
                 .withColumn("__sdp_wk", F.explode(F.expr(sel)))
                 .select(F.col(id_col).alias("doc_id"), win))
-    wins = wins.repartition("win").distinct().localCheckpoint(eager=False)
+    wins = wins.repartition("win")
+    if not hashed:
+        # md5-PREFIX keys can collide across the distinct md5‖position
+        # winner strings of one doc (same content at two positions), so
+        # the oracle path must dedup (doc_id, win) — exchange-free here:
+        # hash(win) partitioning satisfies clustering on (doc_id, win)
+        wins = wins.distinct()
+    # else: raw-hash winners are array_distinct'd per doc already — a
+    # distinct would be a no-op agg pass over the window table (r14)
+    wins = wins.localCheckpoint(eager=False)
     keep = (wins.groupBy("win").agg(F.count("*").alias("n_docs"))
             .filter((F.col("n_docs") >= 2)
                     & (F.col("n_docs") <= max_docs_per_window))
@@ -599,10 +608,19 @@ def substring_span_removal(docs: DataFrame, window: int = 32,
                 f" xxhash64(substring({text_col}, i, {w1})))")
         sel = (f"array_distinct(transform(sequence(1, {n_w}), q ->"
                f" array_min(slice(__spr_keys, q, {s1}))))")
+        # (doc_id, w1h) is ALREADY distinct by construction —
+        # array_distinct dedups winners within a doc and doc_id differs
+        # across docs — so the old `.distinct()` here was a semantic
+        # no-op costing a two-phase hash aggregation of the winnow
+        # stream, the prefilter's biggest intermediate (removed r14,
+        # guide §2.3/§2.4). The repartition STAYS: the checkpointed
+        # LogicalRDD preserves outputPartitioning, so the w1h-keyed
+        # exchange is what lets the `shared` groupBy and the `flagged`
+        # join below run exchange-free.
         cand = (d.withColumn("__spr_keys", F.expr(keys))
                 .select(F.col(id_col).alias("doc_id"),
                         F.explode(F.expr(sel)).alias("w1h"))
-                .repartition("w1h").distinct().localCheckpoint(eager=False))
+                .repartition("w1h").localCheckpoint(eager=False))
         shared = (cand.groupBy("w1h").agg(F.count("*").alias("nd"))
                   .filter(F.col("nd") >= 2).select("w1h"))
         flagged = (cand.join(shared, "w1h")

@@ -39,17 +39,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dense_rank_2key(df: DataFrame, parts: int) -> tuple[DataFrame, int]:
-    """Exact global dense rank of (k1, k2) → ((pos, rank), n_distinct),
-    distributed: range-partition on the key, locally dense-rank each
-    partition, then add the prefix sum of per-partition distinct counts
-    (P scalars via the driver, broadcast back as a literal map join).
-    ``n_distinct`` — the grand total of those SAME P scalars — is
+def _dense_rank_2key(df: DataFrame, parts: int,
+                     k1_max: int | None = None
+                     ) -> tuple[DataFrame, int, int]:
+    """Exact global dense rank of (k1, k2) → ((pos, rank), n_distinct,
+    n_rows), distributed: order-partition on the key, locally dense-rank
+    each partition, then add the prefix sum of per-partition distinct
+    counts (P scalars via the driver, broadcast back as a literal map
+    join). ``n_distinct`` — the grand total of those SAME P scalars — is
     max(rank), returned for free so the prefix-doubling convergence
     check never pays a separate agg job per round (r11: one fewer
-    action per round × ⌈log₂ n⌉ rounds on every SA query)."""
-    rp = (df.repartitionByRange(parts, "k1", "k2")
-          .withColumn("pid", F.spark_partition_id()))
+    action per round × ⌈log₂ n⌉ rounds on every SA query); ``n_rows``
+    rides the same P-row collect (r14) so the caller never pays a
+    df.count() job either.
+
+    Partitioning (r14, guide §2.4 "remove shuffles outright"): when the
+    caller knows k1 is dense in [0, k1_max] — every prefix-doubling
+    round ≥ 2, where k1 = the previous round's rank ∈ [1, nd_prev] —
+    the partition id is COMPUTED as a monotone equi-width bucket of k1,
+    so the one shuffle this operator needs is the groupBy(pid) below.
+    The old form range-partitioned first (a sampling pass + an exchange)
+    and then groupBy(pid)-shuffled AGAIN — two exchanges + one extra job
+    per round, ~log₂(n) rounds per SA query. Correctness needs exactly
+    (a) all rows of one k1 in one pid (pid is a function of k1) and
+    (b) pid order = key order (the bucket fn is monotone); balance
+    follows from k1 being dense. ``k1_max=None`` (round 1: raw code
+    points, distribution unknown) keeps the range-partitioner path."""
+    if k1_max is not None:
+        width = max(1, (int(k1_max) + parts) // parts)  # ceil((max+1)/parts)
+        rp = df.withColumn(
+            "pid", F.floor(F.col("k1") / F.lit(width)).cast("int"))
+    else:
+        rp = (df.repartitionByRange(parts, "k1", "k2")
+              .withColumn("pid", F.spark_partition_id()))
 
     def local(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["k1", "k2"], kind="mergesort")
@@ -60,10 +82,16 @@ def _dense_rank_2key(df: DataFrame, parts: int) -> tuple[DataFrame, int]:
                              "pid": pdf["pid"].to_numpy(),
                              "lrank": lrank.to_numpy()})
 
+    # lazy checkpoint: the counts collect right below is the FIRST action
+    # and materializes it (one job, not an eager-checkpoint job + a
+    # counts job); `ranked` then reuses the materialized partitions
     loc = rp.groupBy("pid").applyInPandas(
-        local, "pos BIGINT, pid INT, lrank BIGINT").localCheckpoint()
-    counts = {r.pid: r.nd for r in
-              loc.groupBy("pid").agg(F.max("lrank").alias("nd")).collect()}
+        local, "pos BIGINT, pid INT, lrank BIGINT").localCheckpoint(
+        eager=False)
+    agg = loc.groupBy("pid").agg(F.max("lrank").alias("nd"),
+                                 F.count("*").alias("nr")).collect()
+    counts = {r.pid: r.nd for r in agg}
+    n_rows = sum(int(r.nr) for r in agg)
     offset, offsets = 0, {}
     for pid in sorted(counts):
         offsets[pid] = offset
@@ -72,7 +100,7 @@ def _dense_rank_2key(df: DataFrame, parts: int) -> tuple[DataFrame, int]:
         F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
         F.col("pid"))
     ranked = loc.select("pos", (F.col("lrank") + off_expr).alias("rank"))
-    return ranked, int(offset)
+    return ranked, int(offset), n_rows
 
 
 def suffix_array_rounds(
@@ -94,13 +122,12 @@ def suffix_array_rounds(
     # three THE SAME integer order by construction (ADVICE r10), and
     # int keys range-partition/sort cheaper than strings anyway.
     # Supplementary-plane pin: test_suffix_array_astral_characters.
-    df, n_distinct = _dense_rank_2key(
+    df, n_distinct, n = _dense_rank_2key(
         chars.select(F.col(pos_col).alias("pos"),
                      F.ascii(F.col(char_col)).alias("k1"),
                      F.lit(0).alias("k2")),
         parts)
     rounds = [(1, df)]
-    n = df.count()
     h = 1
     # convergence = all ranks distinct; max(rank) == the distinct-key
     # total _dense_rank_2key already summed on the driver — no per-round
@@ -112,8 +139,11 @@ def suffix_array_rounds(
                   .join(nxt, "pos", "left")
                   .fillna(0, subset=["k2"]))
         # localCheckpoint inside _dense_rank_2key already cut the lineage;
-        # each round starts from materialized (pos, rank) rows
-        df, n_distinct = _dense_rank_2key(paired, parts)
+        # each round starts from materialized (pos, rank) rows.
+        # k1 here is the previous round's dense rank ∈ [1, n_distinct],
+        # so the bucketed (single-shuffle) dense-rank path applies.
+        df, n_distinct, _ = _dense_rank_2key(paired, parts,
+                                             k1_max=n_distinct)
         h *= 2
         rounds.append((h, df))
     return df, rounds
@@ -168,4 +198,8 @@ def lcp_adjacent(sa: DataFrame, rounds: list[tuple[int, DataFrame]],
                             & (F.col("_ra") == F.col("_rb")),
                             F.col("lcp") + span).otherwise(F.col("lcp")))
                  .drop("_pa", "_pb", "_ra", "_rb"))
-    return pairs.localCheckpoint()
+    # lazy: every registered consumer reads the LCP table exactly once
+    # (top-k, or the attribution joins), so the checkpoint can
+    # materialize inside that consumer's job instead of being its own
+    # blocking job; lineage is still truncated for the O(log n) joins
+    return pairs.localCheckpoint(eager=False)

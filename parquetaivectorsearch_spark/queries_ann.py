@@ -801,7 +801,10 @@ def _dbscan_from_pairs(emb: DataFrame, pairs: DataFrame,
     from parquetaivectorsearch_spark.operators.components import (
         connected_components)
 
-    pairs = pairs.localCheckpoint()
+    # lazy: the ε-pair generator materializes inside the FIRST consuming
+    # job (the CC loop's round-1 agg) instead of as its own blocking job;
+    # every later consumer still reads the one materialized copy (r14)
+    pairs = pairs.localCheckpoint(eager=False)
     sym = pairs.union(pairs.select(F.col("vec_b").alias("vec_a"),
                                    F.col("vec_a").alias("vec_b")))
     core = (sym.groupBy(F.col("vec_a").alias("v")).count()
