@@ -87,7 +87,13 @@ def jaccard_of_sets(ga: ColumnOrName, gb: ColumnOrName) -> Column:
     """
     ga, gb = _col(ga), _col(gb)
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
-    union = F.size(F.array_union(ga, gb)).cast("double")
+    # |A∪B| = |A| + |B| − |A∩B| for DISTINCT-element arrays (the
+    # documented input contract): same exact integers as
+    # size(array_union(...)), minus materializing a ~|A|+|B|-element
+    # array per PAIR in the pairwise join (r14, guide §2.3 — the union
+    # array was most of the θ-join's per-pair bytes; the subtraction is
+    # free). Division of the same two ints ⇒ bit-identical doubles.
+    union = (F.size(ga) + F.size(gb)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 

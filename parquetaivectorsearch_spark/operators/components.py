@@ -24,7 +24,21 @@ from pyspark.sql import functions as F
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
     """(node, cluster_id) for every node appearing in `pairs`; cluster_id =
-    min node id of its component. Deterministic."""
+    min node id of its component. Deterministic.
+
+    Convergence checks run every round for the first two rounds, then
+    every second round (r14, guide §1.2): labels decrease monotonically,
+    so an unchanged two-round block IS the fixpoint; the at-most-one
+    wasted round costs one join+agg pass while a per-round check costs a
+    count job + a checkpoint plan-trip every round forever. Near-clique
+    graphs (the dedup regime) still exit on the round-1/2 checks.
+    (Measured negative, r14: augmenting each round with pointer jumping
+    — label ← min(label, label[label]) — converges a sorted-id PATH in
+    O(log d) rounds but saved only 1 of 16 rounds on the real dbscan
+    ε-graph, where label values are RANDOM ids relative to topology, so
+    the pointer chain does not compose geographically; the extra
+    self-join per round cost more than it saved. Long-diameter graphs
+    are what connected_components_star is for.)"""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint(eager=False)
@@ -32,33 +46,37 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # Lazy checkpoint + the convergence count as the SAME action
-        # (r14, guide §1/§2: the eager-checkpoint job and the count job
-        # were two driver round trips per round; the count's join
-        # materializes the checkpoint as a side effect, so each round is
-        # now ONE job — same rounds, same labels).
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
-                .alias("label"),
+    done = 0
+    while done < max_iter:
+        inner = 1 if done < 2 else min(2, max_iter - done)
+        prev = labels
+        for _ in range(inner):
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
             )
-            .localCheckpoint(eager=False)
-        )
+            labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_min", F.col("label")))
+                    .alias("label"),
+                )
+            )
+        # Lazy checkpoint + the convergence count as the SAME action
+        # (the eager-checkpoint job and the count job were two driver
+        # round trips; the count's join materializes the checkpoint as
+        # a side effect — one job per block).
+        labels = labels.localCheckpoint(eager=False)
         changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "node")
+            prev.withColumnRenamed("label", "old")
+            .join(labels, "node")
             .filter(F.col("old") != F.col("label"))
             .count()
         )
-        labels = new_labels
+        done += inner
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
@@ -257,15 +275,21 @@ def label_propagation_sync(edges: DataFrame, rounds: int = 4,
     labels = (e.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     from pyspark.sql.window import Window as W
-    for _ in range(rounds):
+    for i in range(rounds):
         counts = (e.join(labels, e["dst"] == labels["node"])
                   .groupBy("src", "label").agg(F.count("*").alias("c")))
         labels = (counts.withColumn(
                       "rn", F.row_number().over(
                           W.partitionBy("src").orderBy(F.desc("c"), "label")))
                   .filter(F.col("rn") == 1)
-                  .select(F.col("src").alias("node"), "label")
-                  .localCheckpoint(eager=False))
+                  .select(F.col("src").alias("node"), "label"))
+        # lazy checkpoint every SECOND round (r14, guide §1.2): each
+        # localCheckpoint call pays a synchronous plan-finalization
+        # driver trip; two rounds of join+window lineage is still O(1)
+        # plan depth, so checkpointing half as often halves that cost
+        # with identical results
+        if i % 2 == 1 or i == rounds - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -305,13 +329,13 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int | None = None,
     surv = e.select(F.col("src").alias("node")).distinct() \
         .localCheckpoint(eager=False)
 
-    def peel_once(s: DataFrame) -> DataFrame:
+    def peel_once(s: DataFrame, checkpoint: bool = True) -> DataFrame:
         deg = (e.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
                .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
                .groupBy("src").agg(F.count("*").alias("c")))
-        return (deg.filter(F.col("c") >= k)
-                .select(F.col("src").alias("node"))
-                .localCheckpoint(eager=False))
+        out = (deg.filter(F.col("c") >= k)
+               .select(F.col("src").alias("node")))
+        return out.localCheckpoint(eager=False) if checkpoint else out
 
     if rounds is None:
         prev_n = surv.count()
@@ -322,15 +346,29 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int | None = None,
                 raise ValueError(
                     f"kcore: no fixpoint within max_rounds={max_rounds} "
                     f"(survivors={prev_n})")
-            surv = peel_once(surv)
-            done += 1
+            # survivors shrink monotonically, so count equality across a
+            # TWO-peel block is still set equality (an unchanged block
+            # means both inner peels were no-ops); checking every second
+            # round after the first two halves the per-round count job +
+            # checkpoint plan-trip at the price of at most one no-op
+            # peel (r14, guide §1.2 — same schedule as
+            # connected_components)
+            inner = 1 if done < 2 else min(2, max_rounds - done)
+            for j in range(inner):
+                surv = peel_once(surv, checkpoint=(j == inner - 1))
+            done += inner
             n = surv.count()
             converged = n == prev_n or n == 0
             prev_n = n
     else:
         done = rounds
-        for _ in range(rounds):
-            surv = peel_once(surv)
+        for i in range(rounds):
+            # checkpoint every SECOND peel (r14, guide §1.2): each
+            # localCheckpoint pays a synchronous plan-finalization
+            # trip; two peels of semi-join+agg lineage is still O(1)
+            # plan depth — identical survivors
+            surv = peel_once(surv,
+                             checkpoint=(i % 2 == 1 or i == rounds - 1))
 
     out = (e.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
            .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")

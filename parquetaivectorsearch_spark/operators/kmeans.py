@@ -225,12 +225,21 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 3,
         raise ValueError(f"unknown assign_tier {assign_tier!r}")
     raw = corpus.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"))
-    first = raw.select("v").first()
-    if first is None or first["v"] is None:
-        raise ValueError(
-            "kmeans_lloyd: empty corpus (or NULL first vector) — "
-            "nothing to seed from")
-    d = len(first["v"])
+    if init is not None:
+        # d comes from the caller's seeds — no corpus action needed
+        # (r14, guide §1.2: the empty/NULL probe job only guards the
+        # DEFAULT first-k seeding; with explicit init there is nothing
+        # to seed from the corpus, and the seeded queries save a job)
+        if not init:
+            raise ValueError("kmeans_lloyd: empty init seed list")
+        d = len(init[0][1])
+    else:
+        first = raw.select("v").first()
+        if first is None or first["v"] is None:
+            raise ValueError(
+                "kmeans_lloyd: empty corpus (or NULL first vector) — "
+                "nothing to seed from")
+        d = len(first["v"])
     if assign_tier == "auto":
         assign_tier = "arrow" if k * d > _LITERAL_KD_MAX else "literal"
     if stats is not None:
@@ -412,13 +421,16 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
     if l is None:
         l = 2 * k
     raw = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    first = raw.select("v").first()
-    if first is None or first["v"] is None:
-        raise ValueError(
-            "kmeans_parallel_seed: empty corpus (or NULL first vector)")
     e = raw.localCheckpoint(eager=False)
 
-    c0 = e.orderBy("id").limit(1).collect()[0]
+    # ONE probe action (r14, guide §1.2): the min-id row doubles as the
+    # empty/NULL-vector guard — the r13 form paid a separate
+    # select("v").first() job before this collect.
+    c0_rows = e.orderBy("id").limit(1).collect()
+    if not c0_rows or c0_rows[0]["v"] is None:
+        raise ValueError(
+            "kmeans_parallel_seed: empty corpus (or NULL first vector)")
+    c0 = c0_rows[0]
     cand_ids = [int(c0["id"])]
     cand = [[float(x) for x in c0["v"]]]
 
@@ -431,67 +443,103 @@ def kmeans_parallel_seed(corpus: DataFrame, k: int, l: int | None = None,
         d2 = (xn[:, None] - 2.0 * (X @ Cm.T) + cnm[None, :]).min(axis=1)
         return np.maximum(d2, 0.0)
 
+    # Fused seeding round (r14, guide §1.2 "remove passes" / §2.3): the
+    # r13 form ran TWO corpus passes per round — a φ = Σd² agg pass, then
+    # a selection pass re-computing d² under the same broadcast. But the
+    # selection's sort key r = u·φ/(l·d²) is φ·(u/(l·d²)), and φ > 0 is a
+    # global constant, so the ORDER of candidates is known without φ —
+    # only the threshold test u·φ < l·d² needs it, and that test is
+    # monotone in the same ratio (selected rows sort strictly before
+    # rejected ones). ONE pass therefore suffices: each task emits its
+    # φ-partial plus its top-(4l+slack) rows by (u/d², id); a TakeOrdered
+    # over (kind, ratio, id) ships all ≤ P φ-partials and the global
+    # candidate superset in ONE job, and the driver replays the exact
+    # threshold + r-ordered 4l cap on that superset. Same draws: every
+    # selected row sorts before every rejected row under u/d² (r < 1/l·φ
+    # ⇔ selected), so the top-4l-of-selected is inside the shipped set;
+    # the only caveat is float rounding — r and u/d² are each rounded
+    # once differently, so two rows within ~2 ulps of each other at the
+    # EXACT cap boundary of an over-selecting (>4l, itself degenerate)
+    # round could order differently — the +4 slack pushes that residual
+    # past any realistic fixture. Driver pull: ≤ P + 4l + 4 rows/round
+    # (the P-scalars posture); corpus passes per round: 1, down from 2.
+    cap = 4 * l + 4
+    n_parts = e.rdd.getNumPartitions()
+    out_schema = ("kind int, r double, id bigint, u double, d2 double, "
+                  "v array<double>, p double")
     for _ in range(seed_rounds):
         C = np.array(cand, dtype=np.float64)
         cn = (C * C).sum(axis=1)
         bc = sc.broadcast((C, cn))
 
-        # pass 1: φ = Σ d² — one partial per Arrow batch, nothing else
-        def phi_part(it):
+        def fused_part(it):
+            from pyspark import TaskContext
+
             Cm, cnm = bc.value
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                yield pd.DataFrame(
-                    {"p": [float(_batch_d2(pdf, Cm, cnm).sum())]})
-
-        phi_row = (e.mapInPandas(phi_part, "p double")
-                   .agg(F.sum("p")).collect()[0][0])
-        phi = float(phi_row) if phi_row is not None else 0.0
-        if phi <= 0.0:  # all mass on candidates already
-            break
-
-        # pass 2: re-compute d² under the same broadcast, draw the
-        # hash-uniform u(id) = pmod((id mod P)·a + b, P)/P, and emit
-        # ONLY the selected rows (u < l·d²/φ) with their selection
-        # strength r = u·φ/(l·d²) — expected ~l rows total
-        lphi = float(l), phi
-
-        def sel_part(it):
-            Cm, cnm = bc.value
-            lf, ph = lphi
+            phi_acc = 0.0
+            t_rp = np.empty(0)
+            t_id = np.empty(0, np.int64)
+            t_u = np.empty(0)
+            t_d2 = np.empty(0)
+            t_v = np.empty(0, object)
             for pdf in it:
                 if not len(pdf):
                     continue
                 d2 = _batch_d2(pdf, Cm, cnm)
+                phi_acc += float(d2.sum())
                 ids = pdf["id"].to_numpy(np.int64)
                 uu = (((ids % _SEED_P) * _SEED_A + _SEED_B) % _SEED_P
                       ).astype(np.float64) / float(_SEED_P)
-                mask = uu * ph < lf * d2
-                if not mask.any():
-                    continue
-                with np.errstate(divide="ignore"):
-                    r = uu[mask] * ph / (lf * d2[mask])
-                yield pd.DataFrame({
-                    "id": ids[mask],
-                    # widen explicitly: the checkpoint keeps the SOURCE
-                    # element type (float32 corpora ship half the bytes),
-                    # but this emitted column is declared array<double>
-                    "v": [np.asarray(x, dtype=np.float64).tolist()
-                          for x in pdf["v"].to_numpy()[mask]],
-                    "r": r,
-                })
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rp = uu / d2  # φ-free order proxy (see note above)
+                t_rp = np.concatenate([t_rp, rp])
+                t_id = np.concatenate([t_id, ids])
+                t_u = np.concatenate([t_u, uu])
+                t_d2 = np.concatenate([t_d2, d2])
+                t_v = np.concatenate(
+                    [t_v, pdf["v"].to_numpy().astype(object, copy=False)])
+                keep = np.lexsort((t_id, t_rp))[:cap]  # nan/inf sort last
+                t_rp, t_id = t_rp[keep], t_id[keep]
+                t_u, t_d2, t_v = t_u[keep], t_d2[keep], t_v[keep]
+            pid = TaskContext.get().partitionId()
+            out = pd.DataFrame({
+                "kind": np.concatenate([[0], np.ones(len(t_id), np.int64)]),
+                "r": np.concatenate([[-1.0], t_rp]),
+                "id": np.concatenate([[pid], t_id]),
+                "u": np.concatenate([[0.0], t_u]),
+                "d2": np.concatenate([[0.0], t_d2]),
+                # widen explicitly: the checkpoint keeps the SOURCE
+                # element type (float32 corpora ship half the bytes),
+                # but this emitted column is declared array<double>
+                "v": [None] + [np.asarray(x, dtype=np.float64).tolist()
+                               for x in t_v],
+                "p": np.concatenate([[phi_acc], np.zeros(len(t_id))]),
+            })
+            yield out
 
-        # cap a degenerate over-selection at 4l by keeping the
-        # strongest selections (smallest r); TakeOrdered ships ≤ 4l
-        # rows per partition
-        sel = (e.mapInPandas(sel_part, "id bigint, v array<double>, r double")
-               .orderBy("r", "id").limit(4 * l)
-               .select("id", "v").collect())
-        for row in sel:
-            if int(row["id"]) not in cand_ids:
-                cand_ids.append(int(row["id"]))
-                cand.append([float(x) for x in row["v"]])
+        rows = (e.mapInPandas(fused_part, out_schema)
+                .orderBy("kind", "r", "id").limit(n_parts + cap).collect())
+        # φ = the task partials, summed in task order (deterministic)
+        phi = sum(float(r["p"]) for r in
+                  sorted((r for r in rows if r["kind"] == 0),
+                         key=lambda r: int(r["id"])))
+        if phi <= 0.0:  # all mass on candidates already
+            break
+        crows = [r for r in rows if r["kind"] == 1]
+        if crows:
+            uu = np.array([float(r["u"]) for r in crows])
+            d2 = np.array([float(r["d2"]) for r in crows])
+            ids = np.array([int(r["id"]) for r in crows], np.int64)
+            lf = float(l)
+            mask = uu * phi < lf * d2  # the exact r13 threshold
+            with np.errstate(divide="ignore"):
+                r_sel = uu[mask] * phi / (lf * d2[mask])
+            order = np.lexsort((ids[mask], r_sel))[:4 * l]
+            midx = np.nonzero(mask)[0][order]
+            for i in midx:
+                if int(ids[i]) not in cand_ids:
+                    cand_ids.append(int(ids[i]))
+                    cand.append([float(x) for x in crows[i]["v"]])
 
     # candidate weights: corpus points nearest to each candidate
     cents = list(enumerate(cand))

@@ -171,3 +171,59 @@ def hilbert_repartition(df: DataFrame, x: str, y: str, num_files: int,
     comparison against the Morton layout on the same data)."""
     out = hilbert_index(df, x, y, bits=bits, out_col=h_col)
     return out.repartitionByRange(num_files, h_col).sortWithinPartitions(h_col)
+
+
+def ntile_two_phase(df: DataFrame, n_tiles: int, order_cols: list[str],
+                    out_col: str = "bucket", parts: int = 8) -> DataFrame:
+    """``ntile(n_tiles) OVER (ORDER BY order_cols)`` WITHOUT the
+    single-partition global sort (r14, guide §2.5/§5: the Window form
+    compiles to Exchange SinglePartition + Sort — every row of the table
+    through ONE task, the definitional straggler at 100 TB).
+
+    Two-phase exact rank, the _dense_rank_keys pattern: range-partition
+    on the order keys (equal keys co-located, partition order = key
+    order), per-partition row_number, add the per-partition row-count
+    prefix sum (P scalars via the driver, broadcast back as a literal
+    map), then apply Spark's EXACT NTile sizing arithmetic — n % n_tiles
+    leading buckets of size n//n_tiles + 1, the rest n//n_tiles — as an
+    integer expression of (rank, n). Bit-identical buckets to the Window
+    form for any total order (the callers order by a unique key suffix).
+    Costs one extra P-row driver action; removes the one-task sort."""
+    from pyspark.sql.window import Window
+
+    # lazy checkpoint BEFORE the range exchange: repartitionByRange runs
+    # a sampling pass over its input, so an expensive upstream (the
+    # 16-step hilbert projection chain) would otherwise compute twice
+    df = df.localCheckpoint(eager=False)
+    rp = (df.repartitionByRange(parts, *order_cols)
+          .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    loc = rp.withColumn("_lrn", F.row_number().over(w).cast("bigint")) \
+        .localCheckpoint(eager=False)
+    agg = loc.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    counts = {int(r["_pid"]): int(r["c"]) for r in agg}
+    n = sum(counts.values())
+    offset, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = offset
+        offset += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v).cast("bigint") if i else F.lit(v)
+                       for kv in offsets.items()
+                       for i, v in enumerate(kv)]),
+        F.col("_pid"))
+    rank = F.col("_lrn") + off_expr
+    base, rem = divmod(n, n_tiles)
+    if base == 0:
+        # fewer rows than tiles: bucket i = row i (Spark NTile semantics)
+        bucket = rank
+    else:
+        head = rem * (base + 1)
+        bucket = F.when(
+            rank <= F.lit(head),
+            F.floor((rank - 1) / F.lit(base + 1)) + 1,
+        ).otherwise(
+            F.lit(rem) + F.floor((rank - F.lit(head) - 1) / F.lit(base)) + 1
+        )
+    return loc.withColumn(out_col, bucket.cast("int")) \
+        .drop("_pid", "_lrn")

@@ -330,31 +330,60 @@ def exact_order_statistic(rows: DataFrame, key_col: str, value_col: str,
     spark = rows.sparkSession
     li = rows.select(F.col(key_col).alias("key"),
                      F.col(value_col).alias("value")) \
-        .localCheckpoint(eager=False)  # reused by all three passes
-    stats = li.agg(F.count("*").alias("n"), F.min("value").alias("vmin"),
-                   F.max("value").alias("vmax")).first()
-    n = int(stats["n"])
-    if n == 0:
-        raise ValueError("exact_order_statistic: input has no rows")
-    vmin, vmax = int(stats["vmin"]), int(stats["vmax"])
-    target = (n - 1) // 2 if rank is None else int(rank)
-    if not 0 <= target < n:
-        raise ValueError(
-            f"exact_order_statistic: rank {target} out of range [0, {n})")
-    samp = sorted(r["value"] for r in
-                  bottomk_summary(li, "key", "value", k=sample_k).collect())
-    mid = int(round(target / max(n - 1, 1) * (len(samp) - 1)))
-    lo_i, hi_i = max(0, mid - margin), min(len(samp), mid + margin + 1)
-    cands = sorted({vmin, vmax, *samp[lo_i:hi_i]})
+        .localCheckpoint(eager=False)  # reused by all passes
+    if rank is None:
+        # MEDIAN (the registered query's case): the sample position for
+        # q = 0.5 is the middle of the sample — no n needed up front —
+        # and ±2⁶³ sentinel candidates make the bracket unconditional
+        # (lt(MIN) = 0 ≤ target always brackets below; lt(MAX) = n
+        # always brackets above AND delivers n itself), so the r13
+        # n/min/max agg pass FUSES into the candidate-count pass: two
+        # full passes over the data instead of three, two driver
+        # actions instead of three (r14, guide §1.2). The candidate
+        # window only shifts by ≤ 1 sample position vs the n-aware
+        # form; any bracket containing the target rank yields the same
+        # exact value, so the output is unchanged.
+        samp = sorted(r["value"] for r in
+                      bottomk_summary(li, "key", "value",
+                                      k=sample_k).collect())
+        if not samp:
+            raise ValueError("exact_order_statistic: input has no rows")
+        lo_sent, hi_sent = -(1 << 63), (1 << 63) - 1
+        mid = (len(samp) - 1) // 2
+        lo_i, hi_i = max(0, mid - margin), min(len(samp), mid + margin + 1)
+        cands = sorted({lo_sent, hi_sent, *samp[lo_i:hi_i]})
+    else:
+        stats = li.agg(F.count("*").alias("n"), F.min("value").alias("vmin"),
+                       F.max("value").alias("vmax")).first()
+        n = int(stats["n"])
+        if n == 0:
+            raise ValueError("exact_order_statistic: input has no rows")
+        vmin, vmax = int(stats["vmin"]), int(stats["vmax"])
+        target = int(rank)
+        if not 0 <= target < n:
+            raise ValueError(
+                f"exact_order_statistic: rank {target} out of range [0, {n})")
+        samp = sorted(r["value"] for r in
+                      bottomk_summary(li, "key", "value",
+                                      k=sample_k).collect())
+        mid = int(round(target / max(n - 1, 1) * (len(samp) - 1)))
+        lo_i, hi_i = max(0, mid - margin), min(len(samp), mid + margin + 1)
+        cands = sorted({vmin, vmax, *samp[lo_i:hi_i]})
     cdf = spark.createDataFrame([(int(c),) for c in cands], "c BIGINT")
-    lt = {int(r["c"]): int(r["lt"]) for r in
-          (li.crossJoin(F.broadcast(cdf))
-           .groupBy("c")
-           .agg(F.sum(F.when(F.col("value") < F.col("c"), 1).otherwise(0))
-                .alias("lt"))).collect()}
+    crows = (li.crossJoin(F.broadcast(cdf))
+             .groupBy("c")
+             .agg(F.sum(F.when(F.col("value") < F.col("c"), 1).otherwise(0))
+                  .alias("lt"),
+                  F.count("*").alias("tot"))).collect()
+    lt = {int(r["c"]): int(r["lt"]) for r in crows}
+    if rank is None:
+        # every candidate group sees every row (cross join), so any
+        # group's count IS n — no separate count pass
+        n = int(crows[0]["tot"])
+        target = (n - 1) // 2
     c_lo = max(c for c in cands if lt[c] <= target)
     above = [c for c in cands if lt[c] > target]
-    c_hi = min(above) if above else vmax
+    c_hi = min(above) if above else max(cands)
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     return (li.filter((F.col("value") >= c_lo) & (F.col("value") <= c_hi))
             .groupBy("value").agg(F.count("*").alias("cnt"))

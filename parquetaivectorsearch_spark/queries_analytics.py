@@ -421,9 +421,11 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("div(CAST(ROUND(o_totalprice * 100) AS BIGINT), 100000)").alias("yb"),
     )
     z = t.withColumn("zval", zorder_value(F.col("xb"), F.col("yb")))
-    b = z.withColumn(
-        "bucket", F.ntile(16).over(Window.orderBy("zval", "o_orderkey"))
-    )
+    # two-phase exact ntile (r14, guide §2.5): the Window form funnels
+    # every order row through ONE task (Exchange SinglePartition + Sort)
+    from parquetaivectorsearch_spark.operators.layout import ntile_two_phase
+
+    b = ntile_two_phase(z, 16, ["zval", "o_orderkey"])
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),
         F.min("xb").alias("min_cust"), F.max("xb").alias("max_cust"),
@@ -604,9 +606,10 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("yb"),
     )
     h = hilbert_index(t, "xb", "yb", bits=16)
-    b = h.withColumn(
-        "bucket", F.ntile(16).over(Window.orderBy("hval", "o_orderkey"))
-    )
+    # two-phase exact ntile (r14, guide §2.5): no single-task global sort
+    from parquetaivectorsearch_spark.operators.layout import ntile_two_phase
+
+    b = ntile_two_phase(h, 16, ["hval", "o_orderkey"])
     return b.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.min("xb").alias("min_cust"), F.max("xb").alias("max_cust"),

@@ -552,6 +552,13 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.length("text") >= _KMV_N).select("source", "text"))
+    # NB (r14 measured negatives, kept for the record): neither a
+    # per-doc array_distinct pre-thin (12-char fixture shingles are
+    # almost all unique within a doc — pure per-row overhead) nor
+    # shingling inside the generator (whole-stage codegen pipelines
+    # Generate+Project, so the "carried" text column is a pointer in
+    # generated code, not a per-row copy, while the transform array
+    # form pays a real per-doc allocation) beat this original shape.
     v = (d.select(
             "source",
             F.explode(F.sequence(F.lit(1),

@@ -293,16 +293,27 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |corpus-shingles| join-back becomes a doc-keyed join of two
     |docs|-row aggregates. Exact integers until one final division."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= _NOVEL_N)
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("text") - (_NOVEL_N - 1))).alias("i"),
-            "text",
-        )
-        .select("doc_id", F.expr(f"substring(text, i, {_NOVEL_N})").alias("sh"))
-        .distinct()
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # Shingle INSIDE the generator and dedupe INSIDE the doc (r14, guide
+    # §2.3/§2.4): the r13 form exploded bare positions and substring'd
+    # after, so Generate carried the full text column on every position
+    # row (~300 B × one row per corpus char), and per-doc distinctness
+    # was re-derived by a corpus-wide (doc_id, sh) hash-aggregate +
+    # exchange. array_distinct(transform(...)) IS the per-doc distinct
+    # set — (doc_id, sh) rows are unique by construction once doc_id is
+    # fixed per array — so the distinct agg disappears outright and
+    # n_shingles collapses to size(arr), a projection instead of an
+    # aggregation. Same rows, same values, one fewer shuffle.
+    arr = d.select(
+        "doc_id",
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, length(text) - {_NOVEL_N - 1}),"
+            f" i -> substring(text, i, {_NOVEL_N}))")).alias("arr"))
+    # lazy checkpoint: arr feeds both the explode and the totals
+    # projection — without it the shingling computes once per consumer
+    # (measured +2.4s, the one regression of the first cut)
+    arr = arr.localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("arr").alias("sh"))
+    totals = arr.select("doc_id", F.size("arr").cast("long").alias("n_shingles"))
     novel = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"), F.min("doc_id").alias("holder"))

@@ -180,7 +180,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              "transform(sequence(1, size(ws) - 1),"
              " i -> struct(element_at(ws, i) as a,"
              "             element_at(ws, i + 1) as t))")).alias("bg"))
-         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t")))
+         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t"))
+         # lazy checkpoint (r14, guide §5): the bigram stream feeds both
+         # the model build (f2) and the apply join — without it the
+         # scan+split+explode recomputes once per consumer
+         .localCheckpoint(eager=False))
     f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2"))
     f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"))
     return (
@@ -254,7 +258,11 @@ def q_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              "transform(sequence(1, size(ws) - 1),"
              " i -> struct(element_at(ws, i) as a,"
              "             element_at(ws, i + 1) as t))")).alias("bg"))
-         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t")))
+         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t"))
+         # lazy checkpoint (r14, guide §5): the bigram stream feeds both
+         # the model build (f2) and the apply join — without it the
+         # scan+split+explode recomputes once per consumer
+         .localCheckpoint(eager=False))
     f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2")) \
         .localCheckpoint(eager=False)  # reused by f1 / cont / types
     f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"),
@@ -839,7 +847,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Rounded 6 dp — far above both libm ln ulps and double
     summation-order wobble (~1e-13 on ~500-term sums)."""
     d = _t(spark, sf_dir, "documents", spread=True)  # explode feeds partial agg
-    t = d.select("doc_id", F.explode(TX.words("text")).alias("term"))
+    t = (d.select("doc_id", F.explode(TX.words("text")).alias("term"))
+         # lazy checkpoint (r14, guide §5): the token stream feeds both
+         # the vocab build and the apply join — one explode, two readers
+         .localCheckpoint(eager=False))
     freq = t.groupBy("term").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("bigint").alias("n_total"))
     return (
@@ -1905,7 +1916,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              "transform(sequence(1, size(ws) - 1),"
              " i -> struct(element_at(ws, i) as a,"
              "             element_at(ws, i + 1) as t))")).alias("bg"))
-         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t")))
+         .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.t").alias("t"))
+         # lazy checkpoint (r14, guide §5): the bigram stream feeds both
+         # the model build (f2) and the apply join — without it the
+         # scan+split+explode recomputes once per consumer
+         .localCheckpoint(eager=False))
     f2 = b.groupBy("a", "t").agg(F.count("*").alias("c2"))
     f1 = f2.groupBy("a").agg(F.sum("c2").cast("bigint").alias("c1"))
     scored = (
@@ -1965,6 +1980,11 @@ def q_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shingle plus four scalars. The p₀-predicts-held-out-novelty
     property is test-pinned on a split corpus."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= _GT_N)
+    # NB (r14 measured negative): materializing the shingles as a
+    # transform(...) array before the explode is NOT a win — whole-stage
+    # codegen pipelines Generate+Project, so the "carried" text column
+    # is a pointer in generated code, not a per-row copy, while the
+    # array form pays a real per-doc array allocation (+0.2s here).
     sh = (d.select(F.explode(F.sequence(
               F.lit(1), F.length("text") - (_GT_N - 1))).alias("i"), "text")
           .select(F.expr(f"substring(text, i, {_GT_N})").alias("sh")))
