@@ -203,7 +203,7 @@ def suffix_array(chars: DataFrame, pos_col: str = "pos",
 
 
 def lcp_adjacent(sa: DataFrame, rounds: list[tuple[int, DataFrame]],
-                 ) -> DataFrame:
+                 max_lcp: int | None = None) -> DataFrame:
     """LCP between rank-adjacent suffixes — the LCP array, from which
     the longest repeated substring is max(lcp) (it always occurs at
     adjacent ranks). Sparse-table walk: process the rank levels in
@@ -222,6 +222,14 @@ def lcp_adjacent(sa: DataFrame, rounds: list[tuple[int, DataFrame]],
     levels) — so the walk skips it outright (r14: the r13 walk paid two
     vacuous joins per pair on its top level).
 
+    ``max_lcp``: when the CALLER caps reported LCPs (every registered
+    consumer applies least(lcp, 512)), levels with span > max_lcp are
+    unnecessary — the kept levels (spans ≤ max_lcp, each used ≤ 3×)
+    represent every value < 4·S − 1 ≥ max_lcp, so the walk is exact for
+    true LCP < max_lcp and returns ≥ max_lcp (saturating at Σ 3·span ≥
+    max_lcp) above it; the caller's cap then yields IDENTICAL output
+    with fewer probe joins per pair.
+
     Output: (pos_a, pos_b, lcp) for consecutive ranks (n−1 rows)."""
     b = sa.select(F.col("pos").alias("pos_b"),
                   (F.col("rank") - 1).alias("rank"))
@@ -229,23 +237,30 @@ def lcp_adjacent(sa: DataFrame, rounds: list[tuple[int, DataFrame]],
              .join(b, "rank").drop("rank")
              .withColumn("lcp", F.lit(0)))
     levels = sorted(rounds, key=lambda t: -t[0])[1:]  # skip vacuous max
+    if max_lcp is not None:
+        levels = [(s, r) for s, r in levels if s <= max_lcp]
     for span, rdf in levels:
         ra = rdf.select(F.col("pos").alias("_pa"),
                         F.col("rank").alias("_ra"))
         rb = rdf.select(F.col("pos").alias("_pb"),
                         F.col("rank").alias("_rb"))
         for _ in range(_RADIX - 1):
+            # join ON the offset expression + one select: 3 DataFrame
+            # ops per probe instead of 6 — the walk is all CONSTRUCTION
+            # (no action), and the py4j plan-building chatter of ~15
+            # probes was itself measurable (r14)
             pairs = (pairs
-                     .withColumn("_pa", F.col("pos_a") + F.col("lcp"))
-                     .withColumn("_pb", F.col("pos_b") + F.col("lcp"))
-                     .join(ra, "_pa", "left").join(rb, "_pb", "left")
-                     .withColumn(
-                         "lcp",
+                     .join(ra, F.col("pos_a") + F.col("lcp")
+                           == F.col("_pa"), "left")
+                     .join(rb, F.col("pos_b") + F.col("lcp")
+                           == F.col("_pb"), "left")
+                     .select(
+                         "pos_a", "pos_b",
                          F.when(F.col("_ra").isNotNull()
                                 & F.col("_rb").isNotNull()
                                 & (F.col("_ra") == F.col("_rb")),
-                                F.col("lcp") + span).otherwise(F.col("lcp")))
-                     .drop("_pa", "_pb", "_ra", "_rb"))
+                                F.col("lcp") + span)
+                         .otherwise(F.col("lcp")).alias("lcp")))
     # lazy: every registered consumer reads the LCP table exactly once
     # (top-k, or the attribution joins), so the checkpoint can
     # materialize inside that consumer's job instead of being its own

@@ -509,7 +509,7 @@ _KMV_HMAX = float(1 << 60)  # 15 hex chars of md5 → uniform on [0, 2^60)
     ex AS (
       SELECT a.source AS sa, b.source AS sb,
              CAST(COUNT(*) AS BIGINT) AS exact_inter
-      FROM v a JOIN v b ON a.sh = b.sh AND a.source < b.source
+      FROM hv a JOIN hv b ON a.h = b.h AND a.source < b.source
       GROUP BY 1, 2
     )
     SELECT e.sa AS src_a, e.sb AS src_b,
@@ -565,15 +565,25 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.length("text") - (_KMV_N - 1))).alias("i"),
             "text")
          .select("source", F.expr(f"substring(text, i, {_KMV_N})").alias("sh"))
-         .distinct()
-         .localCheckpoint(eager=False))  # reused: sketches, counts, exact join
-    hv = v.select("source", "sh",
-                  F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
-                  .cast("bigint").alias("h"))
+         .distinct())
+    # checkpoint WITH the hash: one md5 pass serves the sketches, the
+    # counts, and the exact-intersect join (r14; the r13 form
+    # checkpointed pre-hash and recomputed md5 per consumer). The exact
+    # join keys on the 60-bit md5 PREFIX instead of the 8-char shingle
+    # string (the kmv conv trick the sketch itself already uses):
+    # identical grouping — same content => same md5 => same prefix;
+    # cross-content prefix collisions are 2^-60 and REPLAYED IDENTICALLY
+    # by the oracle's matching h-join, so parity is exact regardless —
+    # with 8-byte join keys (r14, guide SS2.3; same precedent as
+    # substring_dup_pairs' r12 change).
+    hv = (v.select("source", "sh",
+                   F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+                   .cast("bigint").alias("h"))
+          .localCheckpoint(eager=False))
     wsrc = Window.partitionBy("source").orderBy("h", "sh")
     sk = (hv.withColumn("rn", F.row_number().over(wsrc))
           .filter(F.col("rn") <= _KMV_K).drop("rn"))
-    srcs = v.select("source").distinct()
+    srcs = hv.select("source").distinct()
     pairs = (srcs.select(F.col("source").alias("sa"))
              .join(srcs.select(F.col("source").alias("sb")),
                    F.col("sa") < F.col("sb")))
@@ -592,10 +602,10 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
                 F.count("*").alias("n_kv"),
                 F.sum(F.col("in_a") * F.col("in_b")).alias("matches")))
-    cnt = v.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    ex = (v.alias("a").join(v.alias("b"),
-                            (F.col("a.sh") == F.col("b.sh"))
-                            & (F.col("a.source") < F.col("b.source")))
+    cnt = hv.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    ex = (hv.alias("a").join(hv.alias("b"),
+                             (F.col("a.h") == F.col("b.h"))
+                             & (F.col("a.source") < F.col("b.source")))
           .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
           .agg(F.count("*").cast("bigint").alias("exact_inter")))
     u_raw = F.when(F.col("n_kv") < _KMV_K, F.col("n_kv").cast("double")) \

@@ -532,7 +532,7 @@ def q_longest_repeated_substring(spark: SparkSession,
         lcp_adjacent, suffix_array_rounds)
 
     sa, rounds = suffix_array_rounds(_shard_chars(spark, sf_dir), parts=8)
-    lcp = lcp_adjacent(sa, rounds)
+    lcp = lcp_adjacent(sa, rounds, max_lcp=512)
     # LCP reported capped at 512 (both engines): "repeat of length >= 512"
     # is the answer past the cap; a correlated-series exact oracle is not
     # expressible in DuckDB, and the audit question is unchanged
@@ -602,7 +602,7 @@ def q_sa_repeat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     offs = _shard_offsets(spark, sf_dir).select("doc_id", "off", "ln")
     sa, rounds = suffix_array_rounds(_shard_chars(spark, sf_dir), parts=8)
-    lcp = (lcp_adjacent(sa, rounds)
+    lcp = (lcp_adjacent(sa, rounds, max_lcp=512)
            .withColumn("lcp", F.least(F.col("lcp"), F.lit(512)))
            .filter(F.col("lcp") >= 16))
     oa = F.broadcast(offs.select(F.col("doc_id").alias("doc_a"),
@@ -767,7 +767,7 @@ def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.join(F.broadcast(flagged), "doc_id").select("doc_id", "t")
     ).localCheckpoint(eager=False)  # reused: chars explode + attribution
     sa, rounds = suffix_array_rounds(_chars_from(offs), parts=8)
-    lcp = (lcp_adjacent(sa, rounds)
+    lcp = (lcp_adjacent(sa, rounds, max_lcp=512)
            .withColumn("lcp", F.least(F.col("lcp"), F.lit(512)))
            .filter(F.col("lcp") >= 32))
     oa = F.broadcast(offs.select(F.col("doc_id").alias("doc_a"),
