@@ -352,7 +352,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("db"), F.col("g").alias("gb"))
     e = (
-        a.join(b, F.col("da") < F.col("db"))
+        a.join(b, (F.col("da") < F.col("db"))
+               # J >= tau=0.5 forces 2*min >= max (r14, guide §3.2)
+               & (F.least(F.size("ga"), F.size("gb")) * 2
+                  >= F.greatest(F.size("ga"), F.size("gb"))))
         .select(
             "da", "db", TX.jaccard_of_sets("ga", "gb").alias("j")
         )

@@ -332,7 +332,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (F.col("doc_a") < F.col("doc_b"))
+               # exact size prefilter (r14, guide §3.2): J >= 0.5 forces
+               # 2*min(|A|,|B|) >= max — integer-exact, implied by the
+               # jaccard gate below, skips the array_intersect for
+               # size-mismatched pairs inside the theta-join
+               & (F.least(F.size("ga"), F.size("gb")) * 2
+                  >= F.greatest(F.size("ga"), F.size("gb"))))
         .select("doc_a", "doc_b", TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
@@ -398,7 +404,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     pairs = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (F.col("doc_a") < F.col("doc_b"))
+               # exact size prefilter (r14, guide §3.2): J >= 0.5 forces
+               # 2*min(|A|,|B|) >= max — integer-exact, implied by the
+               # jaccard gate below, skips the array_intersect for
+               # size-mismatched pairs inside the theta-join
+               & (F.least(F.size("ga"), F.size("gb")) * 2
+                  >= F.greatest(F.size("ga"), F.size("gb"))))
         .select("doc_a", "doc_b", TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
@@ -427,7 +439,10 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     pairs = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (F.col("doc_a") < F.col("doc_b"))
+               # J >= 0.5 forces 2*min >= max (r14, guide §3.2)
+               & (F.least(F.size("ga"), F.size("gb")) * 2
+                  >= F.greatest(F.size("ga"), F.size("gb"))))
         .select("doc_a", "doc_b",
                 TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
@@ -1458,7 +1473,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("split").alias("split_b"))
     return (
         a.join(b, (F.col("doc_a") < F.col("doc_b"))
-               & (F.col("split_a") != F.col("split_b")))
+               & (F.col("split_a") != F.col("split_b"))
+               # J >= 0.5 forces 2*min >= max (r14, guide §3.2)
+               & (F.least(F.size("ga"), F.size("gb")) * 2
+                  >= F.greatest(F.size("ga"), F.size("gb"))))
         .select("doc_a", "doc_b", "split_a", "split_b",
                 TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
