@@ -161,3 +161,26 @@ def test_hilbert_boxes_tighter_than_morton(spark):
             Window.orderBy("zval", "o_orderkey")))
     a_h, a_z = total_area(h), total_area(z)
     assert a_h < a_z, (a_h, a_z)
+
+
+def test_ntile_two_phase_matches_window_ntile(spark):
+    """The two-phase exact ntile (r14: range partition + P-scalar
+    offsets + Spark's NTile sizing arithmetic) must reproduce
+    F.ntile(k) OVER (ORDER BY ...) bit-for-bit, including the
+    remainder buckets (n % k leading buckets one row larger) and the
+    n < k degenerate case."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from parquetaivectorsearch_spark.operators.layout import ntile_two_phase
+
+    import random
+    rng = random.Random(11)
+    for n, k in ((1000, 16), (37, 16), (5, 16), (48, 7)):
+        rows = [(i, rng.randrange(1_000)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+        want = {r["id"]: r["b"] for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("v", "id"))).collect()}
+        got = {r["id"]: r["bucket"] for r in
+               ntile_two_phase(df, k, ["v", "id"], parts=4).collect()}
+        assert got == want, (n, k)

@@ -116,3 +116,34 @@ def test_suffix_array_astral_characters(spark):
     got = {r.pos: r["rank"] for r in
            suffix_array(_chars_df(spark, s), parts=3).collect()}
     assert got == _expected_ranks(s)
+
+
+def test_lcp_adjacent_max_lcp_saturates_above_cap(spark):
+    """The cap-aware walk (r14): with max_lcp=M the reported LCP is
+    exact below M and ≥ M above it, so least(lcp, M) equals the capped
+    naive answer — the contract every registered SA consumer relies on
+    (they all apply least(lcp, 512))."""
+    import pyspark.sql.functions as F
+
+    from parquetaivectorsearch_spark.operators.suffix import (
+        lcp_adjacent, suffix_array_rounds)
+
+    s = "ab" * 20 + "a" * 17 + "ab" * 5  # max true LCP 47
+    sa, rounds = suffix_array_rounds(_chars_df(spark, s), parts=4)
+    M = 4
+    got = {(r.pos_a, r.pos_b): r.lcp for r in
+           lcp_adjacent(sa, rounds, max_lcp=M)
+           .withColumn("lcp", F.least(F.col("lcp"), F.lit(M))).collect()}
+
+    order = sorted(range(1, len(s) + 1), key=lambda p: s[p - 1:])
+
+    def naive(a, b):
+        x, y = s[a - 1:], s[b - 1:]
+        i = 0
+        while i < min(len(x), len(y)) and x[i] == y[i]:
+            i += 1
+        return i
+
+    expected = {(order[i], order[i + 1]): min(naive(order[i], order[i + 1]), M)
+                for i in range(len(order) - 1)}
+    assert got == expected
