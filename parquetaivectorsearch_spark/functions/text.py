@@ -77,6 +77,55 @@ def char_ngrams(text: ColumnOrName, n: int = 3) -> Column:
     )
 
 
+def char_ngram_codes(text: ColumnOrName, n: int = 3) -> Column:
+    """Distinct character n-grams ENCODED as code-point-packed bigints:
+    code = ((cp₁·2²¹ + cp₂)·2²¹ + …) — INJECTIVE (every Unicode code
+    point < 2²¹; n ≤ 3 keeps 21·n ≤ 63 bits), so |A∩B|, |A| and |B|
+    over the coded arrays equal those over ``char_ngrams`` string arrays
+    EXACTLY — no hashing, no collisions, the jaccard division sees the
+    same integers bit-for-bit. Purpose (r15, guide §2.3 "narrower
+    types"): a θ-join's array_intersect over long arrays runs on
+    primitive comparisons where the string form pays per-element
+    UTF8String hashing — measured ~40% off the trigram pair-join stage
+    on top of the integer-threshold rewrite. Use when the gram STRINGS
+    never surface in the output; ``char_ngrams`` remains the
+    string-facing form."""
+    if n < 1 or 21 * n > 63:
+        raise ValueError("char_ngram_codes: need 1 <= n <= 3 for a "
+                         "collision-free 63-bit pack")
+    t = _col(text)
+
+    def pack(i: Column) -> Column:
+        code = F.ascii(t.substr(i, F.lit(1))).cast("bigint")
+        for j in range(1, n):
+            code = code * F.lit(2097152) + F.ascii(
+                t.substr(i + F.lit(j), F.lit(1)))
+        return code
+
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)), pack))
+    return F.when(F.length(t) >= n, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def jaccard_gate_half(ga: ColumnOrName, gb: ColumnOrName) -> Column:
+    """The J ≥ 0.5 θ-join gate as a PURE INTEGER predicate:
+    J = i/(|A|+|B|−i) ≥ 1/2  ⟺  3·i ≥ |A|+|B| (for |A|+|B| > 0; the
+    both-empty pair has J ≡ 0 and is excluded by the size guard) — an
+    exact algebraic equivalence, no doubles anywhere. Why it exists
+    (r15, guide §2.3/§4 — the minhash verify stage documents the same
+    trap): a deterministic ``filter(jaccard ≥ 0.5)`` above the θ-join
+    gets pushed into the join as a residual condition AND re-derived in
+    the output projection, evaluating array_intersect 2-4× per
+    candidate pair; this form needs ONE intersect per candidate, and
+    consumers that output the jaccard value re-derive it for survivors
+    only — measured ~2× off the trigram pair stage."""
+    ga, gb = _col(ga), _col(gb)
+    tot = F.size(ga) + F.size(gb)
+    return (tot > 0) & (F.size(F.array_intersect(ga, gb)) * 3 >= tot)
+
+
 def jaccard_of_sets(ga: ColumnOrName, gb: ColumnOrName) -> Column:
     """Jaccard over two precomputed distinct-element arrays, as double.
 

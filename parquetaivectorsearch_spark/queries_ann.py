@@ -797,9 +797,17 @@ def _dbscan_from_pairs(emb: DataFrame, pairs: DataFrame,
     shared by the exact (θ-join) and blocked (IVF candidate) variants:
     cores at degree ≥ min_deg, min-label CC over core-core edges (+
     singleton cores), borders to the min adjacent core cluster, rest
-    noise. Output (vec_id, role, cluster)."""
+    noise. Output (vec_id, role, cluster).
+
+    The CC stage is hash-to-min path doubling (r15, VERDICT #1 —
+    operators/components.connected_components_hashmin): the sf0.1
+    ε-graph has a ~16-deep component that cost min-label 16
+    diameter-bound rounds; hash-to-min converges in O(log n) rounds at
+    one exchange per round, with the identical component-minimum label
+    contract (equality property-tested), so the oracle-gated
+    dbscan_embeddings replays unchanged."""
     from parquetaivectorsearch_spark.operators.components import (
-        connected_components)
+        connected_components_hashmin)
 
     # lazy: the ε-pair generator materializes inside the FIRST consuming
     # job (the CC loop's round-1 agg) instead of as its own blocking job;
@@ -812,7 +820,7 @@ def _dbscan_from_pairs(emb: DataFrame, pairs: DataFrame,
     ce = (pairs
           .join(core.withColumnRenamed("v", "vec_a"), "vec_a")
           .join(core.withColumnRenamed("v", "vec_b"), "vec_b"))
-    cc = connected_components(ce, a_col="vec_a", b_col="vec_b")
+    cc = connected_components_hashmin(ce, a_col="vec_a", b_col="vec_b")
     clab = (core.join(cc.withColumnRenamed("doc_id", "v"), "v", "left")
             .select("v", F.coalesce("cluster_id", "v").alias("cluster")))
     bord = (sym.join(clab.withColumnRenamed("v", "vec_b")

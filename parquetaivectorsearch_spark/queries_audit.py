@@ -344,10 +344,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c, so each triangle is generated exactly once; the closing
     edge set broadcasts (it is candidate-pair-sized, not corpus-sized).
     Counts are integers; the coefficient is one rounded division."""
+    # r15 (guide §2.3): code-point-packed gram arrays + the exact
+    # integer J ≥ tau=0.5 gate — one primitive array_intersect per
+    # candidate pair, identical edge set (see ngram_jaccard_pairs)
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _TRI_MAX_ID)
-        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+        .select("doc_id", TX.char_ngram_codes("text", 3).alias("g"))
     )
     a = d.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("db"), F.col("g").alias("gb"))
@@ -355,11 +358,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("da") < F.col("db"))
                # J >= tau=0.5 forces 2*min >= max (r14, guide §3.2)
                & (F.least(F.size("ga"), F.size("gb")) * 2
-                  >= F.greatest(F.size("ga"), F.size("gb"))))
-        .select(
-            "da", "db", TX.jaccard_of_sets("ga", "gb").alias("j")
-        )
-        .filter(F.col("j") >= _TRI_TAU)
+                  >= F.greatest(F.size("ga"), F.size("gb")))
+               & TX.jaccard_gate_half("ga", "gb"))
         .select("da", "db")
         .localCheckpoint(eager=False)
     )

@@ -324,10 +324,16 @@ _DUCK_NGRAMS = """
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram jaccard θ-join on a bounded id range — the hash-checkable
     twin of the MinHash path (one int division → bit-deterministic)."""
+    # r15 (guide §2.3): grams ride as code-point-packed bigints
+    # (char_ngram_codes — injective, identical set sizes) and the J ≥ 0.5
+    # gate is the exact integer predicate 3·|A∩B| ≥ |A|+|B|
+    # (jaccard_gate_half), so the θ-join evaluates ONE primitive-typed
+    # array_intersect per candidate; the output jaccard is re-derived
+    # for survivors only — same integers, bit-identical doubles.
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
-        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+        .select("doc_id", TX.char_ngram_codes("text", 3).alias("g"))
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
@@ -335,12 +341,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("doc_a") < F.col("doc_b"))
                # exact size prefilter (r14, guide §3.2): J >= 0.5 forces
                # 2*min(|A|,|B|) >= max — integer-exact, implied by the
-               # jaccard gate below, skips the array_intersect for
+               # jaccard gate, skips the array_intersect for
                # size-mismatched pairs inside the theta-join
                & (F.least(F.size("ga"), F.size("gb")) * 2
-                  >= F.greatest(F.size("ga"), F.size("gb"))))
+                  >= F.greatest(F.size("ga"), F.size("gb")))
+               & TX.jaccard_gate_half("ga", "gb"))
         .select("doc_a", "doc_b", TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
     )
 
 
@@ -396,58 +402,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure is the one dedup step plain SQL can't do without recursion."""
     from parquetaivectorsearch_spark.operators.components import connected_components
 
+    # r15 (guide §2.3): code-point-packed gram arrays + the exact
+    # integer J ≥ 0.5 gate — one primitive array_intersect per
+    # candidate pair, identical pair set (see ngram_jaccard_pairs)
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
-        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+        .select("doc_id", TX.char_ngram_codes("text", 3).alias("g"))
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     pairs = (
         a.join(b, (F.col("doc_a") < F.col("doc_b"))
-               # exact size prefilter (r14, guide §3.2): J >= 0.5 forces
-               # 2*min(|A|,|B|) >= max — integer-exact, implied by the
-               # jaccard gate below, skips the array_intersect for
-               # size-mismatched pairs inside the theta-join
+               # exact size prefilter (r14, guide §3.2)
                & (F.least(F.size("ga"), F.size("gb")) * 2
-                  >= F.greatest(F.size("ga"), F.size("gb"))))
-        .select("doc_a", "doc_b", TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+                  >= F.greatest(F.size("ga"), F.size("gb")))
+               & TX.jaccard_gate_half("ga", "gb"))
+        .select("doc_a", "doc_b")
     )
     return connected_components(pairs)
 
 
 @register("dedup_clusters_star", _CLUSTERS_ORACLE)
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same clusters, the O(log n) SCALE algorithm: alternating
-    large-star/small-star edge contraction (Kiveris et al. SoCC 2014,
-    operators/components.connected_components_star) instead of min-label
-    propagation. Min-label converges in O(component diameter) rounds —
-    fine for near-clique dup clusters, silently wrong past max_iter on
-    CHAIN-shaped components (revision chains, sliding-window near-dups);
-    star contraction halves chain height per alternation. Same pair
-    generator and the same recursive-CTE oracle as dedup_clusters: two
-    algorithms, one hash-checked answer."""
+    """Same clusters, an O(log n) SCALE algorithm: hash-to-min path
+    doubling (Rastogi et al. ICDE 2013,
+    operators/components.connected_components_hashmin; r15 — star
+    contraction remains in operators/components and the test suite as
+    the second log-round family). Min-label converges in O(component
+    diameter) rounds — fine for near-clique dup clusters, silently
+    wrong past max_iter on CHAIN-shaped components (revision chains,
+    sliding-window near-dups); hash-to-min halves chain height per
+    round at ONE exchange per round (star pays four per alternation).
+    Same pair generator and the same recursive-CTE oracle as
+    dedup_clusters: two algorithms, one hash-checked answer."""
     from parquetaivectorsearch_spark.operators.components import (
-        connected_components_star)
+        connected_components_hashmin)
 
+    # r15 (guide §2.3): code-point-packed gram arrays + the exact
+    # integer J ≥ 0.5 gate — one primitive array_intersect per
+    # candidate pair, identical pair set (see ngram_jaccard_pairs)
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
-        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+        .select("doc_id", TX.char_ngram_codes("text", 3).alias("g"))
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     pairs = (
         a.join(b, (F.col("doc_a") < F.col("doc_b"))
-               # J >= 0.5 forces 2*min >= max (r14, guide §3.2)
+               # exact size prefilter (r14, guide §3.2)
                & (F.least(F.size("ga"), F.size("gb")) * 2
-                  >= F.greatest(F.size("ga"), F.size("gb"))))
-        .select("doc_a", "doc_b",
-                TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+                  >= F.greatest(F.size("ga"), F.size("gb")))
+               & TX.jaccard_gate_half("ga", "gb"))
+        .select("doc_a", "doc_b")
     )
-    return connected_components_star(pairs)
+    return connected_components_hashmin(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -1457,10 +1467,13 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-split filter — the filter composes with any pair generator.
     The cross-split predicate prunes BEFORE jaccard scoring: only
     cross-split candidate pairs pay the verify cost."""
+    # r15 (guide §2.3): code-point-packed gram arrays + the exact
+    # integer J ≥ 0.5 gate — one primitive array_intersect per
+    # candidate pair, identical pair set (see ngram_jaccard_pairs)
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
-        .select("doc_id", TX.char_ngrams("text", 3).alias("g"))
+        .select("doc_id", TX.char_ngram_codes("text", 3).alias("g"))
     )
     bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
     split = (F.when(bucket < 80, "train")
@@ -1476,10 +1489,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("split_a") != F.col("split_b"))
                # J >= 0.5 forces 2*min >= max (r14, guide §3.2)
                & (F.least(F.size("ga"), F.size("gb")) * 2
-                  >= F.greatest(F.size("ga"), F.size("gb"))))
+                  >= F.greatest(F.size("ga"), F.size("gb")))
+               & TX.jaccard_gate_half("ga", "gb"))
         .select("doc_a", "doc_b", "split_a", "split_b",
                 TX.jaccard_of_sets("ga", "gb").alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
     )
 
 

@@ -269,10 +269,11 @@ def maxsim_prune_candidates(emb: DataFrame, qtoks, nlist: int = 32,
     score — a proven superset of the exact top-k. Factored out so the
     planted-cluster test can measure the candidate fraction directly."""
     import numpy as np
+    import pandas as pd
 
     from parquetaivectorsearch_spark.functions.vector import maxsim_score
     from parquetaivectorsearch_spark.operators.ann import (
-        assign_lists, train_centroids)
+        _nearest, _pre_corpus, train_centroids)
 
     qtoks = np.asarray(qtoks, dtype=np.float64)
     n_tok, tok_dim = qtoks.shape
@@ -281,33 +282,50 @@ def maxsim_prune_candidates(emb: DataFrame, qtoks, nlist: int = 32,
                            for i in range(n_tok)])
     tokens = emb.select("vec_id", F.posexplode(tok_slices).alias("tok", "tvec"))
     cents, mx = train_centroids(tokens, nlist, vec_col="tvec", metric="ip")
-    assigned = assign_lists(tokens, cents, metric="ip", max_norm=mx,
-                            vec_col="tvec").localCheckpoint(eager=False)
     craw = cents[:, :tok_dim].astype(np.float64)
+    c32 = cents.astype(np.float32)
 
-    # per-list radius: one Arrow pass over (tvec, list_id), max per list
-    import pandas as pd
-    from pyspark.sql.types import DoubleType
+    # FUSED assignment + residual pass (r15, guide §1.2/§2.3 — the
+    # kmeans-seeding φ-partial pattern, VERDICT #2): ONE Arrow pass
+    # emits (vec_id, list_id, resid) — the r14 shape ran the assignment
+    # UDF and then a SECOND pandas UDF over its output to get the
+    # residual norms, and synchronized on a separate radii collect
+    # before building the bound table. The per-list radius now stays
+    # DISTRIBUTED (nlist-row agg joined onto the driver-built
+    # (qtok × list) dot table inside the broadcast), so the radii
+    # driver round-trip and its dedicated corpus pass disappear: the
+    # seed-score action materializes assignment, radii, bound and UB in
+    # one job. Arithmetic is unchanged op-for-op (same float32
+    # assignment, same float64 residual norms, bnd = cdot + qn·r as the
+    # same IEEE double expression) — and the branch-and-bound
+    # certificate keeps the OUTPUT exact under any admissible bound
+    # regardless.
+    def _assign_resid(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xr = np.stack(pdf["tvec"].to_numpy())
+            x = _pre_corpus(xr.astype(np.float32), "ip", mx)
+            lid = _nearest(x, c32).astype(np.int32)
+            rn = np.linalg.norm(xr.astype(np.float64) - craw[lid], axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "list_id": lid, "resid": rn})
 
-    def _resid(tvec, list_id):
-        x = np.stack(tvec.to_numpy()).astype(np.float64)
-        return pd.Series(
-            np.linalg.norm(x - craw[list_id.to_numpy()], axis=1))
-
-    resid_norm = F.pandas_udf(_resid, DoubleType())
-
-    radii = {int(r["list_id"]): float(r["r"])
-             for r in (assigned
-                       .select("list_id",
-                               resid_norm("tvec", "list_id").alias("rn"))
-                       .groupBy("list_id").agg(F.max("rn").alias("r"))
-                       .collect())}  # bounded: nlist rows
+    assigned = (tokens.select("vec_id", "tvec")
+                .mapInPandas(_assign_resid,
+                             "vec_id bigint, list_id int, resid double")
+                .localCheckpoint(eager=False))
+    radii = assigned.groupBy("list_id").agg(F.max("resid").alias("r"))
     qn = np.linalg.norm(qtoks, axis=1)
     cdots = qtoks @ craw.T  # (n_tok, nlist)
-    bound = spark.createDataFrame(
-        [(i, int(l), float(cdots[i, l] + qn[i] * radii.get(l, 0.0)))
+    bound = (spark.createDataFrame(
+        [(i, int(l), float(cdots[i, l]), float(qn[i]))
          for i in range(n_tok) for l in range(nlist)],
-        "qtok INT, list_id INT, bnd DOUBLE")
+        "qtok INT, list_id INT, cdot DOUBLE, qn DOUBLE")
+        .join(radii, "list_id", "left")  # empty list ⇒ radius 0
+        .select("qtok", "list_id",
+                (F.col("cdot")
+                 + F.col("qn") * F.coalesce("r", F.lit(0.0))).alias("bnd")))
     ub = (assigned.select("vec_id", "list_id").distinct()
           .join(F.broadcast(bound), "list_id")
           .groupBy("vec_id", "qtok").agg(F.max("bnd").alias("m"))

@@ -433,3 +433,139 @@ def test_star_contraction_empty_input(spark):
     out = connected_components_star(empty)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "cluster_id"]
+
+
+def test_hashmin_matches_min_label_on_random_graphs(spark):
+    """connected_components_hashmin (r15, the third CC family) must
+    produce EXACTLY the component-minimum labels on random graphs —
+    validated against a driver-side union-find ground truth, same
+    contract as the star test above."""
+    import random
+
+    from parquetaivectorsearch_spark.operators.components import (
+        connected_components_hashmin)
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = sorted({x for e in edges for x in e})
+        comp_min = {}
+        for x in touched:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        truth = {x: comp_min[find(x)] for x in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {r.doc_id: r.cluster_id
+               for r in connected_components_hashmin(pairs).collect()}
+        assert got == truth, (trial, got, truth)
+
+
+def test_hashmin_logarithmic_on_chain(spark):
+    """Hash-to-min's reason to exist next to min-label: a 256-node PATH
+    (diameter 255, min-label's failure mode at max_iter=25) converges
+    in O(log n) rounds — the paper's 4·log₂ n bound, ≤ 2 extra rounds
+    of blocked-check overshoot — with every node labeled 0. Also pins
+    the permuted-id chain (labels random relative to topology, the
+    regime that defeated pointer jumping in r14)."""
+    import random
+
+    from parquetaivectorsearch_spark.operators.components import (
+        connected_components_hashmin)
+
+    n = 256
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "doc_a BIGINT, doc_b BIGINT")
+    stats = {}
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_hashmin(pairs, max_iter=40,
+                                                 stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 4 * 8 + 2, stats
+
+    perm = list(range(n))
+    random.Random(5).shuffle(perm)
+    pairs2 = spark.createDataFrame([(perm[i], perm[i + 1])
+                                    for i in range(n - 1)],
+                                   "doc_a BIGINT, doc_b BIGINT")
+    got2 = {r.doc_id: r.cluster_id
+            for r in connected_components_hashmin(pairs2,
+                                                  max_iter=40).collect()}
+    assert got2 == {p: 0 for p in perm}
+
+
+def test_hashmin_empty_and_self_loop(spark):
+    from parquetaivectorsearch_spark.operators.components import (
+        connected_components_hashmin)
+
+    empty = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    out = connected_components_hashmin(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "cluster_id"]
+    # a self-pair keeps its node in the output as its own cluster
+    selfp = spark.createDataFrame([(7, 7), (1, 2)],
+                                  "doc_a BIGINT, doc_b BIGINT")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_hashmin(selfp).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
+def test_char_ngram_codes_match_string_grams(spark):
+    """char_ngram_codes' code-point pack must be INJECTIVE so that the
+    θ-join set sizes — and therefore every jaccard value — equal the
+    char_ngrams string form exactly. Pinned on ASCII, accented, and
+    astral-plane text plus the short-string/empty edge cases, and the
+    integer J ≥ 0.5 gate (jaccard_gate_half) is pinned ⟺ the double
+    filter on every pair of a small corpus."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from parquetaivectorsearch_spark.functions.text import (
+        char_ngram_codes, char_ngrams, jaccard_gate_half, jaccard_of_sets)
+
+    texts = ["the quick brown fox", "the quick brown fix",
+             "café résumé naïve", "caffé REsumé naïve",
+             "a𝄞b€c𝄞d", "a𝄞b€c𝄞e", "ab", "", "aaaa", "abab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id INT, text STRING")
+    both = df.select(
+        "doc_id",
+        char_ngrams("text", 3).alias("gs"),
+        char_ngram_codes("text", 3).alias("gc")).collect()
+    by_id = {r.doc_id: r for r in both}
+    for r in both:
+        assert len(r.gs) == len(r.gc), r  # injective per doc
+        assert len(set(r.gc)) == len(r.gc), r
+    # pairwise: intersect sizes equal, gate ⟺ double filter
+    a = df.select(F.col("doc_id").alias("da"),
+                  char_ngrams("text", 3).alias("ga"),
+                  char_ngram_codes("text", 3).alias("ca"))
+    b = df.select(F.col("doc_id").alias("db"),
+                  char_ngrams("text", 3).alias("gb"),
+                  char_ngram_codes("text", 3).alias("cb"))
+    rows = (a.join(b, F.col("da") < F.col("db"))
+            .select("da", "db",
+                    F.size(F.array_intersect("ga", "gb")).alias("is_s"),
+                    F.size(F.array_intersect("ca", "cb")).alias("is_c"),
+                    jaccard_of_sets("ga", "gb").alias("j_s"),
+                    jaccard_of_sets("ca", "cb").alias("j_c"),
+                    jaccard_gate_half("ca", "cb").alias("gate"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert r.is_s == r.is_c, r
+        assert r.j_s == r.j_c, r
+        assert r.gate == (r.j_s >= 0.5), r
