@@ -262,7 +262,8 @@ def canonical_docs(pairs: DataFrame, all_docs: DataFrame,
 
 
 def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             small_ranks: bool = False) -> DataFrame:
     """Fixed-iteration PageRank (Brin & Page 1998) over a directed edge
     list; returns (node, rank). Every node referenced by an edge must have
     out-degree ≥ 1 (symmetrize the graph first if needed): no dangling
@@ -277,6 +278,16 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     connected_components above). Fixed n_iter (not convergence-tested)
     keeps the operator deterministic and oracle-expressible as a bounded
     recursive CTE.
+
+    ``small_ranks=True`` (r15, guide §3.1 / VERDICT #5): the caller
+    asserts the NODE SET is bounded (e.g. pagerank_simgraph's 200-node
+    precondition graph), so each round's rank frame carries an explicit
+    broadcast hint into the contribution join — the per-round plan then
+    has no rank-side shuffle at any scale of the EDGE list, instead of
+    leaving the strategy to runtime size estimates. Corpus-scale graphs
+    (pagerank_simgraph_full) must keep the default: a corpus-sized rank
+    broadcast is a driver OOM, and the shuffled join is the correct
+    shape there.
     """
     # Lazily checkpoint the edge list FIRST: the precondition check below is
     # the first action over it, so the (possibly expensive — e.g. a kNN
@@ -314,8 +325,9 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
         .withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for i in range(n_iter):
+        rs = ranks.withColumnRenamed("node", "src")
         contribs = (
-            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            ew.join(F.broadcast(rs) if small_ranks else rs, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("odeg")).alias("c"))
         )

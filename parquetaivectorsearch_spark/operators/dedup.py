@@ -623,8 +623,14 @@ def substring_span_removal(docs: DataFrame, window: int = 32,
                 .repartition("w1h").localCheckpoint(eager=False))
         shared = (cand.groupBy("w1h").agg(F.count("*").alias("nd"))
                   .filter(F.col("nd") >= 2).select("w1h"))
+        # lazy checkpoint (r15, guide §5 — the before-plan showed this
+        # subtree THREE times): flagged feeds the dense stage's
+        # semi-join AND the final stitch join's doc restriction, and
+        # without the checkpoint each consumer re-derived the
+        # cand ⋈ shared aggregate from the cand checkpoint
         flagged = (cand.join(shared, "w1h")
-                   .select(F.col("doc_id").alias(id_col)).distinct())
+                   .select(F.col("doc_id").alias(id_col)).distinct()
+                   .localCheckpoint(eager=False))
         # left-semi restriction; AQE picks broadcast when flagged is small
         d = d.join(flagged, id_col, "left_semi")
     wins = d.select(
@@ -637,6 +643,12 @@ def substring_span_removal(docs: DataFrame, window: int = 32,
              F.expr(f"substring(__t, pos, {window})").alias("win"))
     if hashed:
         wins = wins.withColumn("win", F.xxhash64("win"))
+    # NB (r15 measured negative): checkpointing `wins` here to fuse its
+    # two consumers (holders aggregate, marks join) ran SLOWER than
+    # letting the narrow explode recompute — materializing the
+    # one-row-per-character stream costs more than re-running a
+    # codegen'd map over the flagged-restricted scan (min-of-4
+    # alternating: 3.46s vs 3.21s with only the flagged checkpoint).
     holders = wins.groupBy("win").agg(
         F.min("doc_id").alias("keeper"),
         F.count_distinct("doc_id").alias("nd"))

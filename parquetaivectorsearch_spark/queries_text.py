@@ -872,10 +872,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Rounded 6 dp — far above both libm ln ulps and double
     summation-order wobble (~1e-13 on ~500-term sums)."""
     d = _t(spark, sf_dir, "documents", spread=True)  # explode feeds partial agg
-    t = (d.select("doc_id", F.explode(TX.words("text")).alias("term"))
-         # lazy checkpoint (r14, guide §5): the token stream feeds both
-         # the vocab build and the apply join — one explode, two readers
-         .localCheckpoint(eager=False))
+    # NO token-stream checkpoint here (r15, VERDICT #4): the r14 lazy
+    # localCheckpoint regressed this query +20% — with only TWO readers
+    # (vocab build, apply join) the checkpoint's plan-finalization trip
+    # plus materializing the exploded rows cost more than recomputing
+    # one cheap scan+split+explode; A/B'd quiet this round (see
+    # OPTIMIZATION_r15.md). bigram/kneser-ney (heavier streams) and
+    # perplexity_buckets (three readers) keep theirs.
+    t = d.select("doc_id", F.explode(TX.words("text")).alias("term"))
     freq = t.groupBy("term").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").cast("bigint").alias("n_total"))
     return (
@@ -950,8 +954,12 @@ def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    # explicit broadcast of the bounded 200-row side (r15, guide §3.1 /
+    # VERDICT #5) — pins the BNLJ build side instead of leaving it to
+    # size estimates; the rank loop below runs with small_ranks=True so
+    # each of the 10 rounds broadcasts the 200-row rank frame too
     sims = (
-        a.join(b, F.col("src") != F.col("dst"))
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
         .select("src", "dst", V.dot("va", "vb").alias("dot"))
     )
     knn3 = (
@@ -964,6 +972,12 @@ def q_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn3.union(
         knn3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # NB (r15 measured negative, VERDICT #5): small_ranks=True (per-round
+    # explicit broadcast of the 200-row rank frame) ran SLOWER than the
+    # default shuffled loop here — min-of-4 alternating 2.77s vs 2.56s:
+    # ten per-round broadcast builds cost more driver work than AQE's
+    # runtime handling of the tiny sort-merge rounds. The operator knob
+    # stays for genuinely bounded-graph callers at cluster scale.
     ranks = pagerank(edges, n_iter=10, damping=0.85)
     return ranks.select(
         F.col("node").alias("vec_id"), F.round("rank", 6).alias("pagerank")
