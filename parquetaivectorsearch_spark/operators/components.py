@@ -182,15 +182,17 @@ def connected_components_hashmin(pairs: DataFrame, a_col: str = "doc_a",
     State: cluster sets C_v as rows (node, member); init C_v = {v} ∪
     Γ(v). Each round every v computes m = min C_v, sends {m} to every
     member (path-halving: members learn v's best min) and C_v to m
-    (doubling: the min node absorbs the set). As one exchange: union the
-    two emissions, repartition by node, then the dedup aggregate, the
-    per-node min, and the send-join all reuse that hash(node)
-    partitioning (guide §2.4 — hash(node) satisfies every downstream
-    clustering requirement; verified: one Exchange per round in the
-    plan). At convergence C_m = its whole component and C_v = {m}
-    otherwise, so min(member) per node IS the component-minimum label —
-    identical output contract to ``connected_components`` (equality
-    property-tested on random graphs and deep chains).
+    (doubling: the min node absorbs the set). Both emissions come out
+    of ONE pass over the joined rows (an explode of a 2-struct array —
+    a union of two projections physically duplicated the join+agg
+    subtree per branch), followed by one repartition(node) whose
+    partitioning the dedup aggregate reuses; the per-round plan is one
+    min aggregate + broadcast send-join + one data Exchange + dedup
+    (plans/r15/round_cc_hashmin.txt). At convergence C_m = its whole
+    component and C_v = {m} otherwise, so min(member) per node IS the
+    component-minimum label — identical output contract to
+    ``connected_components`` (equality property-tested on random graphs
+    and deep chains).
 
     Convergence: H fixpoint, tested as star does (full-outer join count
     in one job) every SECOND round, comparing the two block-endpoint
@@ -217,10 +219,17 @@ def connected_components_hashmin(pairs: DataFrame, a_col: str = "doc_a",
         prev = H
         for _ in range(inner):
             m = H.groupBy("node").agg(F.min("member").alias("m"))
-            hm = H.join(m, "node")
-            H = (hm.select(F.col("member").alias("node"),
-                           F.col("m").alias("member"))
-                 .union(hm.select(F.col("m").alias("node"), "member"))
+            # both emissions from ONE pass over the joined rows via an
+            # explode — a union of two projections duplicates the whole
+            # join+agg subtree per branch in the physical plan (r15,
+            # verified in plans/r15/round_cc_hashmin.txt)
+            H = (H.join(m, "node")
+                 .select(F.explode(F.array(
+                     F.struct(F.col("member").alias("node"),
+                              F.col("m").alias("member")),
+                     F.struct(F.col("m").alias("node"),
+                              F.col("member").alias("member")))).alias("e"))
+                 .select("e.node", "e.member")
                  .repartition("node").dropDuplicates(["node", "member"]))
         # Lazy checkpoint + the fixpoint check as the SAME action (the
         # connected_components discipline): |union| == |new| == |old| ⇔
